@@ -1,38 +1,655 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or the
+LLM-data-pipeline extension surface), expressed via the
+``cloudbrush_spark`` operator library; ``oracle_sql()`` carries the
+DuckDB-equivalent ANSI SQL.  Column names and types are aligned on both
+sides (aggregates routed through DECIMAL where float summation order
+would otherwise make the value-hash flap).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudbrush_spark.functions import text as textfn
+from cloudbrush_spark.operators import dedup, kmers, sessions, similarity, stats, textops
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects; read it with nanosAsLong and keep ``ts`` as epoch-nanos BIGINT
+    (the oracle side uses DuckDB's epoch_ns for exact integer parity)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Query implementations (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def q_p1_dedup_exact(spark, sf_dir):
+    """P1 generic exact dedup: normalized-fingerprint dedup over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.fingerprint_dedup(docs).select(
+        "fp", F.col("doc_id").alias("survivor_id"), "dup_cnt"
+    )
+
+
+def q_p2_filter_contained(spark, sf_dir):
+    """P2 RedundantRemoval generic: anti-join drop of 'contained' rows —
+    orders whose customer has a negative account balance."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    bad = customer.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("o_custkey"))
+    return (
+        orders.join(F.broadcast(bad), "o_custkey", "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_p3_high_ngrams(spark, sf_dir):
+    """P3 BuildHighKmerList generic: char 3-grams of part names with
+    count > 50 (high-frequency token blacklist)."""
+    part = _t(spark, sf_dir, "part")
+    grams = part.select(F.explode(textfn.char_shingles("p_name", 3)).alias("gram"))
+    return (
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 50)
+    )
+
+
+def q_a3_ngram_doc_counts(spark, sf_dir):
+    """A3 CountKmer generic: word 2-gram -> (occurrence count, distinct docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(textfn.word_shingles(textfn.tokens("text"), 2)).alias("gram")
+    )
+    return grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("doc_id").alias("doc_cnt"),
+    ).filter(F.col("cnt") >= 5)
+
+
+def q_a4_count_histogram(spark, sf_dir):
+    """A4 KmerStatus generic: histogram of per-user event counts."""
+    events = _events(spark, sf_dir)
+    per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_user.groupBy("cnt").agg(F.count(F.lit(1)).alias("num_users"))
+
+
+def q_a5_token_freq_per_doc(spark, sf_dir):
+    """A5 KmerFrequencyOfReads generic: per-doc sum/min of global token freq."""
+    docs = _t(spark, sf_dir, "documents")
+    postings = docs.select("doc_id", F.explode(textfn.tokens("text")).alias("tok"))
+    counts = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        postings.join(counts, "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("freq").alias("freq_sum"), F.min("freq").alias("min_freq"))
+    )
+
+
+def q_a6_trusted_docs(spark, sf_dir):
+    """A6 IdentifyTrustedReads generic: doc trusted iff ALL its tokens have
+    global frequency > 10 (min-aggregate)."""
+    docs = _t(spark, sf_dir, "documents")
+    postings = docs.select("doc_id", F.explode(textfn.tokens("text")).alias("tok"))
+    counts = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        postings.join(counts, "tok")
+        .groupBy("doc_id")
+        .agg((F.min("freq") > 10).alias("trusted"))
+    )
+
+
+def q_a1_n50(spark, sf_dir):
+    """A1 Stats N50: N50 of order total prices (descending cumulative-sum
+    crossing of half total) — the reference's contig-N50 in generic form."""
+    from pyspark.sql import Window
+    orders = _t(spark, sf_dir, "orders")
+    sz = F.col("o_totalprice").cast("decimal(18,2)")
+    w_cum = Window.orderBy(F.col("sz").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        orders.select(sz.alias("sz"))
+        .withColumn("cum", F.sum("sz").over(w_cum))
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.col("sz").desc())))
+        .withColumn("tot", F.sum("sz").over(Window.partitionBy()))
+    )
+    hit = cum.filter(F.col("cum") * 2 >= F.col("tot"))
+    return hit.orderBy("rn").limit(1).select(
+        F.col("sz").cast("double").alias("n50"),
+        F.col("rn").cast("long").alias("n50_cnt"),
+        F.col("tot").cast("double").alias("total"),
+    )
+
+
+def q_a2_global_counts(spark, sf_dir):
+    """A2 CountReads generic: global row count + total text bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+def q_j2_overlap_equijoin(spark, sf_dir):
+    """J2 VerifyOverlap generic: suffix/prefix equality theta-join re-expressed
+    as an equi-join on the overlap string (L=4) over part names."""
+    part = _t(spark, sf_dir, "part")
+    L = 4
+    a = part.select(
+        F.col("p_partkey").alias("a"),
+        F.substring(F.col("p_name"), -L, L).alias("ov"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("b"),
+        F.substring(F.col("p_name"), 1, L).alias("ov"),
+    )
+    return (
+        a.join(b, "ov")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("ov")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+
+
+def _derived_edges(spark, sf_dir):
+    """Deterministic synthetic graph from orders: src=o_custkey,
+    dst=o_custkey + 1 + o_orderkey % 5 (distinct).  Used by the graph
+    operators' generic forms."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_custkey").alias("src"),
+            (F.col("o_custkey") + 1 + F.col("o_orderkey") % 5).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def q_j3_edge_symmetrize(spark, sf_dir):
+    """J3 GenReverseEdge generic: symmetric closure of the derived edge set
+    (union of edges with their reverses, dedup)."""
+    e = _derived_edges(spark, sf_dir)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    return sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def q_g3_transitive_reduction(spark, sf_dir):
+    """G3 TransitiveReduction generic: drop edge (a,c) when some b gives
+    (a,b) and (b,c) — 2-hop anti-join formulation."""
+    e = _derived_edges(spark, sf_dir)
+    hop = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(e.select(F.col("src").alias("b"), F.col("dst").alias("c")), "b")
+        .select("a", "c")
+        .distinct()
+    )
+    reduced = e.join(
+        hop.select(F.col("a").alias("src"), F.col("c").alias("dst")),
+        ["src", "dst"],
+        "left_anti",
+    )
+    return reduced.groupBy("src").agg(
+        F.count(F.lit(1)).alias("out_degree"),
+        F.min("dst").alias("min_dst"),
+    )
+
+
+def q_g4_degrees(spark, sf_dir):
+    """G4 Compressible generic: per-node f/r degree; compressible = both
+    directions have exactly one neighbor."""
+    e = _derived_edges(spark, sf_dir)
+    out_d = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("fdeg"))
+    in_d = e.groupBy(F.col("dst").alias("node")).agg(F.count(F.lit(1)).alias("rdeg"))
+    return (
+        out_d.join(in_d, "node", "full")
+        .na.fill({"fdeg": 0, "rdeg": 0})
+        .select(
+            "node", "fdeg", "rdeg",
+            ((F.col("fdeg") == 1) & (F.col("rdeg") == 1)).alias("compressible"),
+        )
+    )
+
+
+def q_c1_tips(spark, sf_dir):
+    """C1 TipsRemoval generic: tip = node with total degree <= 1 in the
+    symmetric closure (dead ends of the derived graph)."""
+    e = _derived_edges(spark, sf_dir)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    return deg.filter(F.col("degree") <= 1)
+
+
+def q_c5_astat(spark, sf_dir):
+    """C5 A-statistic generic: Myers unique/repeat classification.
+    arrival-count analogue: per customer, n = orders, len = sum qty;
+    astat = len*GLOBAL_RATE - n*ln2*len/AVG; classify unique = astat > 10.
+    Uses the reference's formula shape (src/Brush/CutRepeatBoundary.java:306-315)
+    with deterministic decimal inputs."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("mass"),
+    )
+    ln2 = 0.6931471805599453
+    astat = (F.col("mass") / 10000.0) - (F.col("n").cast("double") * ln2)
+    return per_cust.select(
+        "o_custkey", "n",
+        F.round(astat, 4).alias("astat"),
+        (astat > 10.0).alias("unique_class"),
+    )
+
+
+def q_tumbling_window(spark, sf_dir):
+    """Streaming-equivalent batch op: hourly tumbling window per event type
+    (ts is epoch-nanos, see _events)."""
+    events = _events(spark, sf_dir)
+    hour_ns = 3_600_000_000_000
+    return (
+        events.groupBy(
+            (F.expr(f"ts div {hour_ns}") * 3600).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("value_sum"),
+        )
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) over the events table; epoch-nanos
+    arithmetic end to end (see operators/sessions.py for the timestamp form)."""
+    from pyspark.sql import Window
+    # micros, not nanos: DuckDB's parquet reader truncates TIMESTAMP(NANOS)
+    # to micro precision, so micro is the common grain on both sides.
+    events = _events(spark, sf_dir).withColumn(
+        "tus", F.expr("ts div 1000")  # integer division: double division loses ulps at 1e18
+    )
+    gap_us = 30 * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("tus")
+    with_sid = (
+        events.withColumn(
+            "new_sess",
+            F.when(F.col("tus") - F.lag("tus").over(w) > gap_us, 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return with_sid.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("tus").alias("start_us"),
+        F.max("tus").alias("end_us"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.language_id(docs)
+
+
+def q_quality(spark, sf_dir):
+    """Quality scoring over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.quality_score(docs)
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting (whitespace) over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textfn.token_count("text").cast("long").alias("ws_tokens")
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting (normalized md5)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.fingerprints(docs)
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (headline aggregate query)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2002-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3-shaped join+agg (customer segment revenue top-10)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") *
+           (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 20
+    (ids + rank only; exact parity with the oracle)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    out = similarity.cosine_topk_bruteforce(emb, q, k=5)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect-compatible ANSI)
+# ---------------------------------------------------------------------------
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+_TOKS = f"string_split({_NORM}, ' ')"
+
+_EDGES = (
+    "SELECT DISTINCT o_custkey AS src, o_custkey + 1 + o_orderkey % 5 AS dst FROM orders"
+)
+
+_ORACLES: dict[str, str] = {
+    "p1_dedup_exact": f"""
+        SELECT md5({_NORM}) AS fp, min(doc_id) AS survivor_id, count(*) AS dup_cnt
+        FROM documents GROUP BY 1
+    """,
+    "p2_filter_contained": """
+        SELECT o_orderstatus, count(*) AS cnt FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        GROUP BY 1
+    """,
+    "p3_high_ngrams": """
+        SELECT gram, count(*) AS cnt
+        FROM (SELECT substring(p_name, i, 3) AS gram
+              FROM part, LATERAL (SELECT unnest(generate_series(1, greatest(length(p_name) - 2, 0))) AS i))
+        GROUP BY 1 HAVING count(*) > 50
+    """,
+    "a3_ngram_doc_counts": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        grams AS (
+            SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i)
+        )
+        SELECT gram, count(*) AS cnt, count(DISTINCT doc_id) AS doc_cnt
+        FROM grams GROUP BY 1 HAVING count(*) >= 5
+    """,
+    "a4_count_histogram": """
+        WITH per_user AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+        SELECT cnt, count(*) AS num_users FROM per_user GROUP BY 1
+    """,
+    "a5_token_freq_per_doc": f"""
+        WITH postings AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        counts AS (SELECT tok, count(*) AS freq FROM postings GROUP BY 1)
+        SELECT doc_id, CAST(sum(freq) AS BIGINT) AS freq_sum, min(freq) AS min_freq
+        FROM postings JOIN counts USING (tok) GROUP BY 1
+    """,
+    "a6_trusted_docs": f"""
+        WITH postings AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        counts AS (SELECT tok, count(*) AS freq FROM postings GROUP BY 1)
+        SELECT doc_id, min(freq) > 10 AS trusted
+        FROM postings JOIN counts USING (tok) GROUP BY 1
+    """,
+    "a1_n50": """
+        WITH sized AS (
+            SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS sz FROM orders
+        ), cum AS (
+            SELECT sz,
+                   sum(sz) OVER (ORDER BY sz DESC ROWS UNBOUNDED PRECEDING) AS cum,
+                   row_number() OVER (ORDER BY sz DESC) AS rn,
+                   sum(sz) OVER () AS tot
+            FROM sized
+        )
+        SELECT CAST(sz AS DOUBLE) AS n50, CAST(rn AS BIGINT) AS n50_cnt,
+               CAST(tot AS DOUBLE) AS total
+        FROM cum WHERE cum * 2 >= tot ORDER BY rn LIMIT 1
+    """,
+    "a2_global_counts": """
+        SELECT count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars
+        FROM documents
+    """,
+    "j2_overlap_equijoin": """
+        WITH a AS (SELECT p_partkey AS a, substring(p_name, length(p_name) - 3, 4) AS ov FROM part),
+             b AS (SELECT p_partkey AS b, substring(p_name, 1, 4) AS ov FROM part)
+        SELECT ov, count(*) AS pair_cnt
+        FROM a JOIN b USING (ov) WHERE a <> b
+        GROUP BY 1
+    """,
+    "j3_edge_symmetrize": f"""
+        WITH e AS ({_EDGES}),
+        sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)
+        SELECT src, count(*) AS degree FROM sym GROUP BY 1
+    """,
+    "g3_transitive_reduction": f"""
+        WITH e AS ({_EDGES}),
+        hop AS (SELECT DISTINCT e1.src AS a, e2.dst AS c
+                FROM e e1 JOIN e e2 ON e1.dst = e2.src)
+        SELECT src, count(*) AS out_degree, min(dst) AS min_dst
+        FROM e WHERE NOT EXISTS (
+            SELECT 1 FROM hop WHERE hop.a = e.src AND hop.c = e.dst)
+        GROUP BY 1
+    """,
+    "g4_degrees": f"""
+        WITH e AS ({_EDGES}),
+        o AS (SELECT src AS node, count(*) AS fdeg FROM e GROUP BY 1),
+        i AS (SELECT dst AS node, count(*) AS rdeg FROM e GROUP BY 1)
+        SELECT node,
+               coalesce(fdeg, 0) AS fdeg,
+               coalesce(rdeg, 0) AS rdeg,
+               coalesce(fdeg, 0) = 1 AND coalesce(rdeg, 0) = 1 AS compressible
+        FROM o FULL JOIN i USING (node)
+    """,
+    "c1_tips": f"""
+        WITH e AS ({_EDGES}),
+        sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)
+        SELECT src AS node, count(*) AS degree FROM sym GROUP BY 1
+        HAVING count(*) <= 1
+    """,
+    "c5_astat": """
+        WITH per_cust AS (
+            SELECT o_custkey, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
+            FROM orders GROUP BY 1
+        )
+        SELECT o_custkey, n,
+               round(mass / 10000.0 - n * 0.6931471805599453, 4) AS astat,
+               (mass / 10000.0 - n * 0.6931471805599453) > 10.0 AS unique_class
+        FROM per_cust
+    """,
+    "tumbling_window": """
+        SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS window_start,
+               event_type, count(*) AS cnt,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
+        FROM events GROUP BY 1, 2
+    """,
+    "sessionize": """
+        WITH lagged AS (
+            SELECT user_id, epoch_ns(ts) AS tns,
+                   CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, tns,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM lagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+               CAST(min(tns) // 1000 AS BIGINT) AS start_us,
+               CAST(max(tns) // 1000 AS BIGINT) AS end_us
+        FROM sess GROUP BY 1, 2
+    """,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+        GROUP BY 1, 2
+    """,
+    "tpch_q3": """
+        SELECT o_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY 1
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "ann_topk": """
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 20),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(qv, c.v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+            FROM q, emb c WHERE c.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= 5
+    """,
+    "lang_id": None,     # filled below (built from LANG_MARKERS)
+    "quality": None,
+    "token_stats": """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens
+        FROM documents
+    """,
+    "fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+}
+
+
+def _lang_id_sql() -> str:
+    cases = []
+    for lang, markers in sorted(textfn.LANG_MARKERS.items()):
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        cases.append(
+            f"SELECT doc_id, '{lang}' AS lang, len(list_filter({_TOKS}, t -> t IN ({inlist}))) AS hits FROM documents"
+        )
+    union = " UNION ALL ".join(cases)
+    return f"""
+        WITH hits AS ({union}),
+        ranked AS (
+            SELECT doc_id, lang, hits,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+            FROM hits)
+        SELECT doc_id, lang AS lang_pred, CAST(hits AS BIGINT) AS lang_hits
+        FROM ranked WHERE rn = 1
+    """
+
+
+def _quality_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in textfn.STOPWORDS_EN)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS n,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                   {_TOKS} AS toks
+            FROM documents
+        ), feat AS (
+            SELECT doc_id, n, n_tokens,
+                   CASE WHEN len(toks) = 0 OR (len(toks) = 1 AND toks[1] = '') THEN 0.0
+                        ELSE CAST(len(array_to_string(toks, '')) AS DOUBLE) / len(list_filter(toks, t -> t <> '')) END AS mwl,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(n - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / n END AS pr,
+                   CASE WHEN len(list_filter(toks, t -> t <> '')) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(toks, t -> t IN ({stop}))) AS DOUBLE)
+                             / len(list_filter(toks, t -> t <> '')) END AS sr
+            FROM base
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(mwl, 4) AS mean_word_len, round(pr, 4) AS punct_ratio,
+               round(sr, 4) AS stopword_ratio,
+               round(
+                   (CASE WHEN n_tokens >= 20 THEN 0.25 ELSE n_tokens / 20.0 * 0.25 END)
+                   + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN pr <= 0.2 THEN 0.25 ELSE greatest(0.0, (0.4 - pr) / 0.2 * 0.25) END)
+                   + least(sr / 0.2, 1.0) * 0.25, 4) AS quality
+        FROM feat
+    """
+
+
+_ORACLES["lang_id"] = _lang_id_sql()
+_ORACLES["quality"] = _quality_sql()
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "p1_dedup_exact": q_p1_dedup_exact,
+    "p2_filter_contained": q_p2_filter_contained,
+    "p3_high_ngrams": q_p3_high_ngrams,
+    "a3_ngram_doc_counts": q_a3_ngram_doc_counts,
+    "a4_count_histogram": q_a4_count_histogram,
+    "a5_token_freq_per_doc": q_a5_token_freq_per_doc,
+    "a6_trusted_docs": q_a6_trusted_docs,
+    "a1_n50": q_a1_n50,
+    "a2_global_counts": q_a2_global_counts,
+    "j2_overlap_equijoin": q_j2_overlap_equijoin,
+    "j3_edge_symmetrize": q_j3_edge_symmetrize,
+    "g3_transitive_reduction": q_g3_transitive_reduction,
+    "g4_degrees": q_g4_degrees,
+    "c1_tips": q_c1_tips,
+    "c5_astat": q_c5_astat,
+    "tumbling_window": q_tumbling_window,
+    "sessionize": q_sessionize,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "token_stats": q_token_stats,
+    "fingerprint": q_fingerprint,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "ann_topk": q_ann_topk,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: TPC-H-Q1-shaped pricing
+    summary through the engine's aggregate path."""
+    return q_tpch_q1(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {k: v for k, v in _ORACLES.items() if v is not None}

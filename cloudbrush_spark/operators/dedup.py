@@ -1,0 +1,274 @@
+"""Deduplication operator family.
+
+Generalizes the reference's read-dedup stage (P1/P2:
+src/Brush/GenNonContainedReads.java:42-316 groups reads by canonical key and
+collapses exact + reverse-complement duplicates into a coverage count;
+src/Brush/RedundantRemoval.java:97-102 drops the marked rows) into the
+dedup surface a training-data pipeline needs: exact, fingerprint,
+MinHash+LSH, SimHash and n-gram-Jaccard near-dup.
+
+Scale notes (100 TB):
+- every variant is a single hash-shuffle on a *bounded-width* key (hash or
+  signature band), never on the full text;
+- candidate generation is always key-equality (band bucket / shingle), so
+  Catalyst uses plain shuffle-hash joins and AQE can split skewed buckets;
+- per-bucket pair expansion is capped (``max_bucket``) exactly like the
+  reference caps candidates per k-mer key
+  (src/Brush/MatchPrefix.java:366-380) — unbounded buckets are the classic
+  LSH skew bomb at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cloudbrush_spark.functions import dna, text
+
+
+def dedup_reads(reads: DataFrame, id_col: str = "read_id", seq_col: str = "seq",
+                k: int = 21) -> DataFrame:
+    """P1+P2 in one shot: canonical-key exact dedup of DNA reads.
+
+    The reference does this with a quadratic in-group loop over first-K-mer
+    groups (src/Brush/GenNonContainedReads.java:174-248); grouping by the
+    full canonical sequence gives the same survivors (min-id representative,
+    +1 coverage per duplicate, rc-duplicates collapsed) in one hash
+    aggregate with map-side partial aggregation.
+    """
+    valid = reads.filter(dna.valid_seq(F.upper(F.col(seq_col)))).filter(F.length(seq_col) > k)
+    return (
+        valid.withColumn("__canon", dna.canonical(F.upper(F.col(seq_col))))
+        .groupBy("__canon")
+        .agg(
+            F.min(id_col).alias("node_id"),
+            F.count(F.lit(1)).cast("double").alias("cov"),
+            F.min_by(seq_col, id_col).alias("seq"),
+        )
+        .drop("__canon")
+    )
+
+
+def exact_dedup(df: DataFrame, key: Column, id_col: str) -> DataFrame:
+    """Generic exact dedup: one survivor (min id) per key + duplicate count."""
+    return (
+        df.withColumn("__key", key)
+        .groupBy("__key")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_cnt"))
+        .drop("__key")
+    )
+
+
+def fingerprint_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-exact dedup on the normalized-token fingerprint (case/punct/ws
+    insensitive).  Output: one row per fingerprint with survivor + count."""
+    return (
+        docs.withColumn("fp", text.fingerprint(text_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       shingle_n: int = 3, num_hashes: int = 16) -> DataFrame:
+    """Per-document MinHash signature, one row per (doc, hash_idx).
+
+    Hash family: ``md5(i || shingle)`` — content-addressed and engine-
+    portable (identical in any SQL engine, which is what makes this operator
+    oracle-checkable), deterministic across runs, and uniformly distributed.
+    Word-level ``shingle_n``-grams are the shingle universe.
+
+    Plan shape: explode shingles -> distinct -> explode hash indices ->
+    min-aggregate.  Two shuffles, both on bounded keys; map-side partial
+    min keeps shuffle volume ~ num_hashes rows per doc.
+    """
+    toks = docs.select(F.col(id_col), text.tokens(text_col).alias("toks"))
+    shingles = (
+        toks.select(F.col(id_col), F.explode(text.word_shingles(F.col("toks"), shingle_n)).alias("sh"))
+        .distinct()
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h")
+    return (
+        shingles.select(F.col(id_col), F.col("sh"), idx)
+        .select(id_col, "h", F.md5(F.concat_ws("|", F.col("h").cast("string"), F.col("sh"))).alias("hv"))
+        .groupBy(id_col, "h")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        bands: int = 4, rows_per_band: int = 4,
+                        max_bucket: int = 50) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing >= 1 band bucket.
+
+    Band key = md5 of the concatenated row minhashes; join on (band, key).
+    ``max_bucket`` caps bucket width before pair expansion (skew control,
+    mirrors src/Brush/MatchPrefix.java:366-380).
+    Output: (a, b) with a < b, distinct.
+    """
+    banded = (
+        signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
+        .filter(F.col("band") < bands)
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("h").cast("string"), F.col("minhash")))))).alias("bkey"))
+    )
+    sized = banded.withColumn("bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bkey")))
+    small = sized.filter(F.col("bsz") <= max_bucket).drop("bsz")
+    a = small.select(F.col(id_col).alias("a"), "band", "bkey")
+    b = small.select(F.col(id_col).alias("b"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        shingle_n: int = 3, num_hashes: int = 16,
+                        bands: int = 4, rows_per_band: int = 4,
+                        jaccard_threshold: float = 0.5) -> DataFrame:
+    """Full near-dup pipeline: MinHash -> LSH candidates -> exact-Jaccard
+    verification (the verify step mirrors J2's "candidates then theta-check"
+    shape, src/Brush/VerifyOverlap.java:287-309).
+
+    Output: (a, b, jaccard) pairs above threshold, a < b.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, shingle_n, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    jac = ngram_jaccard_pairs_for(docs, cands, id_col, text_col, shingle_n)
+    return jac.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact)
+# --------------------------------------------------------------------------
+
+def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    toks = docs.select(F.col(id_col), text.tokens(text_col).alias("toks"))
+    return (
+        toks.select(F.col(id_col), F.explode(text.word_shingles(F.col("toks"), shingle_n)).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        shingle_n: int = 3, threshold: float = 0.5,
+                        max_shingle_df: int = 1000) -> DataFrame:
+    """Exact n-gram Jaccard similarity self-join.
+
+    Inverted-index equi-join on shingle (the same candidate structure as the
+    reference's k-mer overlap join J1, src/Brush/MatchPrefix.java:150-174),
+    then |A ∩ B| from the join count and |A ∪ B| = |A| + |B| - |A ∩ B|.
+    ``max_shingle_df`` drops ubiquitous shingles before the join — the exact
+    analogue of the reference's high-frequency k-mer blacklist
+    (src/Brush/MatchPrefix.java:155-158); at 100 TB this is what prevents
+    the hot-token shuffle explosion.
+    """
+    sh = _shingle_sets(docs, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    rare = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh"))) \
+             .filter(F.col("df") <= max_shingle_df).drop("df")
+    a = rare.select(F.col(id_col).alias("a"), "sh")
+    b = rare.select(F.col(id_col).alias("b"), "sh")
+    inter = (
+        a.join(b, "sh").filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_for(docs: DataFrame, pairs: DataFrame, id_col: str,
+                            text_col: str, shingle_n: int) -> DataFrame:
+    """Exact Jaccard for a given candidate-pair set (verification step)."""
+    sh = _shingle_sets(docs, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a_sh = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sha"))
+    inter = (
+        pairs.join(a_sh, "a")
+        .join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sha")), ["b", "sha"])
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .na.fill({"inter": 0})
+        .join(sa, "a").join(sb, "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .select("a", "b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document from xxhash64(token) sign votes.
+
+    Pure expression pipeline: explode tokens -> per-bit +/-1 votes via
+    bit extraction -> sum -> reassemble sign bits.  JVM-side end to end.
+    """
+    toks = docs.select(F.col(id_col), F.explode(text.tokens(text_col)).alias("tok"))
+    hashed = toks.withColumn("hv", F.xxhash64("tok"))
+    bit_votes = hashed.select(
+        id_col,
+        *[
+            F.when(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1)).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    agg = bit_votes.groupBy(id_col).agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)])
+    sig = agg.select(
+        id_col,
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << i).cast("long"))
+            for i in range(bits - 1)  # bit 63 would overflow signed long; fold separately
+        ).alias("lo"),
+        F.when(F.col(f"b{bits-1}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")).alias("hi"),
+    )
+    return sig.select(id_col, (F.col("lo") + F.shiftleft(F.col("hi"), bits - 1)).alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded for scale.
+
+    Split the 64-bit signature into (max_hamming + 1) chunks; by pigeonhole,
+    any pair within ``max_hamming`` shares at least one exact chunk -> join
+    per chunk, then verify with bit_count(xor).
+    """
+    sig = simhash(docs, id_col, text_col)
+    nchunks = max_hamming + 1
+    width = 64 // nchunks
+    chunks = sig.select(
+        F.col(id_col), "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"),
+                     F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit((1 << width) - 1)).alias("v"))
+            for c in range(nchunks)
+        ])).alias("ch"),
+    ).select(id_col, "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    a = chunks.select(F.col(id_col).alias("a"), F.col("simhash").alias("sa"), "c", "v")
+    b = chunks.select(F.col(id_col).alias("b"), F.col("simhash").alias("sb"), "c", "v")
+    return (
+        a.join(b, ["c", "v"]).filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast nested-loop expressed as a
+join on a constant, with the dot product as a JVM-side higher-order
+function (``aggregate(zip_with(...))``), so no Python in the hot path.
+
+Scale path (100 TB): random-hyperplane LSH bucketing — each vector lands in
+2^planes sign-pattern buckets; candidates share a bucket, exact cosine
+re-rank inside.  Probing multiple hash tables raises recall.  The bucket
+join is a plain equi-join Catalyst shuffles on the bucket key; AQE splits
+hot buckets.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def with_cosine(pairs: DataFrame, a_col: str = "va", b_col: str = "vb") -> DataFrame:
+    a, b = F.col(a_col), F.col(b_col)
+    return pairs.withColumn(
+        "cosine", _dot(a, b) / (_norm(a) * _norm(b))
+    )
+
+
+def cosine_topk_bruteforce(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors for each query vector (excluding self).
+
+    ``queries`` is broadcast (queries are the small side by assumption);
+    the corpus streams once — the correct physical plan for 1 query batch
+    vs a 100 TB corpus.  Output: (query_id, neighbor_id, rank, cosine).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) /
+                    (_norm(F.col("qv")) * _norm(F.col("cv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+
+def lsh_bucket(vectors: DataFrame, dim: int, planes: int = 8, seed: int = 42,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-pattern of ``planes`` projections.
+
+    Hyperplanes are generated driver-side (seeded, tiny) and folded into the
+    expression as literals — no UDF, no broadcast variable needed.
+    """
+    hp = _hyperplanes(dim, planes, seed)
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(hp):
+        proj = _dot(F.col(vec_col), F.array(*[F.lit(w) for w in plane]))
+        sig = sig + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return vectors.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+
+
+def cosine_topk_lsh(vectors: DataFrame, dim: int, k: int = 10, planes: int = 8,
+                    seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Approximate all-pairs top-k: candidates share an LSH bucket, exact
+    cosine re-rank within the bucket.  One shuffle on the bucket key."""
+    b = lsh_bucket(vectors, dim, planes, seed, id_col, vec_col)
+    a = b.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket")
+    c = b.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket")
+    scored = (
+        a.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) /
+                    (_norm(F.col("qv")) * _norm(F.col("cv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_near_dup(vectors: DataFrame, dim: int, threshold: float = 0.95,
+                       planes: int = 6, seed: int = 42, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold),
+    LSH-bucketed candidate generation + exact verify."""
+    b = lsh_bucket(vectors, dim, planes, seed, id_col, vec_col)
+    a = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
+    c = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", _dot(F.col("va"), F.col("vb")) /
+                    (_norm(F.col("va")) * _norm(F.col("vb"))))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+        .distinct()
+    )

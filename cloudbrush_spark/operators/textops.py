@@ -1,0 +1,77 @@
+"""Document-level text analysis operators: language ID, quality scoring,
+token counting, fingerprinting.
+
+All pure column expressions over the ``documents`` table — the text
+generalization of the reference's per-read classification jobs
+(trusted-read min-aggregate src/Brush/IdentifyTrustedReads.java:73-94,
+A-statistic classification src/Brush/CutRepeatBoundary.java:306-315).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloudbrush_spark.functions import text
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword-hit language heuristic: count marker-token hits per
+    language, argmax with deterministic tie-break on language code.
+
+    Output: doc_id, lang_pred, lang_hits.
+    """
+    toks = text.tokens(text_col)
+    hit_cols = []
+    for lang, markers in sorted(text.LANG_MARKERS.items()):
+        hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*hit_cols))
+    return docs.select(
+        "doc_id",
+        best["lang"].alias("lang_pred"),
+        best["hits"].cast("long").alias("lang_hits"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1].
+
+    Features: length, token count, mean word length, punctuation ratio,
+    stopword ratio.  The composite mirrors common pretraining-data filters
+    (Gopher/C4-style rules): penalize too-short docs, extreme word lengths,
+    punctuation soup, and stopword-free token salad.
+    """
+    n_tokens = text.token_count(text_col)
+    mwl = text.mean_word_len(text_col)
+    pr = text.punct_ratio(text_col)
+    sr = text.stopword_ratio(text_col)
+    score = (
+        F.when(n_tokens >= 20, F.lit(0.25)).otherwise(n_tokens / 20.0 * 0.25)
+        + F.when((mwl >= 3) & (mwl <= 10), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(pr <= 0.2, F.lit(0.25)).otherwise(F.greatest(F.lit(0.0), (F.lit(0.4) - pr) / 0.2 * 0.25))
+        + F.least(sr / 0.2, F.lit(1.0)) * 0.25
+    )
+    return docs.select(
+        "doc_id",
+        F.length(text_col).cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(pr, 4).alias("punct_ratio"),
+        F.round(sr, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    return docs.select(
+        "doc_id",
+        text.token_count(text_col).cast("long").alias("ws_tokens"),
+        text.bpe_ish_token_count(text_col).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content md5 fingerprint per document."""
+    return docs.select("doc_id", text.fingerprint(text_col).alias("fp"))
