@@ -1,0 +1,66 @@
+"""Benchmark the engine's headline queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a full materialization (collect of the final,
+already-aggregated result — headline results are small by construction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from cloudbrush_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "p1_dedup_exact",
+    "a3_ngram_doc_counts",
+    "a5_token_freq_per_doc",
+    "sessionize",
+    "tumbling_window",
+    "lang_id",
+    "quality",
+    "ann_topk",
+    "minhash_lsh_dedup",
+    "g3_transitive_reduction",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("cloudbrush-bench")
+    qs = entrymod.queries()
+    # warm the JVM + parquet footers with one cheap action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()
