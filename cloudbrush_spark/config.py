@@ -1,0 +1,34 @@
+"""Engine parameters with the reference's defaults and derivations
+(src/Brush/BrushConfig.java:54-103; FIXTURES.md F7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class BrushParams:
+    k: int = 21                     # overlap seed size (required in reference)
+    readlen: int = 36               # read length (required in reference)
+    up_kmer: int = 2000             # high-frequency k-mer cutoff / per-key cap
+    low_kmer: int = 1               # min candidates per k-mer key
+    bubble_edit_rate: float = 0.05  # max edit distance ratio for bubble pop
+    low_cov_thresh: float = 1.0     # coverage cutoff for low-cov removal
+    majority: float = 0.6           # PWM consensus majority
+    pwm_n: float = 0.1              # PWM N-ratio
+    kmer_cov: float = 30.0          # expected k-mer coverage for A-statistic
+    inslen: int = 200               # mate-pair insert length
+    inslen_sd: int = 20
+    random_seed: int = 42           # pinned (reference uses Math.random():
+                                    # src/Brush/BrushAssembler.java:534-537)
+
+    # derived (src/Brush/BrushConfig.java:86-103)
+    tiplength: int = field(init=False)
+    maxbubblelen: int = field(init=False)
+    max_low_cov_len: int = field(init=False)
+
+    def __post_init__(self) -> None:
+        self.tiplength = 10 * self.readlen
+        self.maxbubblelen = 4 * self.readlen - 2 * self.k - 1
+        self.max_low_cov_len = 2 * self.readlen

@@ -1,0 +1,171 @@
+"""The assembly pipeline: the driver-level composites of SURVEY §2.7
+(src/Brush/BrushAssembler.java:256-893) as Python control flow over
+DataFrame actions.
+
+Stage boundaries ``localCheckpoint`` to truncate lineage (replacing the
+reference's HDFS directory renames); loop decisions read counts
+(replacing Hadoop counters).  Every stage returns/records its counters in
+``self.counters`` mirroring the reference's per-stage printouts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudbrush_spark.config import BrushParams
+from cloudbrush_spark.operators import bubbles as bubbles_ops
+from cloudbrush_spark.operators import consensus as consensus_ops
+from cloudbrush_spark.operators import contraction, dedup, graph, kmers, overlap
+from cloudbrush_spark.operators import stats as stats_ops
+
+
+@dataclass
+class Assembler:
+    spark: SparkSession
+    params: BrushParams = field(default_factory=BrushParams)
+    counters: dict = field(default_factory=dict)
+    verbose: bool = False
+
+    def _ckpt(self, df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
+    def _log(self, msg: str) -> None:
+        if self.verbose:
+            print(f"[assembler] {msg}")
+
+    # -- preprocess: P1 -> P2 -> P3 (BrushAssembler.java:256-309) ----------
+    def preprocess(self, reads: DataFrame) -> tuple[DataFrame, DataFrame]:
+        p = self.params
+        nodes = self._ckpt(dedup.dedup_reads(reads, k=p.k))
+        self.counters["nodes"] = nodes.count()
+        hk = self._ckpt(kmers.high_kmers(
+            nodes, p.k, up_kmer=p.up_kmer, id_col="node_id", cov_col="cov"))
+        self.counters["high_kmers"] = hk.count()
+        self._log(f"preprocess: {self.counters['nodes']} nodes, "
+                  f"{self.counters['high_kmers']} high kmers")
+        return nodes, hk
+
+    # -- buildOverlap: J1 -> J2 -> J3 (BrushAssembler.java:313-333) --------
+    def build_overlap(self, nodes: DataFrame, high_kmers: DataFrame) -> DataFrame:
+        p = self.params
+        edges = self._ckpt(overlap.build_overlap_graph(
+            nodes, p.k, high_kmers, per_key_cap=p.up_kmer))
+        self.counters["edges"] = edges.count()
+        self._log(f"build_overlap: {self.counters['edges']} edges")
+        return edges
+
+    # -- buildStringGraph (BrushAssembler.java:337-396) --------------------
+    def build_string_graph(self, nodes: DataFrame, edges: DataFrame
+                           ) -> tuple[DataFrame, DataFrame]:
+        p = self.params
+        for rnd in range(2):  # loop <= 2 rounds (BrushAssembler.java:347-367)
+            cuts = consensus_ops.cut_chimeric_links(
+                nodes, edges, p.majority, p.pwm_n)
+            n_cut = cuts.count()
+            self.counters[f"chimeric_cut_r{rnd}"] = n_cut
+            if n_cut == 0:
+                break
+            edges = self._ckpt(graph.remove_edges(edges, cuts))
+        edges = self._ckpt(graph.transitive_reduction(nodes, edges))
+        self.counters["edges_after_tr"] = edges.count()
+        nodes, edges = self.compress_chains(nodes, edges)
+        self._log(f"string graph: {self.counters['edges_after_tr']} edges after TR")
+        return nodes, edges
+
+    # -- compressChains (BrushAssembler.java:468-560) ----------------------
+    def compress_chains(self, nodes: DataFrame, edges: DataFrame
+                        ) -> tuple[DataFrame, DataFrame]:
+        nodes, edges, rounds = contraction.contract_chains(
+            nodes, edges, seed=self.params.random_seed, verbose=self.verbose)
+        self.counters["compress_rounds"] = \
+            self.counters.get("compress_rounds", 0) + rounds
+        return self._ckpt(nodes), self._ckpt(edges)
+
+    # -- removeTips (BrushAssembler.java:565-618) --------------------------
+    def remove_tips(self, nodes: DataFrame, edges: DataFrame
+                    ) -> tuple[DataFrame, DataFrame]:
+        p = self.params
+        total = 0
+        while True:
+            doomed = graph.find_tips(nodes, edges, p.tiplength)
+            n = doomed.count()
+            if n == 0:
+                break
+            total += n
+            nodes, edges = graph.remove_nodes(nodes, edges, doomed)
+            nodes, edges = self.compress_chains(nodes, edges)
+        self.counters["tips_removed"] = self.counters.get("tips_removed", 0) + total
+        self._log(f"remove_tips: {total} tips removed")
+        return nodes, edges
+
+    # -- popallbubbles (BrushAssembler.java:623-676) -----------------------
+    def pop_all_bubbles(self, nodes: DataFrame, edges: DataFrame
+                        ) -> tuple[DataFrame, DataFrame]:
+        p = self.params
+        total = 0
+        while True:
+            pops = bubbles_ops.find_bubbles(
+                nodes, edges, p.maxbubblelen, p.bubble_edit_rate)
+            n = pops.count()
+            if n == 0:
+                break
+            total += n
+            nodes, edges = bubbles_ops.pop_bubbles(nodes, edges, pops)
+            nodes, edges = self.compress_chains(nodes, edges)
+        self.counters["bubbles_popped"] = self.counters.get("bubbles_popped", 0) + total
+        self._log(f"pop_all_bubbles: {total} popped")
+        return nodes, edges
+
+    # -- removelowcov (BrushAssembler.java:682-703) ------------------------
+    def remove_low_cov(self, nodes: DataFrame, edges: DataFrame
+                       ) -> tuple[DataFrame, DataFrame]:
+        p = self.params
+        nodes, edges, doomed = graph.remove_low_coverage(
+            nodes, edges, p.low_cov_thresh, p.max_low_cov_len)
+        self.counters["lowcov_removed"] = doomed.count()
+        nodes, edges = self.compress_chains(nodes, edges)
+        nodes, edges = self.remove_tips(nodes, edges)
+        nodes, edges = self.pop_all_bubbles(nodes, edges)
+        self._log(f"remove_low_cov: {self.counters['lowcov_removed']} removed")
+        return nodes, edges
+
+    # -- edgeAdjustment: C5 loop (BrushAssembler.java:400-464) -------------
+    def edge_adjustment(self, nodes: DataFrame, edges: DataFrame,
+                        max_rounds: int = 4) -> tuple[DataFrame, DataFrame]:
+        p = self.params
+        for _ in range(max_rounds):
+            loops = graph.self_loops(edges)
+            classified = graph.a_statistic(nodes, p.kmer_cov, p.readlen, p.k)
+            uniq = classified.filter(F.col("unique")).select(
+                F.col("node_id").alias("src"))
+            boundary = graph.overlap_boundary_cuts(edges.join(uniq, "src"))
+            removals = loops.unionByName(boundary).distinct()
+            n = removals.count()
+            self.counters["edge_adjust_cuts"] = \
+                self.counters.get("edge_adjust_cuts", 0) + n
+            if n == 0:
+                break
+            edges = self._ckpt(graph.remove_edges(edges, removals))
+            nodes, edges = self.compress_chains(nodes, edges)
+        return nodes, edges
+
+    # -- full run (BrushAssembler.java:829-893) ----------------------------
+    def assemble(self, reads: DataFrame) -> tuple[DataFrame, DataFrame]:
+        nodes, hk = self.preprocess(reads)
+        edges = self.build_overlap(nodes, hk)
+        nodes, edges = self.build_string_graph(nodes, edges)
+        nodes, edges = self.edge_adjustment(nodes, edges)
+        nodes, edges = self.remove_tips(nodes, edges)
+        nodes, edges = self.pop_all_bubbles(nodes, edges)
+        nodes, edges = self.remove_low_cov(nodes, edges)
+        self.counters["final_nodes"] = nodes.count()
+        self.counters["final_edges"] = edges.count()
+        return nodes, edges
+
+    def stats(self, nodes: DataFrame) -> DataFrame:
+        """A1 contig statistics over the final node table."""
+        sized = nodes.withColumn("len", F.length("seq"))
+        return stats_ops.size_distribution(sized, "len", cov_col="cov")

@@ -1,0 +1,82 @@
+"""Overlap-graph construction (J1/J2/J3) on hand-built reads.
+
+Every emitted edge must satisfy the overlap predicate by construction;
+symmetric closure must hold (SURVEY §7 M2 test contract).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudbrush_spark.functions import dna
+from cloudbrush_spark.operators import overlap
+from tests.conftest import make_nodes
+
+K = 5
+
+
+def edge_set(df):
+    return {(r.src, r.et, r.dst, r.ov) for r in df.collect()}
+
+
+def check_edge_predicate(nodes_df, edges_df):
+    """suffix(orient(src,d1),ov) == prefix(orient(dst,d2),ov) for every edge."""
+    seqs = {r.node_id: r.seq for r in nodes_df.collect()}
+    for r in edges_df.collect():
+        d1, d2 = r.et[0], r.et[1]
+        sa = seqs[r.src] if d1 == "f" else dna.rc_py(seqs[r.src])
+        sb = seqs[r.dst] if d2 == "f" else dna.rc_py(seqs[r.dst])
+        assert sa[-r.ov:] == sb[:r.ov], f"edge {r} violates overlap predicate"
+
+
+def test_forward_chain(spark):
+    #  a: ACGTACGTCC  b: GTACGTCCAT  overlap 8: a suffix GTACGTCC == b prefix
+    nodes = make_nodes(spark, [("a", "ACGTACGTCC", 1.0), ("b", "GTACGTCCAT", 1.0)])
+    edges = overlap.build_overlap_graph(nodes, K)
+    es = edge_set(edges)
+    assert ("a", "ff", "b", 8) in es
+    assert ("b", "rr", "a", 8) in es  # symmetric closure
+    check_edge_predicate(nodes, edges)
+
+
+def test_rc_overlap(spark):
+    # b_rc overlaps a: rc(b) = GTACGTCCAT
+    b_rc = dna.rc_py("GTACGTCCAT")
+    nodes = make_nodes(spark, [("a", "ACGTACGTCC", 1.0), ("b", b_rc, 1.0)])
+    edges = overlap.build_overlap_graph(nodes, K)
+    es = edge_set(edges)
+    assert ("a", "fr", "b", 8) in es
+    assert ("b", "fr", "a", 8) in es  # flip_link(fr) = fr
+    check_edge_predicate(nodes, edges)
+
+
+def test_no_spurious_overlap(spark):
+    nodes = make_nodes(spark, [("a", "AAAAACCCCC", 1.0), ("b", "GGGGGTTTTT", 1.0)])
+    edges = overlap.build_overlap_graph(nodes, K)
+    # rc(b) = AAAAACCCCC == a ... careful: rc("GGGGGTTTTT") = AAAAACCCCC
+    # that IS a's sequence -> full containment, excluded (ov < len required)
+    for r in edges.collect():
+        assert r.ov < 10
+    check_edge_predicate(nodes, edges)
+
+
+def test_high_kmer_blacklist_blocks_seed(spark):
+    nodes = make_nodes(spark, [("a", "ACGTACGTCC", 1.0), ("b", "GTACGTCCAT", 1.0)])
+    # blacklist every seed window of the overlap region
+    hk = spark.createDataFrame(
+        [(w,) for w in ["GTACG", "TACGT", "ACGTC", "CGTCC",
+                        dna.rc_py("GTACG"), dna.rc_py("TACGT"),
+                        dna.rc_py("ACGTC"), dna.rc_py("CGTCC")]],
+        "kmer string")
+    edges = overlap.build_overlap_graph(nodes, K, high_kmers=hk)
+    assert ("a", "ff", "b", 8) not in edge_set(edges)
+
+
+def test_three_read_path(spark):
+    genome = "ACGGTCATTACGGAGCTTAGCAAT"
+    reads = [("r0", genome[0:12]), ("r1", genome[6:18]), ("r2", genome[12:24])]
+    nodes = make_nodes(spark, [(i, s, 1.0) for i, s in reads])
+    edges = overlap.build_overlap_graph(nodes, K)
+    es = edge_set(edges)
+    assert ("r0", "ff", "r1", 6) in es
+    assert ("r1", "ff", "r2", 6) in es
+    check_edge_predicate(nodes, edges)
