@@ -364,6 +364,153 @@ def q_ann_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_ann_topk_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-5 (the 100 TB scale path for ann_topk:
+    candidates share a random-hyperplane sign bucket, exact rerank inside).
+    Approximate by construction -> rows-only check; ann_topk is the exact
+    oracle-checked baseline."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    out = similarity.cosine_topk_lsh(emb, dim=64, k=5, planes=6, seed=42)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash(16) -> LSH(4 bands x 4 rows) -> exact-Jaccard verify, word
+    3-gram shingles, threshold 0.5.  The near-dup dedup workhorse."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, shingle_n=3, num_hashes=16, bands=4, rows_per_band=4,
+        jaccard_threshold=0.5,
+    )
+    return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard similarity self-join (inverted-index form),
+    word 3-gram shingles, threshold 0.2."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2,
+                                      max_shingle_df=1000)
+    return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_simhash_sig(spark, sf_dir):
+    """64-bit SimHash signature per document (two 32-bit halves)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming distance 7, via 8-bit-chunk
+    banding (pigeonhole-complete); oracle is the O(n^2) brute-force scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=7)
+
+
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs form, cosine
+    >= 0.42 on the synthetic embeddings)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    scored = similarity.with_cosine(a.crossJoin(b).filter(F.col("a") < F.col("b")))
+    return (
+        scored.filter(F.col("cosine") >= 0.42)
+        .select("a", "b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def q_emb_near_dup_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dup (the scale path: hyperplane buckets
+    prune the quadratic pair space; recall < 1 by construction -> rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    out = similarity.embedding_near_dup(emb, dim=64, threshold=0.42, planes=4, seed=42)
+    return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_g1_pwm_consensus(spark, sf_dir):
+    """G1/G9 PWM consensus generic: per p_brand, positional majority vote
+    (>= 0.6) over the first 8 chars of p_name; minority positions -> 'N'.
+    Pure-SQL PWM (positional explode + weighted majority), the same
+    aggregation shape as src/Brush/Node.java:1293-1377 Consensus."""
+    from pyspark.sql import Window
+    part = _t(spark, sf_dir, "part")
+    L = 8
+    chars = part.select(
+        "p_brand",
+        F.explode(F.expr(
+            f"transform(sequence(1, least(length(p_name), {L})),"
+            " i -> struct(i as pos, substring(p_name, i, 1) as ch))"
+        )).alias("pc"),
+    ).select("p_brand", F.col("pc.pos").alias("pos"), F.col("pc.ch").alias("ch"))
+    counts = chars.groupBy("p_brand", "pos", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.groupBy("p_brand", "pos").agg(F.sum("cnt").alias("tot"))
+    w = Window.partitionBy("p_brand", "pos").orderBy(F.col("cnt").desc(), F.col("ch"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        .join(tot, ["p_brand", "pos"])
+        .select(
+            "p_brand", "pos",
+            F.when(F.col("cnt") >= 0.6 * F.col("tot"), F.col("ch")).otherwise(F.lit("N")).alias("cons"),
+        )
+    )
+    return top.groupBy("p_brand").agg(
+        F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cons"))), lambda s: s["cons"]
+        )).alias("consensus")
+    )
+
+
+def q_k2_explode_emit(spark, sf_dir):
+    """K2 Graph2Sfa generic: re-emit each row duplicated `reps` times with
+    renumbered ids (explode(sequence(1, reps)), reps = p_size % 4 + 1) —
+    src/Brush/Graph2Sfa.java:66-76's duplication loop as a lateral expand."""
+    part = _t(spark, sf_dir, "part")
+    reps = part.select("p_partkey", (F.col("p_size") % 4 + 1).alias("reps"))
+    return reps.select(
+        F.col("p_partkey"),
+        F.explode(F.sequence(F.lit(1), F.col("reps"))).alias("i"),
+    ).select(
+        F.concat_ws("_", F.col("i"), F.col("p_partkey")).alias("emit_id"),
+        "p_partkey",
+    )
+
+
+def q_a8_precorrect(spark, sf_dir):
+    """A8 PreCorrect generic: spaced-seed (2+1+2) positional voting over
+    p_name char windows; a masked-middle char with support < 25% of the
+    winner yields a correction row (src/Brush/PreCorrect.java:139-217)."""
+    from pyspark.sql import Window
+    part = _t(spark, sf_dir, "part")
+    occ = part.select(
+        "p_partkey",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(length(p_name) - 4, 0)),"
+            " i -> struct(i + 2 as pos, substring(p_name, i, 2) as w1,"
+            " substring(p_name, i + 3, 2) as w2, substring(p_name, i + 2, 1) as mid))"
+        )).alias("w"),
+    ).select("p_partkey", "w.pos", "w.w1", "w.w2", "w.mid")
+    votes = occ.groupBy("w1", "w2", "mid").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("w1", "w2").orderBy(F.col("cnt").desc(), F.col("mid"))
+    winner = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("w1", "w2", F.col("mid").alias("win_ch"), F.col("cnt").alias("win_cnt"))
+    )
+    return (
+        occ.join(votes, ["w1", "w2", "mid"])
+        .join(winner, ["w1", "w2"])
+        .filter((F.col("cnt") * 4 < F.col("win_cnt")) & (F.col("mid") != F.col("win_ch")))
+        .select("p_partkey", "pos", F.col("mid").alias("from_ch"), F.col("win_ch").alias("to_ch"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect-compatible ANSI)
 # ---------------------------------------------------------------------------

@@ -216,59 +216,77 @@ def ngram_jaccard_pairs_for(docs: DataFrame, pairs: DataFrame, id_col: str,
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document from xxhash64(token) sign votes.
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document from md5(token) sign votes, carried as two
+    32-bit halves ``sim_hi``/``sim_lo``.
 
-    Pure expression pipeline: explode tokens -> per-bit +/-1 votes via
-    bit extraction -> sum -> reassemble sign bits.  JVM-side end to end.
+    Two halves instead of one 64-bit value so the signature (a) never touches
+    the sign bit of a signed long — identical arithmetic in every SQL engine,
+    which is what makes this operator oracle-checkable — and (b) XORs cheaply
+    for Hamming distance.  Hash source is the first/second 8 hex chars of
+    md5(token): content-addressed, engine-portable, uniform.
+
+    Pure expression pipeline: explode tokens -> per-bit +/-1 votes via bit
+    extraction -> sum -> reassemble sign bits.  JVM-side end to end (md5,
+    conv, shiftright are all Catalyst expressions inside codegen).
     """
     toks = docs.select(F.col(id_col), F.explode(text.tokens(text_col)).alias("tok"))
-    hashed = toks.withColumn("hv", F.xxhash64("tok"))
-    bit_votes = hashed.select(
+    hashed = toks.select(
         id_col,
-        *[
-            F.when(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-            .otherwise(F.lit(-1)).alias(f"b{i}")
-            for i in range(bits)
-        ],
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hvh"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("hvl"),
     )
-    agg = bit_votes.groupBy(id_col).agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)])
-    sig = agg.select(
-        id_col,
-        sum(
-            (F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << i).cast("long"))
-            for i in range(bits - 1)  # bit 63 would overflow signed long; fold separately
-        ).alias("lo"),
-        F.when(F.col(f"b{bits-1}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")).alias("hi"),
+    def vote(src: str, i: int):
+        return (
+            F.when(F.shiftright(F.col(src), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+        )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.sum(vote("hvh", i)).alias(f"h{i}") for i in range(32)],
+        *[F.sum(vote("hvl", i)).alias(f"l{i}") for i in range(32)],
     )
-    return sig.select(id_col, (F.col("lo") + F.shiftleft(F.col("hi"), bits - 1)).alias("simhash"))
+    def assemble(prefix: str):
+        return sum(
+            F.when(F.col(f"{prefix}{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+            for i in range(32)
+        )
+    return agg.select(id_col, assemble("h").alias("sim_hi"), assemble("l").alias("sim_lo"))
 
 
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 7) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded for scale.
 
-    Split the 64-bit signature into (max_hamming + 1) chunks; by pigeonhole,
-    any pair within ``max_hamming`` shares at least one exact chunk -> join
-    per chunk, then verify with bit_count(xor).
+    Split the 64-bit signature into 8-bit chunks; by pigeonhole, any pair
+    within Hamming distance 7 shares at least one exact chunk -> equi-join
+    per chunk, then verify with bit_count(xor).  At 100 TB the chunk join is
+    a plain shuffle-hash join on a 1-byte key + chunk index; the oracle
+    equivalent is the O(n^2) brute-force scan, which is exactly what this
+    decomposition avoids.
     """
+    if max_hamming > 7:
+        raise ValueError("8-bit chunking guarantees recall only for max_hamming <= 7")
     sig = simhash(docs, id_col, text_col)
-    nchunks = max_hamming + 1
-    width = 64 // nchunks
     chunks = sig.select(
-        F.col(id_col), "simhash",
+        F.col(id_col), "sim_hi", "sim_lo",
         F.explode(F.array(*[
-            F.struct(F.lit(c).alias("c"),
-                     F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit((1 << width) - 1)).alias("v"))
-            for c in range(nchunks)
+            F.struct(
+                F.lit(c).alias("c"),
+                F.shiftright(F.col("sim_hi" if c < 4 else "sim_lo"), (c % 4) * 8)
+                .bitwiseAND(F.lit(0xFF)).alias("v"),
+            )
+            for c in range(8)
         ])).alias("ch"),
-    ).select(id_col, "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
-    a = chunks.select(F.col(id_col).alias("a"), F.col("simhash").alias("sa"), "c", "v")
-    b = chunks.select(F.col(id_col).alias("b"), F.col("simhash").alias("sb"), "c", "v")
+    ).select(id_col, "sim_hi", "sim_lo", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    a = chunks.select(F.col(id_col).alias("a"), F.col("sim_hi").alias("ha"), F.col("sim_lo").alias("la"), "c", "v")
+    b = chunks.select(F.col(id_col).alias("b"), F.col("sim_hi").alias("hb"), F.col("sim_lo").alias("lb"), "c", "v")
     return (
         a.join(b, ["c", "v"]).filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .select(
+            "a", "b",
+            (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+             + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))).alias("hamming"),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
