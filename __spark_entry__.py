@@ -114,22 +114,20 @@ def q_a6_trusted_docs(spark, sf_dir):
 
 def q_a1_n50(spark, sf_dir):
     """A1 Stats N50: N50 of order total prices (descending cumulative-sum
-    crossing of half total) — the reference's contig-N50 in generic form."""
-    from pyspark.sql import Window
+    crossing of half total) — the reference's contig-N50 in generic form.
+
+    Scale path: prices become exact integer cents and flow through the
+    two-phase histogram N50 (operators/stats.py) — no global
+    single-partition window ever touches row-level data."""
     orders = _t(spark, sf_dir, "orders")
-    sz = F.col("o_totalprice").cast("decimal(18,2)")
-    w_cum = Window.orderBy(F.col("sz").desc()).rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
-        orders.select(sz.alias("sz"))
-        .withColumn("cum", F.sum("sz").over(w_cum))
-        .withColumn("rn", F.row_number().over(Window.orderBy(F.col("sz").desc())))
-        .withColumn("tot", F.sum("sz").over(Window.partitionBy()))
+    cents = orders.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents")
     )
-    hit = cum.filter(F.col("cum") * 2 >= F.col("tot"))
-    return hit.orderBy("rn").limit(1).select(
-        F.col("sz").cast("double").alias("n50"),
-        F.col("rn").cast("long").alias("n50_cnt"),
-        F.col("tot").cast("double").alias("total"),
+    out = stats.n50(cents, "cents")
+    return out.select(
+        (F.col("n50") / 100.0).alias("n50"),
+        F.col("n50_cnt"),
+        (F.col("total") / 100.0).alias("total"),
     )
 
 
@@ -143,18 +141,14 @@ def q_a2_global_counts(spark, sf_dir):
 
 
 def q_j2_overlap_equijoin(spark, sf_dir):
-    """J2 VerifyOverlap generic: suffix/prefix equality theta-join re-expressed
-    as an equi-join on the overlap string (L=4) over part names."""
-    part = _t(spark, sf_dir, "part")
-    L = 4
-    a = part.select(
-        F.col("p_partkey").alias("a"),
-        F.substring(F.col("p_name"), -L, L).alias("ov"),
-    )
-    b = part.select(
-        F.col("p_partkey").alias("b"),
-        F.substring(F.col("p_name"), 1, L).alias("ov"),
-    )
+    """J2 VerifyOverlap generic: suffix/prefix equality theta-join
+    re-expressed as an equi-join on the overlapping unit — doc A's last
+    word matching doc B's first word (word-granular overlap; the DNA form
+    uses k-char overlaps, src/Brush/VerifyOverlap.java:287-309)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    a = toks.select(F.col("doc_id").alias("a"), F.element_at("t", -1).alias("ov"))
+    b = toks.select(F.col("doc_id").alias("b"), F.element_at("t", 1).alias("ov"))
     return (
         a.join(b, "ov")
         .filter(F.col("a") != F.col("b"))
@@ -484,18 +478,18 @@ def q_k2_explode_emit(spark, sf_dir):
 
 def q_a8_precorrect(spark, sf_dir):
     """A8 PreCorrect generic: spaced-seed (2+1+2) positional voting over
-    p_name char windows; a masked-middle char with support < 25% of the
-    winner yields a correction row (src/Brush/PreCorrect.java:139-217)."""
+    document-text char windows; a masked-middle char with support < 25% of
+    the winner yields a correction row (src/Brush/PreCorrect.java:139-217)."""
     from pyspark.sql import Window
-    part = _t(spark, sf_dir, "part")
-    occ = part.select(
-        "p_partkey",
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
         F.explode(F.expr(
-            "transform(sequence(1, greatest(length(p_name) - 4, 0)),"
-            " i -> struct(i + 2 as pos, substring(p_name, i, 2) as w1,"
-            " substring(p_name, i + 3, 2) as w2, substring(p_name, i + 2, 1) as mid))"
+            "transform(sequence(1, greatest(length(text) - 4, 0)),"
+            " i -> struct(i + 2 as pos, substring(text, i, 2) as w1,"
+            " substring(text, i + 3, 2) as w2, substring(text, i + 2, 1) as mid))"
         )).alias("w"),
-    ).select("p_partkey", "w.pos", "w.w1", "w.w2", "w.mid")
+    ).select("doc_id", "w.pos", "w.w1", "w.w2", "w.mid")
     votes = occ.groupBy("w1", "w2", "mid").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("w1", "w2").orderBy(F.col("cnt").desc(), F.col("mid"))
     winner = (
@@ -507,7 +501,7 @@ def q_a8_precorrect(spark, sf_dir):
         occ.join(votes, ["w1", "w2", "mid"])
         .join(winner, ["w1", "w2"])
         .filter((F.col("cnt") * 4 < F.col("win_cnt")) & (F.col("mid") != F.col("win_ch")))
-        .select("p_partkey", "pos", F.col("mid").alias("from_ch"), F.col("win_ch").alias("to_ch"))
+        .select("doc_id", "pos", F.col("mid").alias("from_ch"), F.col("win_ch").alias("to_ch"))
     )
 
 
@@ -586,8 +580,9 @@ _ORACLES: dict[str, str] = {
         FROM documents
     """,
     "j2_overlap_equijoin": """
-        WITH a AS (SELECT p_partkey AS a, substring(p_name, length(p_name) - 3, 4) AS ov FROM part),
-             b AS (SELECT p_partkey AS b, substring(p_name, 1, 4) AS ov FROM part)
+        WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+             a AS (SELECT doc_id AS a, t[-1] AS ov FROM toks),
+             b AS (SELECT doc_id AS b, t[1] AS ov FROM toks)
         SELECT ov, count(*) AS pair_cnt
         FROM a JOIN b USING (ov) WHERE a <> b
         GROUP BY 1
@@ -691,6 +686,65 @@ _ORACLES: dict[str, str] = {
     """,
     "lang_id": None,     # filled below (built from LANG_MARKERS)
     "quality": None,
+    "minhash_lsh_dedup": None,   # filled below (shared shingle CTEs)
+    "ngram_jaccard": None,
+    "simhash_sig": None,
+    "simhash_pairs": None,
+    "emb_near_dup": """
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scored AS (
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        )
+        SELECT a, b, round(c, 4) AS cosine FROM scored WHERE c >= 0.42
+    """,
+    "g1_pwm_consensus": """
+        WITH chars AS (
+            SELECT p_brand, i AS pos, substring(p_name, i, 1) AS ch
+            FROM part, LATERAL (SELECT unnest(generate_series(1, least(length(p_name), 8))) AS i)
+        ), counts AS (
+            SELECT p_brand, pos, ch, count(*) AS cnt FROM chars GROUP BY 1, 2, 3
+        ), tot AS (
+            SELECT p_brand, pos, CAST(sum(cnt) AS BIGINT) AS tot FROM counts GROUP BY 1, 2
+        ), top AS (
+            SELECT c.p_brand, c.pos,
+                   CASE WHEN c.cnt >= 0.6 * t.tot THEN c.ch ELSE 'N' END AS cons,
+                   row_number() OVER (PARTITION BY c.p_brand, c.pos
+                                      ORDER BY c.cnt DESC, c.ch) AS rn
+            FROM counts c JOIN tot t USING (p_brand, pos)
+        )
+        SELECT p_brand, string_agg(cons, '' ORDER BY pos) AS consensus
+        FROM top WHERE rn = 1 GROUP BY 1
+    """,
+    "k2_explode_emit": """
+        SELECT i || '_' || p_partkey AS emit_id, p_partkey
+        FROM part, LATERAL (SELECT unnest(generate_series(1, p_size % 4 + 1)) AS i)
+    """,
+    "a8_precorrect": """
+        WITH occ AS (
+            SELECT doc_id, i + 2 AS pos,
+                   substring(text, i, 2) AS w1,
+                   substring(text, i + 3, 2) AS w2,
+                   substring(text, i + 2, 1) AS mid
+            FROM documents, LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i)
+        ), votes AS (
+            SELECT w1, w2, mid, count(*) AS cnt FROM occ GROUP BY 1, 2, 3
+        ), winner AS (
+            SELECT w1, w2, mid AS win_ch, cnt AS win_cnt
+            FROM (SELECT w1, w2, mid, cnt,
+                         row_number() OVER (PARTITION BY w1, w2
+                                            ORDER BY cnt DESC, mid) AS rn
+                  FROM votes)
+            WHERE rn = 1
+        )
+        SELECT o.doc_id, o.pos, o.mid AS from_ch, w.win_ch AS to_ch
+        FROM occ o
+        JOIN votes v USING (w1, w2, mid)
+        JOIN winner w USING (w1, w2)
+        WHERE v.cnt * 4 < w.win_cnt AND o.mid <> w.win_ch
+    """,
     "token_stats": """
         SELECT doc_id,
                CASE WHEN trim(text) = '' THEN 0
@@ -752,6 +806,128 @@ def _quality_sql() -> str:
     """
 
 
+# Shared CTE fragments for the shingle/signature oracles.  ``_TOKS_NE``
+# mirrors cloudbrush_spark.functions.text.tokens exactly (empty tokens
+# dropped); shingles are word 3-grams, distinct per doc.
+_TOKS_NE = f"list_filter({_TOKS}, t -> t <> '')"
+
+_SHINGLES_CTE = f"""
+        toks AS (SELECT doc_id, {_TOKS_NE} AS t FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS sh
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i)
+        ),
+        ssz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
+"""
+
+
+def _minhash_lsh_sql() -> str:
+    """DuckDB twin of dedup.minhash_dedup_pairs(shingle_n=3, num_hashes=16,
+    bands=4, rows_per_band=4, jaccard_threshold=0.5, max_bucket=50): the
+    md5-based hash family is engine-portable by design (dedup.py)."""
+    return f"""
+        WITH {_SHINGLES_CTE},
+        sigs AS (
+            SELECT doc_id, h, min(md5(h::VARCHAR || '|' || sh)) AS mh
+            FROM sh, (SELECT unnest(generate_series(0, 15)) AS h)
+            GROUP BY doc_id, h
+        ),
+        banded AS (
+            SELECT doc_id, h // 4 AS band,
+                   md5(array_to_string(list_sort(list(h::VARCHAR || ':' || mh)), '|')) AS bkey
+            FROM sigs GROUP BY doc_id, band
+        ),
+        small AS (
+            SELECT doc_id, band, bkey
+            FROM (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM banded)
+            WHERE bsz <= 50
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM small x JOIN small y USING (band, bkey)
+            WHERE x.doc_id < y.doc_id
+        ),
+        inter AS (
+            SELECT c.a, c.b, count(*) AS i
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.a
+            JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+            GROUP BY c.a, c.b
+        )
+        SELECT i2.a, i2.b, round(j, 4) AS jaccard FROM (
+            SELECT n.a, n.b, n.i / (sa.sz + sb.sz - n.i) AS j
+            FROM inter n
+            JOIN ssz sa ON sa.doc_id = n.a
+            JOIN ssz sb ON sb.doc_id = n.b) i2
+        WHERE j >= 0.5
+    """
+
+
+def _ngram_jaccard_sql() -> str:
+    """DuckDB twin of dedup.ngram_jaccard_pairs(shingle_n=3, threshold=0.2,
+    max_shingle_df=1000)."""
+    return f"""
+        WITH {_SHINGLES_CTE},
+        rare AS (
+            SELECT doc_id, sh
+            FROM (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+            WHERE df <= 1000
+        ),
+        inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+            FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i2.a, i2.b, round(j, 4) AS jaccard FROM (
+            SELECT n.a, n.b, n.i / (sa.sz + sb.sz - n.i) AS j
+            FROM inter n
+            JOIN ssz sa ON sa.doc_id = n.a
+            JOIN ssz sb ON sb.doc_id = n.b) i2
+        WHERE j >= 0.2
+    """
+
+
+# 64-bit SimHash from md5 sign votes, bit-exact twin of dedup.simhash():
+# bit i of the 8-hex-char halves is recovered per hex digit
+# (strpos('0123456789abcdef', ch) - 1) >> (i % 4) — no integer parsing of
+# hex needed, so the SQL is pure ANSI-ish string/bit arithmetic.
+_SIMHASH_SIG_CTE = f"""
+        toks AS (SELECT doc_id, unnest({_TOKS_NE}) AS tok FROM documents),
+        hashed AS (SELECT doc_id, md5(tok) AS m FROM toks),
+        bits AS (
+            SELECT doc_id, half.off AS off, bi.i AS i,
+                   CASE WHEN ((strpos('0123456789abcdef',
+                                      substring(m, half.off + 8 - (bi.i // 4), 1)) - 1)
+                              >> (bi.i % 4)) & 1 = 1
+                        THEN 1 ELSE -1 END AS vote
+            FROM hashed,
+                 (SELECT unnest(generate_series(0, 31)) AS i) bi,
+                 (SELECT unnest([0, 8]) AS off) half
+        ),
+        votes AS (SELECT doc_id, off, i, sum(vote) AS s FROM bits GROUP BY 1, 2, 3),
+        sig AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 AND off = 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sim_hi,
+                   CAST(sum(CASE WHEN s > 0 AND off = 8 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sim_lo
+            FROM votes GROUP BY 1
+        )
+"""
+
+_ORACLES["simhash_sig"] = f"WITH {_SIMHASH_SIG_CTE} SELECT doc_id, sim_hi, sim_lo FROM sig"
+
+# brute-force O(n^2) Hamming scan — the exact baseline the banded Spark
+# operator must reproduce at sf0.01
+_ORACLES["simhash_pairs"] = f"""
+    WITH {_SIMHASH_SIG_CTE}
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.sim_hi, y.sim_hi))
+                + bit_count(xor(x.sim_lo, y.sim_lo)) AS BIGINT) AS hamming
+    FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) <= 7
+"""
+
+_ORACLES["minhash_lsh_dedup"] = _minhash_lsh_sql()
+_ORACLES["ngram_jaccard"] = _ngram_jaccard_sql()
 _ORACLES["lang_id"] = _lang_id_sql()
 _ORACLES["quality"] = _quality_sql()
 
@@ -785,6 +961,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "ann_topk": q_ann_topk,
+    # LLM-pipeline dedup/similarity surface
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash_sig": q_simhash_sig,
+    "simhash_pairs": q_simhash_pairs,
+    "emb_near_dup": q_emb_near_dup,
+    "emb_near_dup_lsh": q_emb_near_dup_lsh,   # approx -> rows-only check
+    "ann_topk_lsh": q_ann_topk_lsh,           # approx -> rows-only check
+    # reference-shape generics
+    "g1_pwm_consensus": q_g1_pwm_consensus,
+    "k2_explode_emit": q_k2_explode_emit,
+    "a8_precorrect": q_a8_precorrect,
 }
 
 

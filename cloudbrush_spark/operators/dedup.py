@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cloudbrush_spark.functions import dna, text
@@ -117,8 +117,12 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
         .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
             F.concat_ws(":", F.col("h").cast("string"), F.col("minhash")))))).alias("bkey"))
     )
-    sized = banded.withColumn("bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bkey")))
-    small = sized.filter(F.col("bsz") <= max_bucket).drop("bsz")
+    # oversized-bucket detection via groupBy (map-side partials, skew-proof)
+    # + broadcast anti-join — never a window holding a whole hot bucket in
+    # one task.
+    big = (banded.groupBy("band", "bkey").count()
+           .filter(F.col("count") > max_bucket).select("band", "bkey"))
+    small = banded.join(F.broadcast(big), ["band", "bkey"], "left_anti")
     a = small.select(F.col(id_col).alias("a"), "band", "bkey")
     b = small.select(F.col(id_col).alias("b"), "band", "bkey")
     return (
@@ -172,8 +176,9 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     """
     sh = _shingle_sets(docs, id_col, text_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    rare = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh"))) \
-             .filter(F.col("df") <= max_shingle_df).drop("df")
+    hot = (sh.groupBy("sh").count()
+           .filter(F.col("count") > max_shingle_df).select("sh"))
+    rare = sh.join(F.broadcast(hot), "sh", "left_anti")
     a = rare.select(F.col(id_col).alias("a"), "sh")
     b = rare.select(F.col(id_col).alias("b"), "sh")
     inter = (
@@ -254,39 +259,82 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                       max_hamming: int = 7) -> DataFrame:
+                       max_hamming: int = 7, bucket_cap: int = 1000) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded for scale.
 
-    Split the 64-bit signature into 8-bit chunks; by pigeonhole, any pair
-    within Hamming distance 7 shares at least one exact chunk -> equi-join
-    per chunk, then verify with bit_count(xor).  At 100 TB the chunk join is
-    a plain shuffle-hash join on a 1-byte key + chunk index; the oracle
-    equivalent is the O(n^2) brute-force scan, which is exactly what this
-    decomposition avoids.
+    Scale design (the three levers that survive 1B docs):
+
+    1. **Banding over DISTINCT signatures.** Identical content — the
+       dominant duplicate mode at corpus scale — collapses to one
+       signature row before any banding or pair expansion; the
+       1k-identical-docs skew case costs one signature, not 10^6 bucket
+       rows.  Doc-level pairs are recovered afterwards by joining members
+       back onto signature pairs (shuffle joins AQE can split).
+    2. **Adaptive chunk width.** Pigeonhole: a pair within Hamming d
+       shares an exact chunk when chunks > d.  For max_hamming <= 3 use
+       4 x 16-bit chunks (65k bucket values — fine-grained buckets);
+       for <= 7, 8 x 8-bit chunks (the minimum table count that keeps
+       recall 1).
+    3. **Bucket cap on distinct-signature buckets** (detected with a
+       groupBy + broadcast anti-join, never a window over the hot key) —
+       the same skew valve as the reference's per-key candidate cap
+       (src/Brush/MatchPrefix.java:366-380).  With identical signatures
+       already collapsed it only triggers on adversarial near-collision
+       mass; dropped buckets lose only cross-signature recall.
+
+    Output: (a, b, hamming) with a < b, exact w.r.t. the brute-force scan
+    whenever no bucket exceeds ``bucket_cap``.
     """
-    if max_hamming > 7:
-        raise ValueError("8-bit chunking guarantees recall only for max_hamming <= 7")
+    if max_hamming <= 3:
+        nchunks, width, mask = 4, 16, 0xFFFF
+    elif max_hamming <= 7:
+        nchunks, width, mask = 8, 8, 0xFF
+    else:
+        raise ValueError("chunk banding guarantees recall only for max_hamming <= 7")
+    half = nchunks // 2
     sig = simhash(docs, id_col, text_col)
-    chunks = sig.select(
-        F.col(id_col), "sim_hi", "sim_lo",
+    dsig = sig.select("sim_hi", "sim_lo").distinct()
+    chunks = dsig.select(
+        "sim_hi", "sim_lo",
         F.explode(F.array(*[
             F.struct(
                 F.lit(c).alias("c"),
-                F.shiftright(F.col("sim_hi" if c < 4 else "sim_lo"), (c % 4) * 8)
-                .bitwiseAND(F.lit(0xFF)).alias("v"),
+                F.shiftright(F.col("sim_hi" if c < half else "sim_lo"), (c % half) * width)
+                .bitwiseAND(F.lit(mask)).alias("v"),
             )
-            for c in range(8)
+            for c in range(nchunks)
         ])).alias("ch"),
-    ).select(id_col, "sim_hi", "sim_lo", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
-    a = chunks.select(F.col(id_col).alias("a"), F.col("sim_hi").alias("ha"), F.col("sim_lo").alias("la"), "c", "v")
-    b = chunks.select(F.col(id_col).alias("b"), F.col("sim_hi").alias("hb"), F.col("sim_lo").alias("lb"), "c", "v")
-    return (
-        a.join(b, ["c", "v"]).filter(F.col("a") < F.col("b"))
+    ).select("sim_hi", "sim_lo", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    big = (chunks.groupBy("c", "v").count()
+           .filter(F.col("count") > bucket_cap).select("c", "v"))
+    capped = chunks.join(F.broadcast(big), ["c", "v"], "left_anti")
+    a = capped.select(F.col("sim_hi").alias("ha"), F.col("sim_lo").alias("la"), "c", "v")
+    b = capped.select(F.col("sim_hi").alias("hb"), F.col("sim_lo").alias("lb"), "c", "v")
+    sig_pairs = (
+        a.join(b, ["c", "v"])
+        .filter((F.col("ha") < F.col("hb"))
+                | ((F.col("ha") == F.col("hb")) & (F.col("la") < F.col("lb"))))
         .select(
-            "a", "b",
+            "ha", "la", "hb", "lb",
             (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
              + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
+    mem_a = sig.select(F.col(id_col).alias("ia"),
+                       F.col("sim_hi").alias("ha"), F.col("sim_lo").alias("la"))
+    mem_b = sig.select(F.col(id_col).alias("ib"),
+                       F.col("sim_hi").alias("hb"), F.col("sim_lo").alias("lb"))
+    inter = (
+        sig_pairs.join(mem_a, ["ha", "la"]).join(mem_b, ["hb", "lb"])
+        .select(F.least("ia", "ib").alias("a"),
+                F.greatest("ia", "ib").alias("b"), "hamming")
+    )
+    same = (
+        sig.alias("x").join(sig.alias("y"), ["sim_hi", "sim_lo"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"),
+                F.lit(0).alias("hamming"))
+    )
+    return inter.unionByName(same)

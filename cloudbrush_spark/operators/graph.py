@@ -138,17 +138,18 @@ def remove_nodes(nodes: DataFrame, edges: DataFrame, doomed: DataFrame) -> tuple
 def find_tips(nodes: DataFrame, edges: DataFrame, tiplength: int) -> DataFrame:
     """C1 TipsRemoval, detection half.
 
-    tip = node with len*cov <= tiplength and edges on at most one side
-    (src/Brush/TipsRemoval.java:77-80).  For each (neighbor, side) group:
-    if every incident edge on that side comes from a tip, the longest tip
-    (by len - ov, tie id) survives; otherwise all tips on the side are
-    clipped (src/Brush/TipsRemoval.java:210-277).  Returns doomed node ids.
+    tip = node with len*cov <= tiplength and exactly one edge in total
+    (src/Brush/TipsRemoval.java:80 requires fdegree + rdegree <= 1; an
+    isolated island needs no clipping, so == 1 here).  For each
+    (neighbor, side) group: if every incident edge on that side comes from
+    a tip, the longest tip (by len - ov, tie id) survives; otherwise all
+    tips on the side are clipped (src/Brush/TipsRemoval.java:210-277).
+    Returns doomed node ids.
     """
     deg = node_degrees(nodes, edges)
     tips = deg.filter(
         (F.length("seq") * F.col("cov") <= tiplength)
-        & ((F.col("fdeg") == 0) | (F.col("rdeg") == 0))
-        & (F.col("fdeg") + F.col("rdeg") >= 1)
+        & (F.col("fdeg") + F.col("rdeg") == 1)
     ).select(F.col("node_id").alias("tip_id"), F.length("seq").alias("tip_len"))
     # the tip's edges, viewed from the neighbor's side: symmetric edges with
     # dst = tip; neighbor side = d1 of that edge
@@ -213,17 +214,22 @@ def self_loops(edges: DataFrame) -> DataFrame:
 
 
 def overlap_boundary_cuts(edges: DataFrame, min_support: int = 2) -> DataFrame:
-    """C5(d) boundary heuristic: per (node, side), find the largest overlap
-    size whose cumulative support (count of edges with ov >= it) reaches
-    ``min_support``; cut all edges with smaller-or-equal overlap
-    (src/Brush/CutRepeatBoundary.java:389-414).  Returns removal edges."""
+    """C5(d) boundary heuristic: per (node, side), the boundary is the
+    largest overlap size shared by >= ``min_support`` edges
+    (src/Brush/CutRepeatBoundary.java:390-401 walks the sorted list and
+    stops at the first repeated overlap value); cuts fire only when that
+    boundary is strictly below the side's maximum overlap (:402-404), and
+    then remove every edge with ov <= boundary (:405-414).
+    Returns removal edges."""
     sided = edges.withColumn("d", D1())
-    wd = Window.partitionBy("src", "d").orderBy(F.col("ov").desc()) \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    cum = sided.withColumn("csupp", F.count(F.lit(1)).over(wd))
+    supp = sided.groupBy("src", "d", "ov").agg(F.count(F.lit(1)).alias("supp"))
+    side_max = sided.groupBy("src", "d").agg(F.max("ov").alias("max_ov"))
     boundary = (
-        cum.filter(F.col("csupp") >= min_support)
+        supp.filter(F.col("supp") >= min_support)
         .groupBy("src", "d").agg(F.max("ov").alias("bov"))
+        .join(side_max, ["src", "d"])
+        .filter(F.col("bov") < F.col("max_ov"))
+        .select("src", "d", "bov")
     )
     return (
         sided.join(boundary, ["src", "d"])
