@@ -69,14 +69,20 @@ def q_p3_high_ngrams(spark, sf_dir):
 
 
 def q_a3_ngram_doc_counts(spark, sf_dir):
-    """A3 CountKmer generic: word 2-gram -> (occurrence count, distinct docs)."""
+    """A3 CountKmer generic: word 2-gram -> (occurrence count, distinct docs).
+
+    Two-level aggregate instead of count + countDistinct in one groupBy:
+    the exact countDistinct would Expand every posting row and shuffle the
+    full stream twice; pre-aggregating on (gram, doc_id) gets map-side
+    partials and derives both outputs from the collapsed pairs."""
     docs = _t(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id", F.explode(textfn.word_shingles(textfn.tokens("text"), 2)).alias("gram")
     )
-    return grams.groupBy("gram").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.countDistinct("doc_id").alias("doc_cnt"),
+    per_doc = grams.groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    return per_doc.groupBy("gram").agg(
+        F.sum("c").alias("cnt"),
+        F.count(F.lit(1)).alias("doc_cnt"),
     ).filter(F.col("cnt") >= 5)
 
 

@@ -43,10 +43,11 @@ def main() -> None:
     qs = entrymod.queries()
     # warm the JVM + parquet footers with one cheap action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    unknown = [n for n in HEADLINE if n not in qs]
+    if unknown:
+        raise SystemExit(f"HEADLINE names missing from queries(): {unknown}")
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        if name not in qs:
-            continue
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()

@@ -14,7 +14,7 @@ All readers produce DataFrames and keep parsing declarative:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -32,29 +32,50 @@ def read_sfa(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_fastq(spark: SparkSession, path: str, mate_suffix: bool = True) -> DataFrame:
-    """S1: FASTQ -> (read_id, seq).
+def _list_files(spark: SparkSession, path: str) -> list[str]:
+    """File listing via the binaryFile source (metadata only — the content
+    column is never touched, so nothing is read)."""
+    return [r.path for r in
+            spark.read.format("binaryFile").load(path).select("path").collect()]
 
-    zipWithIndex-equivalent via monotonically-increasing row ids is unsafe
-    across files; instead pair lines per-file with a window on
-    (file, line_no) from ``text`` + ``input_file_name``.  Record = 4 lines;
-    line 0 header (@name), line 1 sequence.
+
+def read_fastq(spark: SparkSession, path: str, mate_suffix: bool = True,
+               min_partitions_per_file: int | None = None) -> DataFrame:
+    """S1: FASTQ -> (read_id, seq); record = 4 lines, line 0 header (@name),
+    line 1 sequence (data/preprocessor.pl:40-51).
+
+    Parallel ingest: each file is read as a *splittable* text RDD and line
+    numbers are assigned with ``zipWithIndex`` (exact per-file order, one
+    cheap counting job) — a single 1 TB FASTQ parses across thousands of
+    input splits, never one task.  Line numbers, not '@' sniffing, decide
+    record boundaries: quality lines may legally start with '@', so byte-
+    level record detection is ambiguous and index arithmetic is not.
+
+    Each file contributes one shuffle on its record index; files union
+    into one DataFrame (the big-file case is the scale case — file count
+    is operationally bounded).
     """
-    lines = (
-        spark.read.text(path)
-        .withColumn("file", F.input_file_name())
-        .withColumn("line_no", F.row_number().over(
-            Window.partitionBy("file").orderBy(F.monotonically_increasing_id())) - 1)
+    sc = spark.sparkContext
+    per_file = []
+    for f in _list_files(spark, path):
+        rdd = (sc.textFile(f, minPartitions=min_partitions_per_file or sc.defaultParallelism)
+               .zipWithIndex()
+               .map(lambda t, fname=f: (fname, t[1] // 4, int(t[1] % 4), t[0])))
+        per_file.append(spark.createDataFrame(
+            rdd, "file string, rec long, pos int, value string"))
+    if not per_file:
+        return spark.createDataFrame([], READ_SCHEMA)
+    lines = per_file[0]
+    for df in per_file[1:]:
+        lines = lines.unionByName(df)
+    recs = lines.filter(F.col("pos") <= 1).groupBy("file", "rec").agg(
+        F.max(F.when(F.col("pos") == 0, F.col("value"))).alias("hdr"),
+        F.max(F.when(F.col("pos") == 1, F.col("value"))).alias("seq"),
     )
-    headers = lines.filter(F.col("line_no") % 4 == 0).select(
-        "file", (F.col("line_no") / 4).cast("long").alias("rec"),
-        F.regexp_replace(F.col("value"), r"^@", "").alias("read_id"),
+    out = recs.select(
+        F.regexp_replace(F.col("hdr"), r"^@", "").alias("read_id"),
+        F.upper(F.col("seq")).alias("seq"),
     )
-    seqs = lines.filter(F.col("line_no") % 4 == 1).select(
-        "file", (F.col("line_no") / 4).cast("long").alias("rec"),
-        F.upper(F.col("value")).alias("seq"),
-    )
-    out = headers.join(seqs, ["file", "rec"]).select("read_id", "seq")
     if mate_suffix:
         # normalize "name/1" -> "name_1" like data/preprocessor.pl:33-38
         out = out.withColumn("read_id", F.regexp_replace("read_id", r"/([12])$", "_$1"))
