@@ -22,6 +22,10 @@ class BrushParams:
     inslen_sd: int = 20
     random_seed: int = 42           # pinned (reference uses Math.random():
                                     # src/Brush/BrushAssembler.java:534-537)
+    mate_adjust: bool = False       # J4 pairedgeAdjustment: implemented but
+                                    # default-off, like the reference's
+                                    # commented-out call site
+                                    # (src/Brush/BrushAssembler.java:873-879)
 
     # derived (src/Brush/BrushConfig.java:86-103)
     tiplength: int = field(init=False)

@@ -44,6 +44,9 @@ def dedup_reads(reads: DataFrame, id_col: str = "read_id", seq_col: str = "seq",
             F.min(id_col).alias("node_id"),
             F.count(F.lit(1)).cast("double").alias("cov"),
             F.min_by(seq_col, id_col).alias("seq"),
+            # member read ids, kept for mate-pair ops (reference MATE field,
+            # src/Brush/Node.java:1603-1660); sorted for determinism
+            F.array_sort(F.collect_list(id_col)).alias("pair_ends"),
         )
         .drop("__canon")
     )
@@ -258,17 +261,20 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return agg.select(id_col, assemble("h").alias("sim_hi"), assemble("l").alias("sim_lo"))
 
 
-def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+def hamming_near_pairs(sig: DataFrame, id_col: str,
+                       hi_col: str = "sim_hi", lo_col: str = "sim_lo",
                        max_hamming: int = 7, bucket_cap: int = 1000) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, banded for scale.
+    """Near-dup pairs of 64-bit signatures (two 32-bit halves) within a
+    Hamming budget, banded for scale.  Shared core of SimHash text dedup
+    and blockhash binary dedup.
 
-    Scale design (the three levers that survive 1B docs):
+    Scale design (the three levers that survive 1B items):
 
     1. **Banding over DISTINCT signatures.** Identical content — the
        dominant duplicate mode at corpus scale — collapses to one
        signature row before any banding or pair expansion; the
        1k-identical-docs skew case costs one signature, not 10^6 bucket
-       rows.  Doc-level pairs are recovered afterwards by joining members
+       rows.  Item-level pairs are recovered afterwards by joining members
        back onto signature pairs (shuffle joins AQE can split).
     2. **Adaptive chunk width.** Pigeonhole: a pair within Hamming d
        shares an exact chunk when chunks > d.  For max_hamming <= 3 use
@@ -292,7 +298,8 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     else:
         raise ValueError("chunk banding guarantees recall only for max_hamming <= 7")
     half = nchunks // 2
-    sig = simhash(docs, id_col, text_col)
+    sig = sig.select(F.col(id_col),
+                     F.col(hi_col).alias("sim_hi"), F.col(lo_col).alias("sim_lo"))
     dsig = sig.select("sim_hi", "sim_lo").distinct()
     chunks = dsig.select(
         "sim_hi", "sim_lo",
@@ -338,3 +345,12 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
                 F.lit(0).alias("hamming"))
     )
     return inter.unionByName(same)
+
+
+def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       max_hamming: int = 7, bucket_cap: int = 1000) -> DataFrame:
+    """Text near-dup pairs by SimHash Hamming distance — signature
+    computation (md5 sign votes) + the banded ``hamming_near_pairs`` core;
+    see that function for the 100 TB design notes."""
+    return hamming_near_pairs(simhash(docs, id_col, text_col), id_col,
+                              max_hamming=max_hamming, bucket_cap=bucket_cap)

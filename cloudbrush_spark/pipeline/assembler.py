@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from cloudbrush_spark.config import BrushParams
 from cloudbrush_spark.operators import bubbles as bubbles_ops
 from cloudbrush_spark.operators import consensus as consensus_ops
-from cloudbrush_spark.operators import contraction, dedup, graph, kmers, overlap
+from cloudbrush_spark.operators import contraction, dedup, graph, kmers, mates, overlap
 from cloudbrush_spark.operators import stats as stats_ops
 
 
@@ -34,7 +34,8 @@ class Assembler:
 
     def _log(self, msg: str) -> None:
         if self.verbose:
-            print(f"[assembler] {msg}")
+            import time
+            print(f"[assembler {time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
     # -- preprocess: P1 -> P2 -> P3 (BrushAssembler.java:256-309) ----------
     def preprocess(self, reads: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -150,6 +151,26 @@ class Assembler:
                 break
             edges = self._ckpt(graph.remove_edges(edges, removals))
             nodes, edges = self.compress_chains(nodes, edges)
+            self._log(f"edge_adjustment round: {n} cuts")
+        return nodes, edges
+
+    # -- pairedgeAdjustment: A2 -> J4 -> G2 loop (BrushAssembler.java:705-775)
+    def pair_edge_adjustment(self, nodes: DataFrame, edges: DataFrame,
+                             max_rounds: int = 4) -> tuple[DataFrame, DataFrame]:
+        p = self.params
+        for _ in range(max_rounds):
+            counts = stats_ops.global_counts(nodes).collect()[0]
+            removals = mates.adjust_mate_edges(
+                nodes, edges, counts["reads"], counts["ctg_sum"],
+                inslen=p.inslen, inslen_sd=p.inslen_sd)
+            n = removals.count()
+            self.counters["mate_edge_cuts"] = \
+                self.counters.get("mate_edge_cuts", 0) + n
+            if n == 0:
+                break
+            edges = self._ckpt(graph.remove_edges(edges, removals))
+            nodes, edges = self.compress_chains(nodes, edges)
+            self._log(f"pair_edge_adjustment round: {n} cuts")
         return nodes, edges
 
     # -- full run (BrushAssembler.java:829-893) ----------------------------
@@ -161,6 +182,8 @@ class Assembler:
         nodes, edges = self.remove_tips(nodes, edges)
         nodes, edges = self.pop_all_bubbles(nodes, edges)
         nodes, edges = self.remove_low_cov(nodes, edges)
+        if self.params.mate_adjust:  # reference default: disabled
+            nodes, edges = self.pair_edge_adjustment(nodes, edges)
         self.counters["final_nodes"] = nodes.count()
         self.counters["final_edges"] = edges.count()
         return nodes, edges
