@@ -511,6 +511,53 @@ def q_a8_precorrect(spark, sf_dir):
     )
 
 
+def _blob_fixture(spark, sf_dir):
+    """Deterministic multimodal fixture derived from documents: text bytes
+    as the opaque payload, with magic-byte prefixes spliced in by doc_id
+    residue so the format sniffer has real work (PNG / JPEG / raw)."""
+    docs = _t(spark, sf_dir, "documents")
+    hexed = F.hex(F.encode(F.col("text"), "utf-8"))
+    prefixed = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("89504E47"), hexed))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("FFD8FF"), hexed))
+        .otherwise(hexed)
+    )
+    return docs.select("doc_id", F.unhex(prefixed).alias("payload"))
+
+
+def q_mm_metadata(spark, sf_dir):
+    """Multimodal: typed metadata over an opaque binary column (byte length
+    + magic-byte format sniff), pure JVM expressions."""
+    from cloudbrush_spark.operators import multimodal
+    blobs = _blob_fixture(spark, sf_dir)
+    meta = multimodal.binary_metadata(blobs, content_col="payload", id_col="doc_id")
+    return meta.select("doc_id", "byte_len", "format")
+
+
+def q_mm_binary_dedup(spark, sf_dir):
+    """Multimodal: exact binary-payload dedup via content digest — the
+    P1 dedup shape over opaque bytes.  Payload = (lang, source) pair bytes,
+    so real duplicate groups exist."""
+    from cloudbrush_spark.operators import multimodal
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id",
+        F.encode(F.concat_ws(":", "lang", "source"), "utf-8").alias("payload"),
+    )
+    return multimodal.exact_binary_dedup(blobs, content_col="payload",
+                                         id_col="doc_id")
+
+
+def q_mm_blockhash_pairs(spark, sf_dir):
+    """Multimodal: perceptual-style near-dup pairs over payload bytes
+    (64-bit blockhash via Arrow-batched pandas, banded Hamming join).
+    Pandas-stage output -> rows-only check."""
+    from cloudbrush_spark.operators import multimodal
+    blobs = _blob_fixture(spark, sf_dir)
+    return multimodal.blockhash_near_pairs(
+        blobs, content_col="payload", id_col="doc_id", max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect-compatible ANSI)
 # ---------------------------------------------------------------------------
@@ -692,6 +739,28 @@ _ORACLES: dict[str, str] = {
     """,
     "lang_id": None,     # filled below (built from LANG_MARKERS)
     "quality": None,
+    "mm_metadata": """
+        WITH blobs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN unhex('89504E47' || hex(encode(text)))
+                        WHEN doc_id % 3 = 1 THEN unhex('FFD8FF' || hex(encode(text)))
+                        ELSE encode(text) END AS payload
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(octet_length(payload) AS BIGINT) AS byte_len,
+               CASE WHEN substring(hex(payload), 1, 8) = '89504E47' THEN 'png'
+                    WHEN substring(hex(payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
+                    ELSE 'unknown' END AS format
+        FROM blobs
+    """,
+    "mm_binary_dedup": """
+        SELECT md5(lang || ':' || source) AS content_md5,
+               min(doc_id) AS survivor_id,
+               count(*) AS n_copies,
+               CAST(sum(octet_length(encode(lang || ':' || source))) AS BIGINT) AS total_bytes
+        FROM documents GROUP BY 1
+    """,
     "minhash_lsh_dedup": None,   # filled below (shared shingle CTEs)
     "ngram_jaccard": None,
     "simhash_sig": None,
@@ -979,6 +1048,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g1_pwm_consensus": q_g1_pwm_consensus,
     "k2_explode_emit": q_k2_explode_emit,
     "a8_precorrect": q_a8_precorrect,
+    # multimodal binary-column surface
+    "mm_metadata": q_mm_metadata,
+    "mm_binary_dedup": q_mm_binary_dedup,
+    "mm_blockhash_pairs": q_mm_blockhash_pairs,  # pandas stage -> rows-only
 }
 
 

@@ -26,6 +26,12 @@ class BrushParams:
                                     # default-off, like the reference's
                                     # commented-out call site
                                     # (src/Brush/BrushAssembler.java:873-879)
+    precorrect: bool = False        # A8 spaced-seed error correction before
+                                    # dedup — the CloudRS preprocessing the
+                                    # reference README recommends
+                                    # (/root/reference/README.md:21-23);
+                                    # off by default like the reference v0
+    precorrect_rounds: int = 1
 
     # derived (src/Brush/BrushConfig.java:86-103)
     tiplength: int = field(init=False)

@@ -48,17 +48,46 @@ def pwm_consensus(nodes: DataFrame, edges: DataFrame, majority: float = 0.6,
     """Returns (consensus, mismatches):
 
     consensus: (src, d, pos, cchar, total_w) — weighted-majority char per
-    position ('N' when no base reaches ``majority`` of the column weight);
+    position ('N' when no base exceeds ``majority`` of the column weight);
     mismatches: (src, d, et, dst, ov, mismatch_cnt) for every edge whose
     extension disagrees with the consensus at >= 1 non-N position
     (src/Brush/CutChimericLinks.java:306-375).
+
+    Faithful to Node.Consensus (src/Brush/Node.java:1293-1377):
+    - the consensus is BOUNDED to the 2nd-longest extension's length —
+      or the 3rd-longest when the two longest carry weight sum <= 2
+      (weak evidence) and a 3rd exists (:1313-1320).  Positions covered
+      by a single extension are never 100%-majority filler, so the
+      N-ratio measures genuinely contested columns;
+    - vote weights are the truncated integer coverage (:1332);
+    - a base wins a column only with share STRICTLY above ``majority``
+      (:1348-1361);
+    - a side whose N-ratio over the bounded length exceeds ``pwm_n``
+      yields no consensus (null -> no cuts, :1369-1371);
+    - sides with < 2 extensions never cut (their single extension is its
+      own consensus, :1373-1374).
     """
-    ext = _extensions(nodes, edges, max_ext)
-    chars = ext.select(
-        "src", "d", "et", "dst", "ov", "w",
-        F.posexplode(F.split(F.col("ext"), "(?!^)")).alias("pos", "ch"),
+    ext = _extensions(nodes, edges, max_ext).withColumn(
+        "iw", F.greatest(F.floor("w").cast("int"), F.lit(0)))
+    # bounded consensus length per side (Node.Consensus:1313-1320)
+    by_len = Window.partitionBy("src", "d").orderBy(
+        F.length("ext").desc(), F.col("ext"), F.col("dst"))
+    ranked = ext.withColumn("rnk", F.row_number().over(by_len))
+    side_len = ranked.groupBy("src", "d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("rnk") == 2, F.length("ext"))).alias("len2"),
+        F.max(F.when(F.col("rnk") == 3, F.length("ext"))).alias("len3"),
+        F.sum(F.when(F.col("rnk") <= 2, F.col("w")).otherwise(F.lit(0.0))).alias("w12"),
+    ).filter(F.col("n") >= 2).select(
+        "src", "d",
+        F.when((F.col("n") == 2) | (F.col("w12") > 2.0), F.col("len2"))
+        .otherwise(F.coalesce(F.col("len3"), F.col("len2"))).alias("clen"),
     )
-    col_w = chars.groupBy("src", "d", "pos", "ch").agg(F.sum("w").alias("cw"))
+    chars = ext.select(
+        "src", "d", "et", "dst", "ov", "iw",
+        F.posexplode(F.split(F.col("ext"), "(?!^)")).alias("pos", "ch"),
+    ).join(side_len, ["src", "d"]).filter(F.col("pos") < F.col("clen"))
+    col_w = chars.groupBy("src", "d", "pos", "ch").agg(F.sum("iw").alias("cw"))
     col_tot = col_w.groupBy("src", "d", "pos").agg(
         F.sum("cw").alias("total_w"),
         F.max_by("ch", F.struct(F.col("cw"), F.col("ch"))).alias("top_ch"),
@@ -66,13 +95,14 @@ def pwm_consensus(nodes: DataFrame, edges: DataFrame, majority: float = 0.6,
     )
     consensus = col_tot.select(
         "src", "d", "pos",
-        F.when(F.col("top_w") >= majority * F.col("total_w"), F.col("top_ch"))
+        F.when(F.col("top_w") > majority * F.col("total_w"), F.col("top_ch"))
         .otherwise(F.lit("N")).alias("cchar"),
         "total_w",
     )
-    # a (node, side) whose consensus is mostly N is not trusted: N-ratio gate
-    n_ratio = consensus.groupBy("src", "d").agg(
-        (F.sum(F.when(F.col("cchar") == "N", 1).otherwise(0)) / F.count(F.lit(1))).alias("nr")
+    # N-ratio over the bounded length: no consensus -> no cuts
+    n_ratio = consensus.join(side_len, ["src", "d"]).groupBy("src", "d").agg(
+        (F.sum(F.when(F.col("cchar") == "N", 1).otherwise(0))
+         / F.max("clen")).alias("nr")
     )
     good_sides = n_ratio.filter(F.col("nr") <= pwm_n).select("src", "d")
     mismatches = (
@@ -106,15 +136,23 @@ def define_consensus(nodes: DataFrame, edges: DataFrame, majority: float = 0.6,
                      pwm_n: float = 0.1, max_ext: int = 100) -> DataFrame:
     """G9: per (node, side) color — 'B' if a valid consensus of the side's
     extensions exists, else 'W' (src/Brush/DefineConsensus.java:288-341).
-    Output: (node_id, d, color)."""
+    A single-extension side is its own consensus -> 'B'
+    (src/Brush/Node.java:1373-1374).  Output: (node_id, d, color)."""
     consensus, _ = pwm_consensus(nodes, edges, majority, pwm_n, max_ext)
     per_side = consensus.groupBy(F.col("src").alias("node_id"), "d").agg(
         (F.sum(F.when(F.col("cchar") == "N", 1).otherwise(0)) / F.count(F.lit(1))).alias("nr")
     )
-    return per_side.select(
+    multi = per_side.select(
         "node_id", "d",
         F.when(F.col("nr") <= pwm_n, F.lit("B")).otherwise(F.lit("W")).alias("color"),
     )
+    singles = (
+        edges.select("src", D1().alias("d"))
+        .groupBy("src", "d").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == 1)
+        .select(F.col("src").alias("node_id"), "d", F.lit("B").alias("color"))
+    )
+    return multi.unionByName(singles)
 
 
 def count_braids(nodes: DataFrame, edges: DataFrame, **consensus_kw) -> DataFrame:
@@ -143,6 +181,37 @@ def count_braids(nodes: DataFrame, edges: DataFrame, **consensus_kw) -> DataFram
         (F.col("n") > 1) & (F.col("color") == "B") & (F.col("all_nbrs_b") == 1)
     )
     return braids.agg(F.count(F.lit(1)).alias("braids"))
+
+
+def apply_corrections(reads: DataFrame, fixes: DataFrame,
+                      id_col: str = "read_id", seq_col: str = "seq") -> DataFrame:
+    """Apply (read_id, pos, to_base) fixes from ``precorrect`` to the read
+    table — a join + a Catalyst ``aggregate`` fold over the per-read fix
+    list (no UDF).  ``pos`` is 0-based.  Reads without fixes pass through.
+
+    This is the CloudRS-style correction pass the reference README
+    recommends before assembly (/root/reference/README.md:21-23); the
+    voting itself is A8 PreCorrect (src/Brush/PreCorrect.java:139-217).
+    """
+    per_read = fixes.groupBy(id_col).agg(
+        F.collect_list(F.struct(F.col("pos"), F.col("to_base"))).alias("fx"))
+    fixed = (
+        reads.join(per_read, id_col, "left")
+        .withColumn(
+            seq_col,
+            F.when(F.col("fx").isNull(), F.col(seq_col)).otherwise(
+                F.aggregate(
+                    "fx", F.col(seq_col),
+                    lambda acc, f: F.concat(
+                        acc.substr(F.lit(1), f["pos"]),
+                        f["to_base"],
+                        acc.substr(f["pos"] + 2, F.length(acc))),
+                )
+            ),
+        )
+        .drop("fx")
+    )
+    return fixed
 
 
 def precorrect(reads: DataFrame, id_col: str = "read_id", seq_col: str = "seq",

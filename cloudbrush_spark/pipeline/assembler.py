@@ -40,6 +40,16 @@ class Assembler:
     # -- preprocess: P1 -> P2 -> P3 (BrushAssembler.java:256-309) ----------
     def preprocess(self, reads: DataFrame) -> tuple[DataFrame, DataFrame]:
         p = self.params
+        if p.precorrect:  # CloudRS-style correction (README.md:21-23)
+            for _ in range(p.precorrect_rounds):
+                fixes = consensus_ops.precorrect(reads)
+                n_fixes = fixes.count()
+                self.counters["precorrect_fixes"] = \
+                    self.counters.get("precorrect_fixes", 0) + n_fixes
+                if n_fixes == 0:
+                    break
+                reads = self._ckpt(consensus_ops.apply_corrections(reads, fixes))
+            self._log(f"precorrect: {self.counters.get('precorrect_fixes', 0)} fixes")
         nodes = self._ckpt(dedup.dedup_reads(reads, k=p.k))
         self.counters["nodes"] = nodes.count()
         hk = self._ckpt(kmers.high_kmers(

@@ -25,10 +25,12 @@ from cloudbrush_spark.sources.fasta import read_sfa, write_fasta
 
 def main() -> None:
     sfa = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/data/Ec10k.sim.sfa"
+    precorrect = os.environ.get("EC10K_PRECORRECT", "1") == "1"
     spark = get_spark("ec10k-golden")
     t0 = time.time()
     reads = read_sfa(spark, sfa)
-    asm = Assembler(spark, BrushParams(k=21, readlen=36), verbose=True)
+    asm = Assembler(spark, BrushParams(k=21, readlen=36, precorrect=precorrect,
+                                       precorrect_rounds=2), verbose=True)
     nodes, edges = asm.assemble(reads)
     nodes = nodes.cache()
     contigs = nodes.withColumn("len", F.length("seq"))

@@ -1,0 +1,79 @@
+"""Multimodal binary-column operators: metadata sniff, exact dedup,
+blockhash near-dup, and the mapInPandas decode/feature/frame plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudbrush_spark.operators import multimodal
+
+
+def _blobs(spark, rows):
+    return spark.createDataFrame(rows, "path string, content binary")
+
+
+def test_binary_metadata_sniffs_magic_bytes(spark):
+    png = b"\x89PNG\r\n\x1a\n" + b"x" * 16
+    jpg = b"\xff\xd8\xff\xe0" + b"y" * 16
+    raw = b"just some bytes"
+    meta = {r.path: r for r in multimodal.binary_metadata(
+        _blobs(spark, [("p", png), ("j", jpg), ("r", raw)])).collect()}
+    assert meta["p"].format == "png" and meta["j"].format == "jpeg"
+    assert meta["r"].format == "unknown"
+    assert meta["r"].byte_len == len(raw)
+    import hashlib
+    assert meta["r"].content_md5 == hashlib.md5(raw).hexdigest()
+    assert meta["r"].content_sha256 == hashlib.sha256(raw).hexdigest()
+
+
+def test_exact_binary_dedup_groups_identical_payloads(spark):
+    df = _blobs(spark, [("a", b"AAA"), ("b", b"AAA"), ("c", b"BBB")])
+    out = {r.survivor_id: (r.n_copies, r.total_bytes)
+           for r in multimodal.exact_binary_dedup(df).collect()}
+    assert out == {"a": (2, 6), "c": (1, 3)}
+
+
+def test_blockhash_identical_and_near_payloads(spark):
+    base = bytes(range(256)) * 8
+    tweaked = bytearray(base)
+    tweaked[0] = 255                      # tiny perturbation
+    df = _blobs(spark, [("x", base), ("y", bytes(base)), ("z", bytes(tweaked))])
+    pairs = {(r.a, r.b): r.hamming
+             for r in multimodal.blockhash_near_pairs(df, max_hamming=3).collect()}
+    assert pairs[("x", "y")] == 0         # identical bytes -> hamming 0
+    # the perturbed payload is within the hamming budget of the original
+    assert ("x", "z") in pairs and pairs[("x", "z")] <= 3
+
+
+def test_decode_images_fake_path_plumbing(spark):
+    df = _blobs(spark, [("a", b"\x01\x02\x03"), ("b", b"")])
+    out = {r.id: r for r in multimodal.decode_images(df, fake=True).collect()}
+    assert out["a"].width == 8 and out["a"].height == 8 and out["a"].channels == 3
+    assert len(out["a"].pixels) == 8 * 8 * 3
+    # deterministic: same payload -> same pixels
+    again = {r.id: r for r in multimodal.decode_images(df, fake=True).collect()}
+    assert out["a"].pixels == again["a"].pixels
+
+
+def test_decode_images_real_path_requires_library(spark):
+    df = _blobs(spark, [("a", b"\x01")])
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present; stub path not reachable")
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_images(df, fake=False)
+
+
+def test_extract_features_shape_and_norm(spark):
+    df = _blobs(spark, [("a", bytes(range(64)))])
+    decoded = multimodal.decode_images(df, fake=True)
+    feat = multimodal.extract_features(decoded, dim=16).collect()[0]
+    assert len(feat.feature) == 16
+    assert sum(x * x for x in feat.feature) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_frame_sample_bounded_fanout(spark):
+    df = _blobs(spark, [("v", bytes(20000))])
+    frames = multimodal.frame_sample(df, every_bytes=4096, max_frames=3).collect()
+    assert [f.frame_idx for f in frames] == [0, 1, 2]
+    assert all(len(f.frame) == 4096 for f in frames)
