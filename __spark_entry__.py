@@ -27,7 +27,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
     rejects; read it with nanosAsLong and keep ``ts`` as epoch-nanos BIGINT
-    (the oracle side uses DuckDB's epoch_ns for exact integer parity)."""
+    (the oracle side uses DuckDB's epoch_ns for exact integer parity).
+
+    NOTE: setting ``spark.sql.legacy.parquet.nanosAsLong`` mutates
+    session-global conf as a side effect — any later nanos-parquet read in
+    the same session sees BIGINT ts.  Harmless for the driver contract
+    (every events query wants this reading) but worth knowing in ad-hoc
+    sessions."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 

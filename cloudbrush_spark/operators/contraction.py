@@ -170,8 +170,7 @@ def _rewrite_edges(edges: DataFrame, merges: DataFrame) -> DataFrame:
 
 
 def _rc_str(s: str) -> str:
-    comp = str.maketrans("ACGTacgt", "TGCAtgca")
-    return s.translate(comp)[::-1]
+    return dna.rc_py(s)
 
 
 def _serial_contract(nodes: DataFrame, edges: DataFrame,

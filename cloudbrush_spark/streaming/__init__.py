@@ -1,0 +1,14 @@
+"""Structured Streaming twins of the batch event operators
+(cloudbrush_spark.operators.sessions) plus a custom stateful operator.
+
+One definition, two runners: the batch forms stay duckdb-oracle-checkable;
+these run the same aggregations over unbounded input with watermarks
+bounding state.
+"""
+
+from cloudbrush_spark.streaming.windows import (  # noqa: F401
+    read_event_stream,
+    stream_running_counts,
+    stream_sessionize,
+    stream_tumbling_window,
+)

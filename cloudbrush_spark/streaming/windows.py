@@ -1,0 +1,105 @@
+"""Structured Streaming event operators: tumbling windows, session
+windows, and a custom stateful running aggregate.
+
+Scale/state design:
+- every aggregation is keyed (window/user), so state is partitioned by the
+  shuffle and bounded per key;
+- watermarks bound state retention — late rows beyond the watermark are
+  dropped instead of growing state forever;
+- the custom stateful operator uses ``applyInPandasWithState`` (Arrow
+  batches per key group), the supported escape hatch when the built-in
+  windowed aggregates can't express the semantics.
+
+The reference has no streaming surface (SURVEY §2.8); these are the
+engine-extension operators the driver's north star asks for, sharing
+semantics with the batch forms in operators/sessions.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = "ts timestamp, user_id long, event_type string, value double"
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      schema: str = EVENT_SCHEMA,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source event stream (new files appear -> new micro-batch)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_tumbling_window(events: DataFrame, window: str = "1 hour",
+                           watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of sessions.tumbling_window_agg: per (window,
+    event_type) count + value sum, state bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "cnt", "value_sum")
+    )
+
+
+def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of sessions.sessionize via ``session_window``.
+
+    Semantics note: a session window's ``end`` is last_event + gap (the
+    close timestamp), where the batch form reports max(ts); counts and
+    session boundaries (which events group together) are identical.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+def stream_running_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user totals across
+    micro-batches via ``applyInPandasWithState`` — the pattern for
+    semantics the built-in aggregates can't express (per-key mutable
+    state, arbitrary Python update logic, Arrow-batched).
+
+    Output mode 'update': one row per user per batch with the new total.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+        total = state.get[0] if state.exists else 0
+        events_n = 0
+        value_sum = 0.0
+        for pdf in pdf_iter:
+            events_n += len(pdf)
+            value_sum += float(pdf["value"].sum())
+        total += events_n
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "total_events": [total],
+                            "batch_value_sum": [value_sum]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, total_events long, batch_value_sum double",
+            stateStructType="total long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,76 @@
+"""Structured Streaming twins: run each streaming operator over a file
+source with availableNow + memory sink and compare against the batch form
+(one definition, two runners)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudbrush_spark.operators import sessions
+from cloudbrush_spark.streaming import (
+    read_event_stream,
+    stream_running_counts,
+    stream_sessionize,
+    stream_tumbling_window,
+)
+
+
+def _ts(h, m=0):
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    rows = [
+        (_ts(9, 0), 1, "click", 1.0), (_ts(9, 20), 1, "click", 2.0),
+        (_ts(10, 15), 1, "buy", 5.0),                       # new session (55m gap)
+        (_ts(9, 5), 2, "click", 1.5), (_ts(11, 0), 2, "click", 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string, value double")
+    path = str(tmp_path_factory.mktemp("events") / "parquet")
+    df.repartition(2).write.parquet(path)
+    return path
+
+
+def _run_stream(spark, stream_df, name, output_mode):
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_tumbling_window_matches_batch(spark, event_dir):
+    # complete mode: append would (correctly) withhold windows the final
+    # watermark hasn't passed; complete emits full state for comparison
+    events = read_event_stream(spark, event_dir)
+    out = _run_stream(spark, stream_tumbling_window(events), "t_tumble", "complete")
+    got = {(r.window_start, r.event_type): (r.cnt, r.value_sum)
+           for r in out.collect()}
+    batch = sessions.tumbling_window_agg(spark.read.parquet(event_dir))
+    want = {(r.window_start, r.event_type): (r.cnt, r.value_sum)
+            for r in batch.collect()}
+    assert got == want and len(got) == 3
+
+
+def test_stream_sessionize_matches_batch_grouping(spark, event_dir):
+    events = read_event_stream(spark, event_dir)
+    out = _run_stream(spark, stream_sessionize(events), "t_sess", "complete")
+    got = sorted((r.user_id, r.n_events) for r in out.collect())
+    batch = sessions.sessionize(spark.read.parquet(event_dir))
+    want = sorted((r.user_id, r.n_events) for r in batch.collect())
+    assert got == want  # same events group into the same sessions
+    # session boundaries: user 1 splits at the 55-minute gap
+    u1 = sorted(r.n_events for r in out.collect() if r.user_id == 1)
+    assert u1 == [1, 2]
+
+
+def test_stream_running_counts_stateful(spark, event_dir):
+    events = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    out = _run_stream(spark, stream_running_counts(events), "t_state", "update")
+    # final total per user across micro-batches must equal the batch count
+    final = {r.user_id: r.total_events
+             for r in out.groupBy("user_id").agg(
+                 F.max("total_events").alias("total_events")).collect()}
+    assert final == {1: 3, 2: 2}
