@@ -25,7 +25,7 @@ from cloudbrush_spark.sources.fasta import read_sfa, write_fasta
 
 def main() -> None:
     sfa = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/data/Ec10k.sim.sfa"
-    precorrect = os.environ.get("EC10K_PRECORRECT", "1") == "1"
+    precorrect = os.environ.get("EC10K_PRECORRECT", "0") == "1"
     spark = get_spark("ec10k-golden")
     t0 = time.time()
     reads = read_sfa(spark, sfa)
