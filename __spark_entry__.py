@@ -517,6 +517,72 @@ def q_a8_precorrect(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (engine extension, SURVEY §2.3 note: the reference has
+    no range/as-of joins): for each click event, the user's most recent
+    purchase at-or-before it.  Union + per-key ordered window — one
+    shuffle, no theta-join."""
+    from cloudbrush_spark.operators import joins
+    ev = _events(spark, sf_dir).withColumn("tus", F.expr("ts div 1000"))
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "tus")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("tus").alias("bus"))
+    out = joins.asof_join(clicks, buys, on="user_id",
+                          left_ts="tus", right_ts="bus")
+    return out.select("user_id", "tus", F.col("asof_ts").alias("last_purchase_us"))
+
+
+def q_range_join(spark, sf_dir):
+    """Bounded range join: (click, purchase) pairs of the same user with
+    the purchase 0..1h after the click — bucketed equi-join + exact
+    filter, bounded fan-out."""
+    from cloudbrush_spark.operators import joins
+    ev = _events(spark, sf_dir).withColumn("tus", F.expr("ts div 1000"))
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "tus")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("tus").alias("bus"))
+    hour_us = 3_600_000_000
+    out = joins.range_join(clicks, buys, on="user_id",
+                           left_ts="tus", right_ts="bus",
+                           lower=0, upper=hour_us)
+    return out.select("user_id", "tus", "matched_ts")
+
+
+def q_rollup(spark, sf_dir):
+    """ROLLUP aggregate (free from Spark SQL; SURVEY §2.8 exposure)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Grouped top-k: 3 priciest parts per brand (dense window rank)."""
+    from pyspark.sql import Window
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey",
+                F.col("p_retailprice").cast("double").alias("price"), "rnk")
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operation (EXCEPT DISTINCT): customers with orders but no
+    finished ('F') order."""
+    orders = _t(spark, sf_dir, "orders")
+    all_c = orders.select("o_custkey")
+    f_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return all_c.subtract(f_c)
+
+
 def _blob_fixture(spark, sf_dir):
     """Deterministic multimodal fixture derived from documents: text bytes
     as the opaque payload, with magic-byte prefixes spliced in by doc_id
@@ -745,6 +811,40 @@ _ORACLES: dict[str, str] = {
     """,
     "lang_id": None,     # filled below (built from LANG_MARKERS)
     "quality": None,
+    "asof_join": """
+        WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_type FROM events),
+             c AS (SELECT user_id, tus FROM ev WHERE event_type = 'click'),
+             b AS (SELECT user_id, tus AS bus FROM ev WHERE event_type = 'purchase')
+        SELECT c.user_id, c.tus, b.bus AS last_purchase_us
+        FROM c ASOF LEFT JOIN b ON c.user_id = b.user_id AND b.bus <= c.tus
+    """,
+    "range_join": """
+        WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_type FROM events),
+             c AS (SELECT user_id, tus FROM ev WHERE event_type = 'click'),
+             b AS (SELECT user_id, tus AS bus FROM ev WHERE event_type = 'purchase')
+        SELECT DISTINCT c.user_id, c.tus, b.bus AS matched_ts
+        FROM c JOIN b ON c.user_id = b.user_id
+        WHERE b.bus - c.tus BETWEEN 0 AND 3600000000
+    """,
+    "rollup": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS cnt
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "topk_per_group": """
+        SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS price, rnk
+        FROM (SELECT p_brand, p_partkey, p_retailprice,
+                     row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY p_retailprice DESC, p_partkey) AS rnk
+              FROM part)
+        WHERE rnk <= 3
+    """,
+    "set_ops": """
+        SELECT o_custkey FROM orders
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
     "mm_metadata": """
         WITH blobs AS (
             SELECT doc_id,
@@ -1058,6 +1158,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_metadata": q_mm_metadata,
     "mm_binary_dedup": q_mm_binary_dedup,
     "mm_blockhash_pairs": q_mm_blockhash_pairs,  # pandas stage -> rows-only
+    # relational surface the reference lacks (SURVEY §2.8)
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "rollup": q_rollup,
+    "topk_per_group": q_topk_per_group,
+    "set_ops": q_set_ops,
 }
 
 

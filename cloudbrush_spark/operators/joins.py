@@ -1,0 +1,108 @@
+"""Join-shape operators beyond plain equi-joins: as-of join and
+bounded range join.
+
+The reference's only join machinery is shuffle equi-joins on text keys
+(SURVEY §2.3 taxonomy note); these are the engine-extension joins a
+time-series / training-data pipeline needs, built scale-first:
+
+- **as-of join**: the classic union+ordered-window formulation — tag both
+  sides, union, per-key window ordered by time, ``last(right, ignorenulls)``
+  carries the most recent right-side row forward.  ONE shuffle on the key,
+  per-key sort only; no range-condition join (which Spark would plan as a
+  broadcast-nested-loop or an exploding theta-join).
+- **range join**: equi-key + bucketed time: both sides bucket their
+  timestamps to ``bucket`` width, candidates join on (key, bucket) with
+  each left row probing its own and the previous bucket, then the exact
+  range predicate filters.  Shuffle stays key+bucket-partitioned (skew-
+  safe), and the fan-out is bounded by bucket width instead of the full
+  key history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str, right_ts: str,
+              right_cols: list[str] | None = None,
+              direction: str = "backward") -> DataFrame:
+    """For each left row, attach the most recent right row with
+    right_ts <= left_ts (direction='backward'; 'forward' gives the
+    earliest right row with right_ts >= left_ts), matching on ``on``.
+
+    Output: left columns + ``asof_ts`` + requested right columns
+    (null when no match).  Equivalent to DuckDB/kdb ASOF JOIN.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    right_cols = right_cols or []
+    l_tagged = left.select(
+        F.col(on), F.col(left_ts).alias("__ts"), F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast("long").alias("__rts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_cols],
+    )
+    r_tagged = right.select(
+        F.col(on), F.col(right_ts).alias("__ts"), F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tagged.schema["__l"].dataType).alias("__l"),
+        F.col(right_ts).cast("long").alias("__rts"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    if direction == "backward":
+        # right rows sort BEFORE a left row at the same ts (<= semantics);
+        # ties among right rows resolve to the max right ts deterministically
+        w = (Window.partitionBy(on)
+             .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(),
+                      F.col("__rts").asc_nulls_first())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        w = (Window.partitionBy(on)
+             .orderBy(F.col("__ts").desc(), F.col("__is_left").asc(),
+                      F.col("__rts").desc_nulls_first())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    unioned = l_tagged.unionByName(r_tagged)
+    carried = unioned.select(
+        "__is_left", "__l",
+        F.last("__rts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+          for c in right_cols],
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        "__l.*", "asof_ts", *right_cols)
+    return out
+
+
+def range_join(left: DataFrame, right: DataFrame, on: str,
+               left_ts: str, right_ts: str, lower: int, upper: int,
+               bucket: int | None = None) -> DataFrame:
+    """Pairs (l, r) matching on ``on`` with
+    ``lower <= right_ts - left_ts <= upper`` (integer time units).
+
+    Bucketed: both sides shuffle on (key, time-bucket); each left row
+    probes ceil((upper-lower)/bucket)+1 buckets via a small explode —
+    bounded fan-out, no theta-join.  Output: left.*, right's ts as
+    ``matched_ts``.
+    """
+    bucket = bucket or max(upper - lower, 1)
+    n_probe = (upper - lower) // bucket + 2
+    l_b = left.withColumn(
+        "__probe",
+        F.explode(F.array(*[
+            (F.floor((F.col(left_ts) + lower) / bucket) + i).cast("long")
+            for i in range(n_probe)
+        ])),
+    )
+    r_b = right.select(
+        F.col(on), F.col(right_ts).alias("matched_ts"),
+        F.floor(F.col(right_ts) / bucket).cast("long").alias("__probe"),
+    )
+    return (
+        l_b.join(r_b, [on, "__probe"])
+        .filter((F.col("matched_ts") - F.col(left_ts) >= lower)
+                & (F.col("matched_ts") - F.col(left_ts) <= upper))
+        .drop("__probe")
+        .distinct()
+    )

@@ -1,0 +1,82 @@
+"""asof_join / range_join unit tests + the SimHash identical-docs skew
+fixture (the 1k-duplicate case must collapse to one signature before any
+pair expansion)."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from cloudbrush_spark.operators import dedup, joins
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_backward_picks_latest_at_or_before(spark):
+    left = _df(spark, [("u", 100), ("u", 205), ("u", 50)], "k string, lts long")
+    right = _df(spark, [("u", 90), ("u", 200), ("u", 300)], "k string, rts long")
+    out = {r.lts: r.asof_ts for r in
+           joins.asof_join(left, right, "k", "lts", "rts").collect()}
+    assert out == {100: 90, 205: 200, 50: None}
+
+
+def test_asof_equal_ts_matches(spark):
+    left = _df(spark, [("u", 100)], "k string, lts long")
+    right = _df(spark, [("u", 100)], "k string, rts long")
+    out = joins.asof_join(left, right, "k", "lts", "rts").collect()[0]
+    assert out.asof_ts == 100   # <= semantics
+
+
+def test_asof_forward_direction(spark):
+    left = _df(spark, [("u", 100), ("u", 301)], "k string, lts long")
+    right = _df(spark, [("u", 200), ("u", 300)], "k string, rts long")
+    out = {r.lts: r.asof_ts for r in
+           joins.asof_join(left, right, "k", "lts", "rts",
+                           direction="forward").collect()}
+    assert out == {100: 200, 301: None}
+
+
+def test_asof_carries_right_columns(spark):
+    left = _df(spark, [("u", 100)], "k string, lts long")
+    right = _df(spark, [("u", 90, "hello")], "k string, rts long, payload string")
+    out = joins.asof_join(left, right, "k", "lts", "rts",
+                          right_cols=["payload"]).collect()[0]
+    assert out.payload == "hello" and out.asof_ts == 90
+
+
+def test_range_join_bounds(spark):
+    left = _df(spark, [("u", 1000)], "k string, lts long")
+    right = _df(spark, [("u", 999), ("u", 1000), ("u", 1400),
+                        ("u", 1501), ("v", 1100)], "k string, rts long")
+    out = sorted(r.matched_ts for r in
+                 joins.range_join(left, right, "k", "lts", "rts",
+                                  lower=0, upper=500).collect())
+    assert out == [1000, 1400]   # 999 below range, 1501 above, v wrong key
+
+
+def test_range_join_bucket_smaller_than_span(spark):
+    left = _df(spark, [("u", 0)], "k string, lts long")
+    right = _df(spark, [("u", t) for t in range(0, 1001, 100)],
+                "k string, rts long")
+    out = sorted(r.matched_ts for r in
+                 joins.range_join(left, right, "k", "lts", "rts",
+                                  lower=0, upper=1000, bucket=256).collect())
+    assert out == list(range(0, 1001, 100))
+
+
+def test_simhash_identical_docs_skew_fixture(spark):
+    """1,000 byte-identical docs + 1 distinct: identical content collapses
+    to ONE distinct signature before banding, so the chunk buckets never
+    hold the duplicate mass; all C(1000,2) pairs still come out (via the
+    signature-member self-join), plus nothing across unrelated content."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(1000)]
+    rows.append((5000, "completely different content about spark shuffles and joins"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = time.time()
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=3)
+    n = pairs.count()
+    elapsed = time.time() - t0
+    assert n == 1000 * 999 // 2
+    assert pairs.filter(F.col("hamming") > 0).count() == 0
+    assert elapsed < 120
