@@ -28,10 +28,12 @@ STOPWORDS_EN = LANG_MARKERS["en"] + ["as", "with", "on", "at", "by", "an", "be",
 
 
 def tokens(col: Column | str) -> Column:
-    """Lowercased whitespace tokens with surrounding punctuation stripped."""
+    """Lowercased alphanumeric tokens (punctuation/whitespace delimited).
+
+    One regex pass: split directly on non-alphanumeric runs (equivalent
+    token stream to strip-then-split, half the regex work per row)."""
     col = F.col(col) if isinstance(col, str) else col
-    cleaned = F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " ")
-    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != F.lit(""))
+    return F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
 
 
 def token_count(col: Column | str) -> Column:
@@ -61,11 +63,23 @@ def char_shingles(name: str, n: int) -> Column:
 
 
 def word_shingles(tokens_col: Column, n: int) -> Column:
-    """Array of word n-grams (space-joined) from a token array column."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - n + 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)),
-    )
+    """Array of word n-grams (space-joined) from a token array column.
+
+    Built as zip_with over n shifted slices, NOT transform+slice-per-index:
+    higher-order lambdas defeat common-subexpression elimination, so a
+    per-element ``slice(tokens_col, i, n)`` re-evaluates the whole token
+    expression once per output element (O(len^2) regex work when
+    ``tokens_col`` is a tokenizer pipeline).  The zip form references the
+    token array a constant n+1 times per row.
+    """
+    m = F.greatest(F.size(tokens_col) - n + 1, F.lit(0))
+    out = F.slice(tokens_col, 1, m)
+    for i in range(1, n):
+        out = F.zip_with(
+            out, F.slice(tokens_col, i + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return out
 
 
 def punct_ratio(col: Column | str) -> Column:
