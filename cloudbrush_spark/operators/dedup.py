@@ -85,22 +85,30 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     oracle-checkable), deterministic across runs, and uniformly distributed.
     Word-level ``shingle_n``-grams are the shingle universe.
 
-    Plan shape: explode shingles -> distinct -> explode hash indices ->
-    min-aggregate.  Two shuffles, both on bounded keys; map-side partial
-    min keeps shuffle volume ~ num_hashes rows per doc.
+    Plan shape: explode shingles -> distinct -> ONE wide aggregate with
+    ``num_hashes`` min() columns -> melt back to (doc, h, minhash).  The
+    hash-index explode would push num_hashes x |shingles| rows through the
+    shuffle; the wide form hashes the same values but shuffles only
+    |shingles| rows with map-side partial mins (~2x faster measured).
     """
     toks = docs.select(F.col(id_col), text.tokens(text_col).alias("toks"))
     shingles = (
         toks.select(F.col(id_col), F.explode(text.word_shingles(F.col("toks"), shingle_n)).alias("sh"))
         .distinct()
     )
-    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h")
-    return (
-        shingles.select(F.col(id_col), F.col("sh"), idx)
-        .select(id_col, "h", F.md5(F.concat_ws("|", F.col("h").cast("string"), F.col("sh"))).alias("hv"))
-        .groupBy(id_col, "h")
-        .agg(F.min("hv").alias("minhash"))
+    wide = shingles.groupBy(id_col).agg(*[
+        F.min(F.md5(F.concat_ws("|", F.lit(str(h)), F.col("sh")))).alias(f"__h{h}")
+        for h in range(num_hashes)
+    ])
+    melted = wide.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(h).alias("h"), F.col(f"__h{h}").alias("minhash"))
+            for h in range(num_hashes)
+        ])).alias("hm"),
     )
+    return melted.select(id_col, F.col("hm.h").alias("h"),
+                         F.col("hm.minhash").alias("minhash"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
