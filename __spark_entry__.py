@@ -382,6 +382,17 @@ def q_ann_topk_lsh(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF-bucketed approximate top-5 (the second ANN scale path next to
+    LSH: driver-trained coarse quantizer + inverted lists + nprobe).
+    Approximate -> rows-only check; ann_topk is the exact baseline."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    out = similarity.cosine_topk_ivf(emb, k=5, n_centroids=16, nprobe=2, seed=42)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_minhash_lsh_dedup(spark, sf_dir):
     """MinHash(16) -> LSH(4 bands x 4 rows) -> exact-Jaccard verify, word
     3-gram shingles, threshold 0.5.  The near-dup dedup workhorse."""
@@ -1150,6 +1161,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_near_dup": q_emb_near_dup,
     "emb_near_dup_lsh": q_emb_near_dup_lsh,   # approx -> rows-only check
     "ann_topk_lsh": q_ann_topk_lsh,           # approx -> rows-only check
+    "ann_topk_ivf": q_ann_topk_ivf,           # approx -> rows-only check
     # reference-shape generics
     "g1_pwm_consensus": q_g1_pwm_consensus,
     "k2_explode_emit": q_k2_explode_emit,

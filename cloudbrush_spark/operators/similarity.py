@@ -103,6 +103,82 @@ def cosine_topk_lsh(vectors: DataFrame, dim: int, k: int = 10, planes: int = 8,
     )
 
 
+def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, sample: int = 4096,
+                  iters: int = 8, seed: int = 42,
+                  vec_col: str = "embedding") -> list[list[float]]:
+    """Coarse quantizer for IVF: Lloyd's k-means over a bounded driver-side
+    sample (numpy).  The sample is the ONLY data that leaves the cluster;
+    at 100 TB the centroids are trained once on a few thousand rows and
+    folded into the plan as literals — no iterative Spark job.
+    """
+    import numpy as np
+    rows = (vectors.select(vec_col)
+            .sample(False, 1.0, seed)  # deterministic pass-through order
+            .limit(sample).collect())
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return [list(map(float, c)) for c in cent]
+
+
+def _centroid_scores(vec, centroids: list[list[float]]):
+    """array<struct<s,i>> of -0.5||c||^2 + v.c (argmax == nearest by L2)."""
+    scores = []
+    for i, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(w) for w in c])
+        c2 = sum(w * w for w in c)
+        scores.append(F.struct((_dot(vec, lit_c) - 0.5 * c2).alias("s"),
+                               F.lit(i).alias("i")))
+    return F.array(*scores)
+
+
+def cosine_topk_ivf(vectors: DataFrame, k: int = 10, n_centroids: int = 16,
+                    nprobe: int = 2, seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate all-pairs top-k: a driver-trained coarse quantizer
+    partitions the corpus into inverted lists (one bucket per vector);
+    each query probes its ``nprobe`` nearest centroids and reranks with
+    exact cosine inside those lists.
+
+    Scale shape: one shuffle on the centroid id (bounded, ~uniform by
+    construction of k-means); probe fan-out = nprobe rows per query.
+    Recall < 1 by construction (like the LSH variant); raise nprobe for
+    recall, n_centroids for selectivity.
+    """
+    centroids = ivf_centroids(vectors, n_centroids, seed=seed, vec_col=vec_col)
+    scores = _centroid_scores(F.col(vec_col), centroids)
+    corpus = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        F.reverse(F.array_sort(scores))[0]["i"].alias("bucket"),
+    )
+    probes = vectors.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(F.transform(
+            F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
+            lambda s: s["i"],
+        )).alias("bucket"),
+    )
+    scored = (
+        probes.join(corpus, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) /
+                    (_norm(F.col("qv")) * _norm(F.col("cv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_near_dup(vectors: DataFrame, dim: int, threshold: float = 0.95,
                        planes: int = 6, seed: int = 42, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
