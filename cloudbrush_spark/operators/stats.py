@@ -34,19 +34,25 @@ DEFAULT_CUTOFFS = (
 )
 
 
-def _size_histogram(df: DataFrame, size_col: str, cov_col: str | None = None) -> DataFrame:
+def _size_histogram(df: DataFrame, size_col: str, cov_col: str | None = None,
+                    with_cov: bool = False) -> DataFrame:
     """Phase 1: collapse rows to one row per distinct size.
 
-    Output: (sz, cnt, mass=sz*cnt, covm=sum(cov)).  This is the only pass
-    over the raw data — a plain hash aggregate with map-side partials.
+    Output: (sz, cnt, mass=sz*cnt [, covm=sum(cov)]).  This is the only
+    pass over the raw data — a plain hash aggregate with map-side
+    partials.  ``covm`` is only emitted when asked for: an unused column
+    makes multi-branch consumers' exchanges non-identical after pruning,
+    defeating runtime exchange reuse.
     """
     sz = F.col(size_col).cast("long")
-    cov = F.col(cov_col).cast("double") if cov_col else F.lit(1.0)
-    return df.groupBy(sz.alias("sz")).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(sz).alias("mass"),
-        F.sum(cov).alias("covm"),
-    )
+    aggs = [F.count(F.lit(1)).alias("cnt"), F.sum(sz).alias("mass")]
+    if with_cov:
+        cov = F.col(cov_col).cast("double") if cov_col else F.lit(1.0)
+        aggs.append(F.sum(cov).alias("covm"))
+    # null sizes dropped up front: the later bucket join would infer
+    # isnotnull() into only ONE consumer branch, de-canonicalizing the
+    # shared histogram exchange and defeating runtime exchange reuse
+    return df.filter(sz.isNotNull()).groupBy(sz.alias("sz")).agg(*aggs)
 
 
 def _with_cum_before(hist: DataFrame, bucket_shift: int = 10) -> DataFrame:
@@ -55,18 +61,26 @@ def _with_cum_before(hist: DataFrame, bucket_shift: int = 10) -> DataFrame:
 
     Sizes are grouped into coarse buckets (``sz >> bucket_shift``); bucket
     partial sums get a (tiny) global window, then per-bucket windows add the
-    within-bucket share.  Adds: cum_mass_before, cum_cnt_before.
+    within-bucket share.  Adds: cum_mass_before, cum_cnt_before, tot.
+
+    ``tot`` rides along from the bucket window instead of a third
+    aggregation branch off ``hist`` — per-branch column pruning would make
+    the histogram exchanges non-identical and defeat runtime exchange
+    reuse, turning one raw-data scan into three.
     """
     h = hist.withColumn("bkt", F.shiftright(F.col("sz"), bucket_shift))
     btot = h.groupBy("bkt").agg(
         F.sum("mass").alias("bmass"), F.sum("cnt").alias("bcnt"))
     wb = (Window.orderBy(F.col("bkt").desc())
           .rowsBetween(Window.unboundedPreceding, -1))
-    # global window over BUCKET AGGREGATES only: ~(max_size >> shift) rows.
+    wall = (Window.orderBy(F.col("bkt").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    # global windows over BUCKET AGGREGATES only: ~(max_size >> shift) rows.
     bcum = btot.select(
         "bkt",
         F.coalesce(F.sum("bmass").over(wb), F.lit(0)).alias("bmass_before"),
         F.coalesce(F.sum("bcnt").over(wb), F.lit(0)).alias("bcnt_before"),
+        F.sum("bmass").over(wall).alias("tot"),
     )
     win = (Window.partitionBy("bkt").orderBy(F.col("sz").desc())
            .rowsBetween(Window.unboundedPreceding, -1))
@@ -109,10 +123,14 @@ def n50(df: DataFrame, size_col: str) -> DataFrame:
     Two-phase: size histogram (parallel) -> bucketed cumulative scan over
     the histogram -> arithmetic recovery of the crossing row.  No window
     ever sees more than the per-bucket histogram slice.
+
+    The histogram feeds two consumers (per-size rows + bucket partials);
+    a lazy localCheckpoint materializes it once so the raw data is
+    scanned exactly once (exchange reuse alone does not collapse the
+    diamond under AQE).
     """
-    hist = _size_histogram(df, size_col)
-    tot = hist.agg(F.sum("mass").alias("tot"))
-    cum = _with_cum_before(hist).crossJoin(F.broadcast(tot))
+    hist = _size_histogram(df, size_col).localCheckpoint(eager=False)
+    cum = _with_cum_before(hist)
     n50_col, n50_cnt_col = _crossing_cols()
     return cum.agg(
         n50_col,
@@ -131,7 +149,7 @@ def size_distribution(df: DataFrame, size_col: str, cov_col: str | None = None,
     rows only (distinct sizes, not raw rows — bounded and small even at
     100 TB).  Output: (cutoff, cnt, total, mean, mean_cov, n50, n50_cnt).
     """
-    hist = _size_histogram(df, size_col, cov_col)
+    hist = _size_histogram(df, size_col, cov_col, with_cov=True)
     cleared = F.filter(
         F.array(*[F.lit(c).cast("long") for c in cutoffs]),
         lambda c: c <= F.col("sz"),
@@ -184,7 +202,7 @@ def stats_report(contigs: DataFrame, size_col: str = "len",
     top = top_k(contigs, size_col, top_n)
     genome_n50 = None
     if genome_size is not None:
-        hist = _size_histogram(contigs, size_col)
+        hist = _size_histogram(contigs, size_col).localCheckpoint(eager=False)
         cum = _with_cum_before(hist).withColumn(
             "tot", F.lit(int(genome_size)).cast("long"))
         n50_col, n50_cnt_col = _crossing_cols()
