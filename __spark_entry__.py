@@ -359,6 +359,36 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5-shaped 6-table join: revenue per nation for one region,
+    suppliers local to the customer's nation.  Dimension chain
+    (region->nation->customer/supplier) broadcasts; the fact join
+    (lineitem-orders) shuffles on the order key."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    dim = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    cust = customer.join(F.broadcast(dim), customer.c_nationkey == dim.n_nationkey) \
+        .select("c_custkey", "n_nationkey", "n_name")
+    supp = supplier.select("s_suppkey", F.col("s_nationkey"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey)
+              & (F.col("s_nationkey") == F.col("n_nationkey")))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 20
     (ids + rank only; exact parity with the oracle)."""
@@ -806,6 +836,19 @@ _ORACLES: dict[str, str] = {
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10
     """,
+    "tpch_q5": """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1
+    """,
     "ann_topk": """
         WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 20),
@@ -1152,6 +1195,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
     "ann_topk": q_ann_topk,
     # LLM-pipeline dedup/similarity surface
     "minhash_lsh_dedup": q_minhash_lsh_dedup,

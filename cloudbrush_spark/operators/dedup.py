@@ -91,11 +91,15 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     shuffle; the wide form hashes the same values but shuffles only
     |shingles| rows with map-side partial mins (~2x faster measured).
     """
-    toks = docs.select(F.col(id_col), text.tokens(text_col).alias("toks"))
-    shingles = (
-        toks.select(F.col(id_col), F.explode(text.word_shingles(F.col("toks"), shingle_n)).alias("sh"))
-        .distinct()
-    )
+    shingles = _shingle_sets(docs, id_col, text_col, shingle_n)
+    return minhash_signatures_from_shingles(shingles, id_col, num_hashes)
+
+
+def minhash_signatures_from_shingles(shingles: DataFrame, id_col: str = "doc_id",
+                                     num_hashes: int = 16) -> DataFrame:
+    """MinHash signatures over a prepared distinct (id, sh) shingle set —
+    lets pipelines share one shingle materialization between signature
+    generation and exact-Jaccard verification."""
     wide = shingles.groupBy(id_col).agg(*[
         F.min(F.md5(F.concat_ws("|", F.lit(str(h)), F.col("sh")))).alias(f"__h{h}")
         for h in range(num_hashes)
@@ -152,11 +156,17 @@ def minhash_dedup_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     verification (the verify step mirrors J2's "candidates then theta-check"
     shape, src/Brush/VerifyOverlap.java:287-309).
 
+    The shingle set feeds both the signature stage and the verification
+    stage — materialized once (lazy localCheckpoint) so the tokenizer/
+    shingler runs a single pass over the corpus.
+
     Output: (a, b, jaccard) pairs above threshold, a < b.
     """
-    sigs = minhash_signatures(docs, id_col, text_col, shingle_n, num_hashes)
+    shingles = _shingle_sets(docs, id_col, text_col, shingle_n) \
+        .localCheckpoint(eager=False)
+    sigs = minhash_signatures_from_shingles(shingles, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    jac = ngram_jaccard_pairs_for(docs, cands, id_col, text_col, shingle_n)
+    jac = _jaccard_for_pairs(shingles, cands, id_col)
     return jac.filter(F.col("jaccard") >= jaccard_threshold)
 
 
@@ -210,6 +220,10 @@ def ngram_jaccard_pairs_for(docs: DataFrame, pairs: DataFrame, id_col: str,
                             text_col: str, shingle_n: int) -> DataFrame:
     """Exact Jaccard for a given candidate-pair set (verification step)."""
     sh = _shingle_sets(docs, id_col, text_col, shingle_n)
+    return _jaccard_for_pairs(sh, pairs, id_col)
+
+
+def _jaccard_for_pairs(sh: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a_sh = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sha"))
     inter = (
