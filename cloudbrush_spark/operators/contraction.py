@@ -257,7 +257,11 @@ def _serial_contract(nodes: DataFrame, edges: DataFrame,
         a0 = attrs[n0]
         merged = a0.seq if o0 == "f" else _rc_str(a0.seq)
         orient_of[n0] = o0
-        total_len, weighted = len(a0.seq), a0.cov * len(a0.seq)
+        # iterative length-weighted coverage, the reference's pairwise
+        # formula applied along the walk (src/Brush/PairMerge.java:149:
+        # weights use the CURRENT merged length, so coverage is mildly
+        # merge-order-dependent — same as the reference)
+        cur_cov, cur_len = a0.cov, len(a0.seq)
         if has_pairs:
             pairs.extend(a0.pair_ends or [])
         for (n, o, ov) in chain[1:]:
@@ -265,8 +269,9 @@ def _serial_contract(nodes: DataFrame, edges: DataFrame,
             oseq = a.seq if o == "f" else _rc_str(a.seq)
             merged = merged + oseq[ov:]
             orient_of[n] = o
-            total_len += len(a.seq)
-            weighted += a.cov * len(a.seq)
+            l = len(a.seq)
+            cur_cov = (cur_cov * cur_len + a.cov * l) / (cur_len + l)
+            cur_len = cur_len + l - ov
             if has_pairs:
                 pairs.extend(a.pair_ends or [])
         new_id = min(first, last)
@@ -275,7 +280,7 @@ def _serial_contract(nodes: DataFrame, edges: DataFrame,
             merged = _rc_str(merged)
             orient_of = {n: ("r" if o == "f" else "f")
                          for n, o in orient_of.items()}
-        row = [new_id, merged, weighted / total_len]
+        row = [new_id, merged, cur_cov]
         if has_pairs:
             row.append(sorted(pairs))
         merged_rows.append(tuple(row))

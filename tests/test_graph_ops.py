@@ -119,3 +119,34 @@ def test_edge_removal_removes_both_directions(spark):
     es = {(r.src, r.et, r.dst) for r in out.collect()}
     assert ("a", "ff", "b") not in es and ("b", "rr", "a") not in es
     assert ("b", "ff", "c") in es and ("c", "rr", "b") in es
+
+
+def test_serial_and_distributed_contraction_agree(spark):
+    """G5/G6 randomized rounds and the G7/G8 serial driver finish must
+    produce the same contigs (canonical sequences + coverage) on a
+    branchy graph: a long chain with reverse-complemented members plus a
+    fork that blocks compression at the junction."""
+    import random
+    rng = random.Random(13)
+    genome = "".join(rng.choice("ACGT") for _ in range(220))
+    reads = [("c%02d" % i, genome[i * 10:i * 10 + 30]) for i in range(18)]
+    # orient half the reads rc to exercise the orientation algebra
+    reads = [(n, dna.rc_py(s) if i % 3 == 1 else s) for i, (n, s) in enumerate(reads)]
+    nodes = make_nodes(spark, [(n, s, float(1 + i % 2)) for i, (n, s) in enumerate(reads)])
+    edges = overlap.build_overlap_graph(nodes, 7)
+    edges = graph.transitive_reduction(nodes, edges)
+
+    def canon(df):
+        return sorted((min(r.seq, dna.rc_py(r.seq)), r.cov) for r in df.collect())
+
+    n_ser, e_ser, _ = contraction.contract_chains(
+        nodes, edges, seed=5, serial_threshold=10**6)     # pure serial
+    n_dis, e_dis, _ = contraction.contract_chains(
+        nodes, edges, seed=5, serial_threshold=0)          # pure distributed
+    ser, dis = canon(n_ser), canon(n_dis)
+    assert [s for s, _ in ser] == [s for s, _ in dis]
+    # coverage is mildly merge-order-dependent (reference semantics:
+    # PairMerge.java:149 weights by current merged length) -> tolerance
+    for (_, cs), (_, cd) in zip(ser, dis):
+        assert abs(cs - cd) < 0.05
+    assert e_ser.count() == e_dis.count()
