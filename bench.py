@@ -23,6 +23,7 @@ from cloudbrush_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
     "p1_dedup_exact",
     "a3_ngram_doc_counts",
     "a5_token_freq_per_doc",
@@ -32,7 +33,10 @@ HEADLINE = [
     "quality",
     "ann_topk",
     "minhash_lsh_dedup",
+    "simhash_pairs",
     "g3_transitive_reduction",
+    "asof_join",
+    "mm_binary_dedup",
 ]
 
 

@@ -266,18 +266,19 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hvh"),
         F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("hvl"),
     )
-    def vote(src: str, i: int):
-        return (
-            F.when(F.shiftright(F.col(src), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-        )
+    # sign(sum of +/-1 votes) == (2 * count_of_set_bits > n): plain bit
+    # sums keep the aggregate branch-free (no CASE WHEN per bit in codegen)
+    def bit(src: str, i: int):
+        return F.shiftright(F.col(src), i).bitwiseAND(F.lit(1))
     agg = hashed.groupBy(id_col).agg(
-        *[F.sum(vote("hvh", i)).alias(f"h{i}") for i in range(32)],
-        *[F.sum(vote("hvl", i)).alias(f"l{i}") for i in range(32)],
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(bit("hvh", i)).alias(f"h{i}") for i in range(32)],
+        *[F.sum(bit("hvl", i)).alias(f"l{i}") for i in range(32)],
     )
     def assemble(prefix: str):
         return sum(
-            F.when(F.col(f"{prefix}{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(2 * F.col(f"{prefix}{i}") > F.col("n"),
+                   F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
             for i in range(32)
         )
     return agg.select(id_col, assemble("h").alias("sim_hi"), assemble("l").alias("sim_lo"))

@@ -160,3 +160,29 @@ def test_boundary_no_cut_without_repeated_overlap(spark):
         ("X", "ff", "A", 10), ("X", "ff", "B", 8), ("X", "ff", "C", 5),
     ])
     assert graph.overlap_boundary_cuts(edges).count() == 0
+
+
+def test_count_braids_motif(spark):
+    """G10: X's f-side fans out to two agreeing neighbors whose entry-side
+    consensus also holds -> exactly one braid (CountBraid.java:298-373)."""
+    nodes = make_nodes(spark, [
+        ("X", "AAAAAA", 1.0), ("A", "TTGGGG", 1.0), ("B", "TTGGGG", 1.0),
+    ])
+    edges = make_edges(spark, [
+        ("X", "ff", "A", 2), ("A", "rr", "X", 2),
+        ("X", "ff", "B", 2), ("B", "rr", "X", 2),
+    ])
+    out = consensus.count_braids(nodes, edges, pwm_n=0.5).collect()[0]
+    assert out.braids == 1
+
+
+def test_count_braids_absent_when_consensus_fails(spark):
+    nodes = make_nodes(spark, [
+        ("X", "AAAAAA", 1.0), ("A", "TTGGGG", 1.0), ("B", "TTCCCC", 1.0),
+    ])
+    edges = make_edges(spark, [
+        ("X", "ff", "A", 2), ("A", "rr", "X", 2),
+        ("X", "ff", "B", 2), ("B", "rr", "X", 2),
+    ])
+    out = consensus.count_braids(nodes, edges, pwm_n=0.1).collect()[0]
+    assert out.braids == 0
