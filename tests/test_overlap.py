@@ -80,3 +80,33 @@ def test_three_read_path(spark):
     assert ("r0", "ff", "r1", 6) in es
     assert ("r1", "ff", "r2", 6) in es
     check_edge_predicate(nodes, edges)
+
+
+def test_skewed_kmer_seed_stays_bounded(spark):
+    """SURVEY §7 risk 4: a k-mer shared by hundreds of reads (repeat) must
+    not explode the candidate join — the per-key cap bounds candidates per
+    seed and the homopolymer filter drops the degenerate seeds."""
+    from pyspark.sql import functions as F
+    core = "ACGTTGCAACGGT"  # 13bp shared core -> shared interior k-mers (k=8)
+    reads = []
+    for i in range(300):
+        # unique prefix/suffix, shared core: every read posts the core's
+        # 8-mers as seed keys
+        pre = format(i, "04d").replace("0", "A").replace("1", "C") \
+            .replace("2", "G").replace("3", "T").replace("4", "AC")[:6]
+        reads.append((f"s{i:03d}", pre + core + pre[::-1]))
+    nodes = make_nodes(spark, [(n, s, 1.0) for n, s in reads])
+    cand = overlap.match_prefix(nodes, 8, per_key_cap=20)
+    # without the cap this join would yield ~300 candidates per hot seed;
+    # capped, no destination accumulates more than cap * seeds
+    per_dst = cand.groupBy("dst").count().agg(F.max("count")).collect()[0][0]
+    assert per_dst is None or per_dst <= 20 * (len(core) - 8 + 1) * 2
+
+
+def test_homopolymer_seeds_dropped(spark):
+    reads = [("h1", "GG" + "A" * 12 + "CC"), ("h2", "TT" + "A" * 12 + "GG")]
+    nodes = make_nodes(spark, [(n, s, 1.0) for n, s in reads])
+    prefixes, suffixes = overlap._postings(nodes, 6)
+    filtered = overlap._drop_noise_keys(suffixes, 6, None)
+    kept = {r.kmer for r in filtered.collect()}
+    assert "AAAAAA" not in kept and "TTTTTT" not in kept
