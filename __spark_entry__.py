@@ -143,6 +143,26 @@ def q_a1_n50(spark, sf_dir):
     )
 
 
+_DIST_CUTOFFS = (5_000_000, 10_000_000, 25_000_000, 40_000_000)  # cents
+
+
+def q_a1_size_distribution(spark, sf_dir):
+    """A1 Stats per-cutoff distribution table (the reference's 24-cutoff
+    report, src/Brush/Stats.java:260-335, in generic form over order
+    prices as integer cents): cnt/total/mean/N50/N50cnt per cutoff."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = orders.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents")
+    )
+    out = stats.size_distribution(cents, "cents", cutoffs=_DIST_CUTOFFS)
+    return out.select(
+        "cutoff", "cnt", "total",
+        F.round("mean", 2).alias("mean"),
+        F.round("mean_cov", 2).alias("mean_cov"),
+        "n50", "n50_cnt",
+    )
+
+
 def q_a2_global_counts(spark, sf_dir):
     """A2 CountReads generic: global row count + total text bytes."""
     docs = _t(spark, sf_dir, "documents")
@@ -180,6 +200,28 @@ def _derived_edges(spark, sf_dir):
             (F.col("o_custkey") + 1 + F.col("o_orderkey") % 5).alias("dst"),
         )
         .distinct()
+    )
+
+
+def q_j1_candidates(spark, sf_dir):
+    """J1 MatchPrefix generic: inverted-index candidate generation with a
+    per-key cap — postings on word 3-gram shingles, at most 10 docs kept
+    per shingle key (deterministic rank), candidate pairs counted by
+    shared keys (src/Brush/MatchPrefix.java:150-174 + the :366-380 cap)."""
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(textfn.word_shingles(textfn.tokens("text"), 3)).alias("sh")
+    ).distinct()
+    w = Window.partitionBy("sh").orderBy("doc_id")
+    capped = sh.withColumn("rnk", F.row_number().over(w)) \
+        .filter(F.col("rnk") <= 10).drop("rnk")
+    a = capped.select(F.col("doc_id").alias("a"), "sh")
+    b = capped.select(F.col("doc_id").alias("b"), "sh")
+    return (
+        a.join(b, "sh").filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
     )
 
 
@@ -741,6 +783,36 @@ _ORACLES: dict[str, str] = {
                CAST(tot AS DOUBLE) AS total
         FROM cum WHERE cum * 2 >= tot ORDER BY rn LIMIT 1
     """,
+    "a1_size_distribution": """
+        WITH sized AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS sz
+            FROM orders
+        ),
+        e AS (
+            SELECT c.cutoff, s.sz
+            FROM sized s
+            JOIN (VALUES (5000000), (10000000), (25000000), (40000000)) c(cutoff)
+              ON s.sz >= c.cutoff
+        ),
+        cum AS (
+            SELECT cutoff, sz,
+                   sum(sz) OVER w AS cumi,
+                   row_number() OVER w AS rn,
+                   sum(sz) OVER (PARTITION BY cutoff) AS tot,
+                   count(*) OVER (PARTITION BY cutoff) AS cnt
+            FROM e
+            WINDOW w AS (PARTITION BY cutoff ORDER BY sz DESC
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT cutoff,
+               CAST(max(cnt) AS BIGINT) AS cnt,
+               CAST(max(tot) AS BIGINT) AS total,
+               round(CAST(max(tot) AS DOUBLE) / max(cnt), 2) AS mean,
+               1.0 AS mean_cov,
+               max(CASE WHEN 2 * cumi >= tot AND 2 * (cumi - sz) < tot THEN sz END) AS n50,
+               CAST(max(CASE WHEN 2 * cumi >= tot AND 2 * (cumi - sz) < tot THEN rn END) AS BIGINT) AS n50_cnt
+        FROM cum GROUP BY 1
+    """,
     "a2_global_counts": """
         SELECT count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars
         FROM documents
@@ -753,6 +825,7 @@ _ORACLES: dict[str, str] = {
         FROM a JOIN b USING (ov) WHERE a <> b
         GROUP BY 1
     """,
+    "j1_candidates": None,   # filled below (shared shingle CTEs)
     "j3_edge_symmetrize": f"""
         WITH e AS ({_EDGES}),
         sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)
@@ -1161,6 +1234,20 @@ _ORACLES["simhash_pairs"] = f"""
     WHERE bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) <= 7
 """
 
+_ORACLES["j1_candidates"] = f"""
+    WITH {_SHINGLES_CTE},
+    capped AS (
+        SELECT doc_id, sh
+        FROM (SELECT doc_id, sh,
+                     row_number() OVER (PARTITION BY sh ORDER BY doc_id) AS rnk
+              FROM sh)
+        WHERE rnk <= 10
+    )
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+    FROM capped x JOIN capped y ON x.sh = y.sh AND x.doc_id < y.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
 _ORACLES["minhash_lsh_dedup"] = _minhash_lsh_sql()
 _ORACLES["ngram_jaccard"] = _ngram_jaccard_sql()
 _ORACLES["lang_id"] = _lang_id_sql()
@@ -1180,7 +1267,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a5_token_freq_per_doc": q_a5_token_freq_per_doc,
     "a6_trusted_docs": q_a6_trusted_docs,
     "a1_n50": q_a1_n50,
+    "a1_size_distribution": q_a1_size_distribution,
     "a2_global_counts": q_a2_global_counts,
+    "j1_candidates": q_j1_candidates,
     "j2_overlap_equijoin": q_j2_overlap_equijoin,
     "j3_edge_symmetrize": q_j3_edge_symmetrize,
     "g3_transitive_reduction": q_g3_transitive_reduction,
