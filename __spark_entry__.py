@@ -368,6 +368,22 @@ def q_fingerprint(spark, sf_dir):
     return textops.fingerprints(docs)
 
 
+def q_curation_filter(spark, sf_dir):
+    """Composed curation decision — the canonical training-data gate:
+    quality score x language-ID x token-count bounds joined into one
+    keep/drop verdict per document."""
+    docs = _t(spark, sf_dir, "documents")
+    q = textops.quality_score(docs).select("doc_id", "quality")
+    l = textops.language_id(docs).select("doc_id", "lang_pred")
+    t = docs.select("doc_id", textfn.token_count("text").cast("long").alias("ws_tokens"))
+    keep = ((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+            & F.col("ws_tokens").between(10, 1000))
+    return (
+        q.join(l, "doc_id").join(t, "doc_id")
+        .select("doc_id", "quality", "lang_pred", "ws_tokens", keep.alias("keep"))
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary (headline aggregate query)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1234,6 +1250,19 @@ _ORACLES["simhash_pairs"] = f"""
     WHERE bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) <= 7
 """
 
+_ORACLES["curation_filter"] = f"""
+    WITH q AS ({_quality_sql()}),
+         l AS ({_lang_id_sql()}),
+         t AS (SELECT doc_id,
+                      CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens
+               FROM documents)
+    SELECT q.doc_id, q.quality, l.lang_pred, CAST(t.ws_tokens AS BIGINT) AS ws_tokens,
+           (q.quality >= 0.5 AND l.lang_pred = 'en'
+            AND t.ws_tokens BETWEEN 10 AND 1000) AS keep
+    FROM q JOIN l ON q.doc_id = l.doc_id JOIN t ON q.doc_id = t.doc_id
+"""
+
 _ORACLES["j1_candidates"] = f"""
     WITH {_SHINGLES_CTE},
     capped AS (
@@ -1281,6 +1310,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "quality": q_quality,
     "token_stats": q_token_stats,
+    "curation_filter": q_curation_filter,
     "fingerprint": q_fingerprint,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,

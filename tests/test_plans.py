@@ -52,3 +52,14 @@ def test_two_phase_n50_histogram_before_any_global_exchange(spark):
     # plan (the histogram shuffle) — the global exchange only carries
     # aggregated rows
     assert "hashpartitioning(sz" in plan or "hashpartitioning(bkt" in plan
+
+
+def test_asof_join_avoids_nested_loop(spark):
+    """The as-of join must plan as union + window (one hash shuffle), never
+    a range-condition join (which Spark plans as broadcast nested loop)."""
+    from cloudbrush_spark.operators import joins
+    left = spark.createDataFrame([("u", 100)], "k string, lts long")
+    right = spark.createDataFrame([("u", 90)], "k string, rts long")
+    plan = plans.explain_str(joins.asof_join(left, right, "k", "lts", "rts"))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
