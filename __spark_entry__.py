@@ -368,6 +368,17 @@ def q_fingerprint(spark, sf_dir):
     return textops.fingerprints(docs)
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by content hash (engine-
+    portable md5 buckets — reproducible under reordering/repartition,
+    unlike rand()-based sampling)."""
+    from cloudbrush_spark.operators import sampling
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.assign_split(docs.select("doc_id"), "doc_id",
+                                train=0.9, val=0.05, seed="split")
+    return out.select("doc_id", "split")
+
+
 def q_curation_filter(spark, sf_dir):
     """Composed curation decision — the canonical training-data gate:
     quality score x language-ID x token-count bounds joined into one
@@ -1250,6 +1261,22 @@ _ORACLES["simhash_pairs"] = f"""
     WHERE bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) <= 7
 """
 
+_ORACLES["hash_split"] = """
+    WITH hashed AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                    i -> (strpos('0123456789abcdef',
+                                 substring(md5('split|' || doc_id::VARCHAR), i, 1)) - 1)
+                         * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 1000 AS b
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN b < 900 THEN 'train'
+                WHEN b < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM hashed
+"""
+
 _ORACLES["curation_filter"] = f"""
     WITH q AS ({_quality_sql()}),
          l AS ({_lang_id_sql()}),
@@ -1311,6 +1338,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality": q_quality,
     "token_stats": q_token_stats,
     "curation_filter": q_curation_filter,
+    "hash_split": q_hash_split,
     "fingerprint": q_fingerprint,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
