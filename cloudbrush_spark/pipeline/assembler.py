@@ -185,15 +185,20 @@ class Assembler:
 
     # -- full run (BrushAssembler.java:829-893) ----------------------------
     def assemble(self, reads: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Stage order mirrors the reference driver exactly
+        (BrushAssembler.java:829-893): preprocess -> buildOverlap ->
+        buildString -> removeTips -> popBubbles -> lowcov ->
+        [pairedgeAdjustment, disabled by default like :873-879] ->
+        adjustedges (C5 runs LAST, on the cleaned graph)."""
         nodes, hk = self.preprocess(reads)
         edges = self.build_overlap(nodes, hk)
         nodes, edges = self.build_string_graph(nodes, edges)
-        nodes, edges = self.edge_adjustment(nodes, edges)
         nodes, edges = self.remove_tips(nodes, edges)
         nodes, edges = self.pop_all_bubbles(nodes, edges)
         nodes, edges = self.remove_low_cov(nodes, edges)
         if self.params.mate_adjust:  # reference default: disabled
             nodes, edges = self.pair_edge_adjustment(nodes, edges)
+        nodes, edges = self.edge_adjustment(nodes, edges)
         self.counters["final_nodes"] = nodes.count()
         self.counters["final_edges"] = edges.count()
         return nodes, edges
