@@ -32,6 +32,9 @@ class BrushParams:
                                     # (/root/reference/README.md:21-23);
                                     # off by default like the reference v0
     precorrect_rounds: int = 1
+    diagnostics: bool = False       # G9/G10 consensus-color + braid counters
+                                    # at the end of buildStringGraph
+                                    # (src/Brush/BrushAssembler.java:379-396)
 
     # derived (src/Brush/BrushConfig.java:86-103)
     tiplength: int = field(init=False)

@@ -83,6 +83,13 @@ class Assembler:
         edges = self._ckpt(graph.transitive_reduction(nodes, edges))
         self.counters["edges_after_tr"] = edges.count()
         nodes, edges = self.compress_chains(nodes, edges)
+        if self.params.diagnostics:
+            # G9 DefineConsensus + G10 CountBraid diagnostic counters
+            # (reference runs them at the end of buildStringGraph,
+            # BrushAssembler.java:379-396)
+            self.counters["braids"] = consensus_ops.count_braids(
+                nodes, edges, majority=self.params.majority,
+                pwm_n=self.params.pwm_n).collect()[0]["braids"]
         self._log(f"string graph: {self.counters['edges_after_tr']} edges after TR")
         return nodes, edges
 
@@ -207,3 +214,12 @@ class Assembler:
         """A1 contig statistics over the final node table."""
         sized = nodes.withColumn("len", F.length("seq"))
         return stats_ops.size_distribution(sized, "len", cov_col="cov")
+
+    def stats_report(self, nodes: DataFrame,
+                     genome_size: int | None = None) -> dict:
+        """The full A1 report: per-cutoff table, top-10 contigs, and the
+        genome-target N50 when a genome size is given (the reference's
+        ``-genome`` flag, src/Brush/Stats.java:363-411)."""
+        sized = nodes.withColumn("len", F.length("seq"))
+        return stats_ops.stats_report(sized, "len", cov_col="cov",
+                                      genome_size=genome_size)
