@@ -368,6 +368,14 @@ def q_fingerprint(spark, sf_dir):
     return textops.fingerprints(docs)
 
 
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints: per-doc distinct
+    window-minimum k-gram hashes — partial-overlap detection the
+    whole-doc md5 can't do."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.winnow_fingerprints(docs, k=8, window=4)
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by content hash (engine-
     portable md5 buckets — reproducible under reordering/repartition,
@@ -1261,6 +1269,32 @@ _ORACLES["simhash_pairs"] = f"""
     WHERE bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) <= 7
 """
 
+_ORACLES["winnow_fp"] = f"""
+    WITH normed AS (
+        SELECT doc_id, array_to_string({_TOKS_NE}, ' ') AS norm FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i - 1 AS pos, substring(norm, i, 8) AS g
+        FROM normed,
+             LATERAL (SELECT unnest(generate_series(1, greatest(length(norm) - 7, 0))) AS i)
+    ),
+    hashed AS (
+        SELECT doc_id, pos,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                    j -> (strpos('0123456789abcdef', substring(md5(g), j, 1)) - 1)
+                         * CAST(power(16, 8 - j) AS BIGINT))) AS BIGINT) AS hv
+        FROM grams
+    ),
+    winm AS (
+        SELECT doc_id, pos,
+               min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM hashed
+    )
+    SELECT DISTINCT doc_id, wmin AS fp FROM winm WHERE pos <= n - 4
+"""
+
 _ORACLES["hash_split"] = """
     WITH hashed AS (
         SELECT doc_id,
@@ -1339,6 +1373,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "curation_filter": q_curation_filter,
     "hash_split": q_hash_split,
+    "winnow_fp": q_winnow_fp,
     "fingerprint": q_fingerprint,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,

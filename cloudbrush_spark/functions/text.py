@@ -62,6 +62,24 @@ def char_shingles(name: str, n: int) -> Column:
     )
 
 
+def char_shingles_arr(col: Column, n: int) -> Column:
+    """Array of character n-grams of an arbitrary expression ``col``.
+
+    Same zip_with construction as word_shingles (see below): the input
+    expression is referenced a constant n+1 times per row instead of once
+    per output element, so expensive upstream pipelines (normalization,
+    tokenization) are not re-evaluated O(len) times."""
+    chars = F.split(col, r"(?!^)")
+    # size from the STRING length, not the char array: split's (?!^) also
+    # matches at end-of-string, appending a bogus empty trailing element
+    m = F.greatest(F.length(col) - n + 1, F.lit(0))
+    out = F.slice(chars, 1, m)
+    for i in range(1, n):
+        out = F.zip_with(out, F.slice(chars, i + 1, m),
+                         lambda a, b: F.concat(a, b))
+    return out
+
+
 def word_shingles(tokens_col: Column, n: int) -> Column:
     """Array of word n-grams (space-joined) from a token array column.
 

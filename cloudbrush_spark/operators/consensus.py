@@ -83,10 +83,14 @@ def pwm_consensus(nodes: DataFrame, edges: DataFrame, majority: float = 0.6,
         F.when((F.col("n") == 2) | (F.col("w12") > 2.0), F.col("len2"))
         .otherwise(F.coalesce(F.col("len3"), F.col("len2"))).alias("clen"),
     )
+    # NOTE: split's (?!^) also matches at end-of-string, yielding a bogus
+    # trailing "" element — the pos < length(ext) guard drops it (it would
+    # otherwise cast phantom '' votes at each extension's end column)
     chars = ext.select(
-        "src", "d", "et", "dst", "ov", "iw",
+        "src", "d", "et", "dst", "ov", "iw", F.length("ext").alias("elen"),
         F.posexplode(F.split(F.col("ext"), "(?!^)")).alias("pos", "ch"),
-    ).join(side_len, ["src", "d"]).filter(F.col("pos") < F.col("clen"))
+    ).filter(F.col("pos") < F.col("elen")).drop("elen") \
+        .join(side_len, ["src", "d"]).filter(F.col("pos") < F.col("clen"))
     col_w = chars.groupBy("src", "d", "pos", "ch").agg(F.sum("iw").alias("cw"))
     col_tot = col_w.groupBy("src", "d", "pos").agg(
         F.sum("cw").alias("total_w"),

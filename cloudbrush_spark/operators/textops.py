@@ -9,7 +9,7 @@ A-statistic classification src/Brush/CutRepeatBoundary.java:306-315).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cloudbrush_spark.functions import text
@@ -75,3 +75,41 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized-content md5 fingerprint per document."""
     return docs.select("doc_id", text.fingerprint(text_col).alias("fp"))
+
+
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        window: int = 4) -> DataFrame:
+    """Winnowing (MOSS-style) rolling fingerprints: hash every char
+    k-gram of the normalized text, keep the minimum hash of each sliding
+    ``window`` of consecutive k-grams, output the distinct selected
+    hashes.  Guarantees any shared substring of length >= k + window - 1
+    yields a shared fingerprint — partial-overlap detection, where the
+    whole-document md5 only catches exact duplicates.
+
+    Plan shape: posexplode the k-gram hash stream (materialized — never a
+    per-element slice over a recomputed array), per-doc sliding-window min
+    (bounded by doc length), distinct.  Hashes are md5-derived
+    (engine-portable -> oracle-checkable).
+    """
+    norm = F.concat_ws(" ", text.tokens(text_col))
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(text.char_shingles_arr(norm, k)).alias("pos", "g"),
+    )
+    hashed = grams.select(
+        id_col, "pos",
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long").alias("hv"),
+    )
+    w = (Window.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(0, window - 1))
+    # window starts only where a full window exists
+    n_w = Window.partitionBy(id_col)
+    return (
+        hashed
+        .withColumn("wmin", F.min("hv").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(n_w))
+        .filter(F.col("pos") <= F.col("n") - window)
+        .select(id_col, F.col("wmin").alias("fp"))
+        .distinct()
+    )
