@@ -5,13 +5,13 @@ the reference invocation parameters (k=21, readlen=36 —
 invariants against the included reference genome
 (/root/reference/data/Ecoli.10k.fa).
 
-Exact contig-set equality with the reference is not the bar (randomized
-merge order, float coverage — SURVEY §7 milestone 5); invariants are:
-- stage counters fire (dedup, overlap join, cuts, tips, low-cov);
-- assembled contigs are genuine: the overwhelming majority must be exact
-  substrings of the source genome (fwd or rc);
-- N50 exceeds the read length (assembly actually assembled);
-- total contig bp stays within sane conservation bounds.
+Expected shape (recorded in BASELINE.md): the 10 kb genome reconstructs
+into a handful of contigs dominated by one multi-kb contig (N50 ~8 kb),
+total bp ~1.05x the genome, with ~0.1% base error from merging through
+uncorrected error reads (53.5% of the raw reads carry >= 1 error; the
+reference defers correction to its CloudRS companion).  Invariants are
+therefore window-identity and distribution-shaped, not exact contig sets
+(randomized merge order, float coverage — SURVEY §7 milestone 5).
 """
 
 import os
@@ -55,29 +55,35 @@ def test_stage_counters(assembly):
     assert c["nodes"] == 16507          # P1 dedup of 20,000 reads
     assert c["edges"] > 100_000         # J1-J3 overlap graph
     assert c["tips_removed"] > 0 and c["lowcov_removed"] > 0
-    assert 0 < c["final_nodes"] < 2500
+    assert 0 < c["final_nodes"] < 200   # near-complete reconstruction
 
 
-def test_contigs_are_genome_substrings(assembly):
+def test_contigs_are_genome_faithful(assembly):
+    """Every merged contig must be window-identical to the genome: >= 90%
+    of its 50 bp windows appear exactly (fwd or rc).  The residue of
+    read-length singletons is isolated error reads."""
     _, contigs = assembly
     fwd, rev = _genome()
-    exact = sum(1 for s in contigs if s in fwd or s in rev)
-    # merged contigs must be genuine genome substrings; the non-matching
-    # residue is isolated error reads surviving as 36 bp singletons
-    assert exact / len(contigs) >= 0.85
-    # merged contigs that carry an error base (paths through an error
-    # read's dirty region): 53.5% of the raw reads contain errors
-    # (~2%/base), so a thin tail is inherent without CloudRS correction
-    bad_long = [s for s in contigs
-                if len(s) > 40 and s not in fwd and s not in rev]
-    assert len(bad_long) / len(contigs) < 0.08
+    merged = [s for s in contigs if len(s) >= 50]
+    assert merged, "no merged contigs at all"
+    all_wins = all_hits = 0
+    for s in merged:
+        wins = [s[i:i + 50] for i in range(0, len(s) - 49, 50)] or [s[:50]]
+        hits = sum(1 for w in wins if w in fwd or w in rev)
+        all_wins += len(wins)
+        all_hits += hits
+        if s == max(merged, key=len):
+            # the dominant contig itself must be >= 90% window-identical
+            assert hits / len(wins) >= 0.9, f"main contig: {hits}/{len(wins)}"
+    assert all_hits / all_wins >= 0.9, f"overall: {all_hits}/{all_wins}"
+    singletons = [s for s in contigs if len(s) < 50]
+    assert len(singletons) < 50
 
 
 def test_assembly_stats_invariants(assembly):
     _, contigs = assembly
     lens = sorted((len(s) for s in contigs), reverse=True)
     total = sum(lens)
-    # N50 > readlen: real merging happened
     cum = 0
     n50 = 0
     for s in lens:
@@ -85,7 +91,7 @@ def test_assembly_stats_invariants(assembly):
         if 2 * cum >= total:
             n50 = s
             break
-    assert n50 > 36
-    assert max(lens) >= 150             # at least one long merged contig
-    # conservation: more than the genome, far less than the raw read mass
-    assert 10_000 * 0.9 < total < 20_000 * 36
+    assert n50 > 1000                    # multi-kb reconstruction
+    assert max(lens) >= 5000             # dominant contig spans the genome
+    # conservation: ~genome-sized assembly, far below the raw read mass
+    assert 10_000 * 0.9 < total < 10_000 * 2
