@@ -3,9 +3,13 @@ import pytest
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from cloudbrush_spark.session import get_spark
     s = get_spark("cloudbrush-tests", extra_conf={
         "spark.sql.shuffle.partitions": "8",
+        # managed-table tests (bucketing) must not write into the repo
+        "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="cb-warehouse-"),
     })
     yield s
 
