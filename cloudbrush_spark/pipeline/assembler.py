@@ -28,9 +28,35 @@ class Assembler:
     params: BrushParams = field(default_factory=BrushParams)
     counters: dict = field(default_factory=dict)
     verbose: bool = False
+    # durable stage checkpoints: when set, each major stage persists its
+    # (nodes, edges) to parquet and a finished stage is LOADED instead of
+    # recomputed on the next run — the reference's runStage/checkDone
+    # partial-run machinery (src/Brush/BrushAssembler.java:132-155), and
+    # what makes a multi-day 100 TB assembly restartable.  Counters of
+    # skipped stages are not re-emitted.
+    checkpoint_dir: str | None = None
 
     def _ckpt(self, df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True)
+
+    def _stage(self, name: str, fn) -> tuple[DataFrame, DataFrame]:
+        import os
+        if not self.checkpoint_dir:
+            return fn()
+        base = os.path.join(self.checkpoint_dir, name)
+        marker = os.path.join(base, "_DONE")
+        if os.path.exists(marker):
+            self.counters[f"loaded_{name}"] = 1
+            self._log(f"stage {name}: loaded from checkpoint")
+            return (self.spark.read.parquet(os.path.join(base, "nodes")),
+                    self.spark.read.parquet(os.path.join(base, "edges")))
+        nodes, edges = fn()
+        nodes.write.mode("overwrite").parquet(os.path.join(base, "nodes"))
+        edges.write.mode("overwrite").parquet(os.path.join(base, "edges"))
+        with open(marker, "w") as fh:
+            fh.write("done")
+        return (self.spark.read.parquet(os.path.join(base, "nodes")),
+                self.spark.read.parquet(os.path.join(base, "edges")))
 
     def _log(self, msg: str) -> None:
         if self.verbose:
@@ -197,15 +223,22 @@ class Assembler:
         buildString -> removeTips -> popBubbles -> lowcov ->
         [pairedgeAdjustment, disabled by default like :873-879] ->
         adjustedges (C5 runs LAST, on the cleaned graph)."""
-        nodes, hk = self.preprocess(reads)
-        edges = self.build_overlap(nodes, hk)
-        nodes, edges = self.build_string_graph(nodes, edges)
-        nodes, edges = self.remove_tips(nodes, edges)
-        nodes, edges = self.pop_all_bubbles(nodes, edges)
-        nodes, edges = self.remove_low_cov(nodes, edges)
+        def s_string_graph():
+            nodes, hk = self.preprocess(reads)
+            edges = self.build_overlap(nodes, hk)
+            return self.build_string_graph(nodes, edges)
+
+        nodes, edges = self._stage("01_string_graph", s_string_graph)
+        nodes, edges = self._stage(
+            "02_notips", lambda: self.remove_tips(nodes, edges))
+        nodes, edges = self._stage(
+            "03_nobubbles", lambda: self.pop_all_bubbles(nodes, edges))
+        nodes, edges = self._stage(
+            "04_lowcov", lambda: self.remove_low_cov(nodes, edges))
         if self.params.mate_adjust:  # reference default: disabled
             nodes, edges = self.pair_edge_adjustment(nodes, edges)
-        nodes, edges = self.edge_adjustment(nodes, edges)
+        nodes, edges = self._stage(
+            "05_edgeadjust", lambda: self.edge_adjustment(nodes, edges))
         self.counters["final_nodes"] = nodes.count()
         self.counters["final_edges"] = edges.count()
         return nodes, edges
