@@ -53,13 +53,27 @@ def _flip(d):
     return F.when(d == "f", F.lit("r")).otherwise(F.lit("f"))
 
 
-def _pick_merges(links: DataFrame, seed: int) -> DataFrame:
+def _coin_male(col, seed: int, coin: str):
+    """Deterministic per-node coin (the reference seeds Math.random(),
+    src/Brush/PairMark.java:61-72; we pin for testability).  ``xxhash64``
+    is the fast default; ``md5`` is engine-portable (same parity rule is
+    expressible in any SQL engine — what makes PairMark oracle-checkable)."""
+    if coin == "xxhash64":
+        return F.xxhash64(col, F.lit(seed)) % 2 == 0
+    if coin == "md5":
+        return F.substring(
+            F.md5(F.concat_ws("#", col, F.lit(str(seed)))), 1, 1
+        ).isin(*"02468ace")
+    raise ValueError(f"unknown coin {coin!r}")
+
+
+def _pick_merges(links: DataFrame, seed: int, coin: str = "xxhash64") -> DataFrame:
     """One merge per male node into a female tail.
 
     Output: (a, d1, b, d2, ov, o_a) — a merges into b.
     """
-    male_src = F.xxhash64(F.col("src"), F.lit(seed)) % 2 == 0
-    male_dst = F.xxhash64(F.col("dst"), F.lit(seed)) % 2 == 0
+    male_src = _coin_male(F.col("src"), seed, coin)
+    male_dst = _coin_male(F.col("dst"), seed, coin)
     cand = links.filter(male_src & ~male_dst).select(
         F.col("src").alias("a"), D1().alias("d1"),
         F.col("dst").alias("b"), D2().alias("d2"), "ov",
@@ -71,6 +85,16 @@ def _pick_merges(links: DataFrame, seed: int) -> DataFrame:
         .withColumn("o_a", F.when(F.col("d2") == "f", F.col("d1"))
                     .otherwise(_flip(F.col("d1"))))
     )
+
+
+def pick_merges(links: DataFrame, seed: int, coin: str = "xxhash64") -> DataFrame:
+    """Public G5 PairMark step (see _pick_merges)."""
+    return _pick_merges(links, seed, coin)
+
+
+def merge_nodes(nodes: DataFrame, merges: DataFrame) -> DataFrame:
+    """Public G6 PairMerge node step (see _merge_nodes)."""
+    return _merge_nodes(nodes, merges)
 
 
 def _merge_nodes(nodes: DataFrame, merges: DataFrame) -> DataFrame:
