@@ -749,6 +749,153 @@ def q_mm_blockhash_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Graph-operator fixture queries (G2/G5/G6/G7+G8/G9/G10/C2/C3/C4/J4/A7/K1):
+# one hash-checkable step of each previously pytest-only operator, over the
+# deterministic part-derived fixtures in cloudbrush_spark.oracle_fixtures.
+# ---------------------------------------------------------------------------
+
+def q_g2_edge_removal(spark, sf_dir):
+    """G2 EdgeRemoval: drop a removal set + its mirrored directions from the
+    symmetric chain-fixture edge table (src/Brush/EdgeRemoval.java:190-193)."""
+    from cloudbrush_spark import oracle_fixtures as gfx
+    from cloudbrush_spark.operators import graph
+    edges = gfx.chain_edges(spark, sf_dir)
+    removals = gfx.chain_fwd_edges(spark, sf_dir).filter(
+        F.col("src").cast("int") % 7 == 0)
+    return graph.remove_edges(edges, removals)
+
+
+def q_g5_pairmark(spark, sf_dir):
+    """G5 PairMark: one randomized-matching round over the chain links with
+    the engine-portable md5 coin (src/Brush/PairMark.java:104-172; coin
+    seeding :61-72 pinned deterministic)."""
+    from cloudbrush_spark import oracle_fixtures as gfx
+    from cloudbrush_spark.operators import contraction
+    links = gfx.chain_fwd_edges(spark, sf_dir)
+    return contraction.pick_merges(links, seed=5, coin="md5")
+
+
+def q_g6_pairmerge(spark, sf_dir):
+    """G6 PairMerge, node step: females absorb their marked males —
+    orientation-aware splice + length-weighted coverage
+    (src/Brush/PairMerge.java:132-291)."""
+    from cloudbrush_spark import oracle_fixtures as gfx
+    from cloudbrush_spark.operators import contraction
+    links = gfx.chain_fwd_edges(spark, sf_dir)
+    merges = contraction.pick_merges(links, seed=5, coin="md5")
+    out = contraction.merge_nodes(gfx.chain_nodes(spark, sf_dir), merges)
+    return out.select("node_id", "seq", F.round("cov", 4).alias("cov"))
+
+
+def q_g7g8_chain_contract(spark, sf_dir):
+    """G7 QuickMark + G8 QuickMerge: full chain contraction to fixpoint.
+    The 12 disjoint 8-node chains sit under the serial threshold, so this
+    exercises the adaptive driver-side finish — the reference's single-
+    reducer switch (src/Brush/QuickMark.java:129-137,
+    src/Brush/QuickMerge.java:239-279, BrushAssembler.java:506-556)."""
+    from cloudbrush_spark import oracle_fixtures as gfx
+    from cloudbrush_spark.operators import contraction
+    nodes = gfx.chain_nodes(spark, sf_dir)
+    edges = gfx.chain_edges(spark, sf_dir)
+    n2, _, _ = contraction.contract_chains(nodes, edges, seed=3)
+    return n2.select("node_id", "seq", F.round("cov", 4).alias("cov"))
+
+
+def q_g9_define_consensus(spark, sf_dir):
+    """G9 DefineConsensus: per (node, side) B/W color from the bounded PWM
+    consensus over the star fixture (src/Brush/DefineConsensus.java:288-341,
+    Node.Consensus src/Brush/Node.java:1293-1377)."""
+    from cloudbrush_spark import oracle_fixtures as gfx
+    from cloudbrush_spark.operators import consensus
+    nodes, edges = gfx.star_tables(spark, sf_dir)
+    return consensus.define_consensus(nodes, edges)
+
+
+def q_g10_count_braid(spark, sf_dir):
+    """G10 CountBraid: braid-motif diagnostic count over the star fixture
+    (src/Brush/CountBraid.java:298-373)."""
+    from cloudbrush_spark import oracle_fixtures as gfx
+    from cloudbrush_spark.operators import consensus
+    nodes, edges = gfx.star_tables(spark, sf_dir)
+    return consensus.count_braids(nodes, edges)
+
+
+def q_c2_find_bubbles(spark, sf_dir):
+    """C2 FindBubbles: parallel-path detection on the bubble fixture —
+    edit-distance <= 5% of interior, higher coverage survives
+    (src/Brush/FindBubbles.java:383-437)."""
+    from cloudbrush_spark import oracle_fixtures as gfx
+    from cloudbrush_spark.operators import bubbles
+    nodes, edges = gfx.bubble_tables(spark, sf_dir)
+    return bubbles.find_bubbles(nodes, edges, maxbubblelen=50, edit_rate=0.05)
+
+
+def q_c3_pop_bubbles(spark, sf_dir):
+    """C3 PopBubbles: remove popped interiors, transfer coverage mass to
+    survivors (cov += mass/len, src/Brush/PopBubbles.java:193-216)."""
+    from cloudbrush_spark import oracle_fixtures as gfx
+    from cloudbrush_spark.operators import bubbles
+    nodes, edges = gfx.bubble_tables(spark, sf_dir)
+    pops = bubbles.find_bubbles(nodes, edges, maxbubblelen=50, edit_rate=0.05)
+    n3, _ = bubbles.pop_bubbles(nodes, edges, pops)
+    return n3.select("node_id", "cov")
+
+
+def q_c4_low_coverage(spark, sf_dir):
+    """C4 RemoveLowCoverage: drop short low-coverage nodes + every edge
+    touching them (src/Brush/RemoveLowCoverage.java:67-104); returns the
+    surviving edge set."""
+    from cloudbrush_spark import oracle_fixtures as gfx
+    from cloudbrush_spark.operators import graph
+    nodes = gfx.chain_nodes(spark, sf_dir)
+    edges = gfx.chain_edges(spark, sf_dir)
+    _, new_edges, _ = graph.remove_low_coverage(nodes, edges,
+                                               low_cov_thresh=3.0, max_len=40)
+    return new_edges
+
+
+def q_j4_mate_adjust(spark, sf_dir):
+    """J4 AdjustMateEdge: among a unique node's edges per side, keep the
+    max-mate-support edge and emit the rest as removals
+    (src/Brush/AdjustMateEdge.java:120-306)."""
+    from cloudbrush_spark import oracle_fixtures as gfx
+    from cloudbrush_spark.operators import mates
+    nodes, edges = gfx.mate_tables(spark, sf_dir)
+    return mates.adjust_mate_edges(nodes, edges, reads=100, ctg_sum=100,
+                                   inslen=200, inslen_sd=20)
+
+
+def q_a7_tag_trusted(spark, sf_dir):
+    """A7 TagTrustedReads: left-join the trust flag, UNIQUE = NOT trusted
+    (src/Brush/TagTrustedReads.java:104-109).  Trust source = the A6
+    min-frequency rule restricted to even doc_ids, so the fill-false path
+    is exercised too."""
+    from cloudbrush_spark.operators import mates
+    docs = _t(spark, sf_dir, "documents")
+    postings = docs.select("doc_id", F.explode(textfn.tokens("text")).alias("tok"))
+    counts = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    trusted = (
+        postings.join(counts, "tok")
+        .groupBy("doc_id")
+        .agg((F.min("freq") > 10).alias("trusted"))
+        .filter(F.col("doc_id") % 2 == 0)
+    )
+    return mates.tag_trusted(docs.select("doc_id"), trusted,
+                             id_col="doc_id", flag_col="trusted")
+
+
+def q_k1_fasta_format(spark, sf_dir):
+    """K1 Graph2Fasta record formatting: ``>id len= cov=`` + 60-char-wrapped
+    sequence (src/Brush/Graph2Fasta.java:54-77) — the sink's exact record
+    expression as a checkable string column."""
+    from cloudbrush_spark import oracle_fixtures as gfx
+    from cloudbrush_spark.sources import fasta
+    nodes = gfx.chain_nodes(spark, sf_dir)
+    contigs = nodes.select("node_id", F.repeat("seq", 3).alias("seq"), "cov")
+    return fasta.fasta_records(contigs)
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect-compatible ANSI)
 # ---------------------------------------------------------------------------
 
@@ -1345,6 +1492,251 @@ _ORACLES["quality"] = _quality_sql()
 
 
 # ---------------------------------------------------------------------------
+# Graph-operator fixture oracles.  The fixture CTEs (SQL_CHAIN / SQL_STAR /
+# SQL_BUBBLE / SQL_MATE) build the exact rows the Spark builders in
+# cloudbrush_spark.oracle_fixtures produce — see that module for the shared
+# layout conventions (zero-padded ids, md5-derived sequences, modular
+# orientation/overlap/coverage).
+# ---------------------------------------------------------------------------
+
+from cloudbrush_spark.oracle_fixtures import (  # noqa: E402
+    SQL_BUBBLE, SQL_CHAIN, SQL_MATE, SQL_STAR,
+)
+
+_RC = "reverse(translate({0}, 'ACGT', 'TGCA'))"
+_FLIPLINK = "CASE {0} WHEN 'ff' THEN 'rr' WHEN 'rr' THEN 'ff' ELSE {0} END"
+_COIN_EVEN = "('0', '2', '4', '6', '8', 'a', 'c', 'e')"
+
+_ORACLES["g2_edge_removal"] = f"""
+    WITH {SQL_CHAIN},
+    grem AS (SELECT src, et, dst, ov FROM cfwd WHERE CAST(src AS INTEGER) % 7 = 0),
+    gremb AS (SELECT src, et, dst, ov FROM grem
+              UNION SELECT dst, {_FLIPLINK.format('et')}, src, ov FROM grem)
+    SELECT e.src, e.et, e.dst, e.ov FROM cedges e
+    WHERE NOT EXISTS (SELECT 1 FROM gremb r
+                      WHERE r.src = e.src AND r.et = e.et
+                        AND r.dst = e.dst AND r.ov = e.ov)
+"""
+
+# G5 pick step with the md5 coin (seed 5): male iff the first hex digit of
+# md5(id || '#5') is even; one merge per male, pinned by (d1, b).
+_SQL_PICK5 = f"""
+    gcand AS (SELECT src AS a, substring(et, 1, 1) AS d1, dst AS b,
+                     substring(et, 2, 1) AS d2, ov
+              FROM cfwd
+              WHERE substring(md5(src || '#5'), 1, 1) IN {_COIN_EVEN}
+                AND substring(md5(dst || '#5'), 1, 1) NOT IN {_COIN_EVEN}),
+    gpick AS (SELECT a, d1, b, d2, ov,
+                     CASE WHEN d2 = 'f' THEN d1
+                          ELSE (CASE WHEN d1 = 'f' THEN 'r' ELSE 'f' END) END AS o_a
+              FROM (SELECT *, row_number() OVER (PARTITION BY a ORDER BY d1, b) AS rn
+                    FROM gcand)
+              WHERE rn = 1)
+"""
+
+_ORACLES["g5_pairmark"] = f"""
+    WITH {SQL_CHAIN}, {_SQL_PICK5}
+    SELECT a, d1, b, d2, ov, o_a FROM gpick
+"""
+
+_ORACLES["g6_pairmerge"] = f"""
+    WITH {SQL_CHAIN}, {_SQL_PICK5},
+    mj AS (SELECT p.*, n.seq AS a_seq, n.cov AS a_cov, length(n.seq) AS a_len
+           FROM gpick p JOIN cnd n ON n.node_id = p.a),
+    perb AS (SELECT b AS node_id,
+                    max(CASE WHEN d2 = 'f' THEN
+                        (CASE WHEN d1 = 'f' THEN a_seq ELSE {_RC.format('a_seq')} END)
+                        END) AS l_oseq,
+                    max(CASE WHEN d2 = 'f' THEN ov END) AS l_ov,
+                    max(CASE WHEN d2 = 'f' THEN a_cov END) AS l_cov,
+                    max(CASE WHEN d2 = 'f' THEN a_len END) AS l_len,
+                    max(CASE WHEN d2 = 'r' THEN
+                        (CASE WHEN d1 = 'f' THEN {_RC.format('a_seq')} ELSE a_seq END)
+                        END) AS r_oseq,
+                    max(CASE WHEN d2 = 'r' THEN ov END) AS r_ov,
+                    max(CASE WHEN d2 = 'r' THEN a_cov END) AS r_cov,
+                    max(CASE WHEN d2 = 'r' THEN a_len END) AS r_len
+             FROM mj GROUP BY b),
+    fem AS (SELECT n.node_id, n.seq AS fseq, n.cov AS fcov,
+                   p.l_cov, p.l_len, p.r_oseq, p.r_ov, p.r_cov, p.r_len,
+                   CASE WHEN p.l_oseq IS NOT NULL
+                        THEN p.l_oseq || substring(n.seq, p.l_ov + 1)
+                        ELSE n.seq END AS s1
+            FROM cnd n JOIN perb p USING (node_id)),
+    fem2 AS (SELECT node_id,
+                    CASE WHEN r_oseq IS NOT NULL
+                         THEN substring(s1, 1, length(s1) - r_ov) || r_oseq
+                         ELSE s1 END AS seq,
+                    (fcov * length(fseq) + coalesce(l_cov * l_len, 0)
+                     + coalesce(r_cov * r_len, 0))
+                    / (length(fseq) + coalesce(l_len, 0) + coalesce(r_len, 0)) AS cov
+             FROM fem)
+    SELECT node_id, seq, round(cov, 4) AS cov FROM fem2
+    UNION ALL
+    SELECT node_id, seq, round(cov, 4) AS cov FROM cnd
+    WHERE node_id NOT IN (SELECT a FROM gpick)
+      AND node_id NOT IN (SELECT b FROM gpick)
+"""
+
+# G7/G8 fixpoint: walk each chain head-to-tail, splicing oriented sequences
+# (trim the incoming overlap) and folding the length-weighted coverage in
+# walk order — the same order-dependent formula as the serial contraction
+# (operators/contraction.py _serial_contract; src/Brush/PairMerge.java:149).
+_ORACLES["g7g8_chain_contract"] = f"""
+    WITH RECURSIVE {SQL_CHAIN},
+    walk AS (
+        SELECT k AS start_k, k AS cur_k, 0 AS pos,
+               CASE WHEN k % 3 <> 0 THEN seq ELSE {_RC.format('seq')} END AS acc,
+               cov AS cur_cov, CAST(length(seq) AS BIGINT) AS cur_len
+        FROM cnd WHERE (k - 1) % 8 = 0
+        UNION ALL
+        SELECT w.start_k, n.k, w.pos + 1,
+               w.acc || substring(
+                   CASE WHEN n.k % 3 <> 0 THEN n.seq ELSE {_RC.format('n.seq')} END,
+                   (w.cur_k % 5 + 3) + 1),
+               (w.cur_cov * w.cur_len + n.cov * length(n.seq))
+               / (w.cur_len + length(n.seq)),
+               w.cur_len + length(n.seq) - (w.cur_k % 5 + 3)
+        FROM walk w JOIN cnd n ON n.k = w.cur_k + 1
+        WHERE (w.cur_k - 1) % 8 < 7
+    )
+    SELECT lpad(CAST(start_k AS VARCHAR), 6, '0') AS node_id, acc AS seq,
+           round(cur_cov, 4) AS cov
+    FROM walk WHERE pos = 7
+"""
+
+# Bounded PWM consensus twin (Node.Consensus, src/Brush/Node.java:1293-1377)
+# over the star fixture — shared by the G9 and G10 oracles.
+_SQL_PWM_STAR = f"""
+    ext AS (
+        SELECT e.src, substring(e.et, 1, 1) AS d, e.dst, n.cov AS w,
+               greatest(CAST(floor(n.cov) AS INTEGER), 0) AS iw,
+               substring(CASE WHEN substring(e.et, 2, 1) = 'f' THEN n.seq
+                              ELSE {_RC.format('n.seq')} END,
+                         e.ov + 1, 100) AS ext
+        FROM sedges e JOIN snodes n ON n.node_id = e.dst
+    ),
+    extf AS (SELECT * FROM ext WHERE length(ext) > 0),
+    rankedx AS (SELECT *, row_number() OVER (
+                    PARTITION BY src, d
+                    ORDER BY length(ext) DESC, ext, dst) AS rnk
+                FROM extf),
+    side_len AS (
+        SELECT src, d,
+               CASE WHEN count(*) = 2
+                         OR sum(CASE WHEN rnk <= 2 THEN w ELSE 0 END) > 2.0
+                    THEN max(CASE WHEN rnk = 2 THEN length(ext) END)
+                    ELSE coalesce(max(CASE WHEN rnk = 3 THEN length(ext) END),
+                                  max(CASE WHEN rnk = 2 THEN length(ext) END))
+               END AS clen
+        FROM rankedx GROUP BY src, d HAVING count(*) >= 2
+    ),
+    chars0 AS (
+        SELECT src, d, iw, i - 1 AS pos, substring(ext, i, 1) AS ch
+        FROM extf, LATERAL (SELECT unnest(generate_series(1, length(ext))) AS i) t
+    ),
+    charsx AS (SELECT c.* FROM chars0 c
+               JOIN side_len s ON s.src = c.src AND s.d = c.d AND c.pos < s.clen),
+    colw AS (SELECT src, d, pos, ch, sum(iw) AS cw FROM charsx GROUP BY 1, 2, 3, 4),
+    coltop AS (SELECT src, d, pos, ch AS top_ch, cw AS top_w
+               FROM (SELECT *, row_number() OVER (
+                         PARTITION BY src, d, pos
+                         ORDER BY cw DESC, ch DESC) AS rn
+                     FROM colw)
+               WHERE rn = 1),
+    cons AS (SELECT t.src, t.d, t.pos,
+                    CASE WHEN p.top_w > 0.6 * t.total_w THEN p.top_ch ELSE 'N' END AS cchar
+             FROM (SELECT src, d, pos, sum(cw) AS total_w FROM colw GROUP BY 1, 2, 3) t
+             JOIN coltop p ON p.src = t.src AND p.d = t.d AND p.pos = t.pos),
+    colors AS (
+        SELECT src AS node_id, d,
+               CASE WHEN sum(CASE WHEN cchar = 'N' THEN 1 ELSE 0 END) * 1.0
+                         / count(*) <= 0.1
+                    THEN 'B' ELSE 'W' END AS color
+        FROM cons GROUP BY 1, 2
+        UNION ALL
+        SELECT src AS node_id, substring(et, 1, 1) AS d, 'B' AS color
+        FROM sedges GROUP BY 1, 2 HAVING count(*) = 1
+    )
+"""
+
+_ORACLES["g9_define_consensus"] = f"""
+    WITH {SQL_STAR}, {_SQL_PWM_STAR}
+    SELECT node_id, d, color FROM colors
+"""
+
+_ORACLES["g10_count_braid"] = f"""
+    WITH {SQL_STAR}, {_SQL_PWM_STAR},
+    jj AS (SELECT s.src, s.d, c1.color,
+                  CASE WHEN c2.color = 'B' THEN 1 ELSE 0 END AS nb
+           FROM (SELECT src, substring(et, 1, 1) AS d, dst,
+                        substring(et, 2, 1) AS d2 FROM sedges) s
+           JOIN colors c1 ON c1.node_id = s.src AND c1.d = s.d
+           LEFT JOIN colors c2 ON c2.node_id = s.dst
+                AND c2.d = (CASE WHEN s.d2 = 'f' THEN 'r' ELSE 'f' END)),
+    per_side AS (SELECT src, d, count(*) AS n, max(color) AS color,
+                        min(nb) AS all_b
+                 FROM jj GROUP BY 1, 2)
+    SELECT count(*) AS braids FROM per_side
+    WHERE n > 1 AND color = 'B' AND all_b = 1
+"""
+
+_ORACLES["c2_find_bubbles"] = f"""
+    WITH {SQL_BUBBLE}
+    SELECT node_id, survivor_id, mass FROM bpops
+"""
+
+_ORACLES["c3_pop_bubbles"] = f"""
+    WITH {SQL_BUBBLE},
+    ball AS (SELECT node_id, seq, cov FROM bint
+             UNION ALL SELECT node_id, seq, cov FROM bend),
+    credit AS (SELECT survivor_id AS node_id, sum(mass) AS extra
+               FROM bpops p
+               WHERE NOT EXISTS (SELECT 1 FROM bpops q
+                                 WHERE q.node_id = p.survivor_id)
+               GROUP BY 1)
+    SELECT a.node_id, a.cov + coalesce(c.extra, 0) / length(a.seq) AS cov
+    FROM ball a LEFT JOIN credit c USING (node_id)
+    WHERE a.node_id NOT IN (SELECT node_id FROM bpops)
+"""
+
+_ORACLES["c4_low_coverage"] = f"""
+    WITH {SQL_CHAIN},
+    doomed AS (SELECT node_id FROM cnd WHERE length(seq) <= 40 AND cov <= 3.0)
+    SELECT e.src, e.et, e.dst, e.ov FROM cedges e
+    WHERE e.src NOT IN (SELECT node_id FROM doomed)
+      AND e.dst NOT IN (SELECT node_id FROM doomed)
+"""
+
+_ORACLES["j4_mate_adjust"] = f"""
+    WITH {SQL_MATE}
+    SELECT src, et, dst, ov FROM mrank
+    WHERE best > 0 AND rnk > 1
+      AND src NOT IN (SELECT src FROM mspan_bad)
+"""
+
+_ORACLES["a7_tag_trusted"] = f"""
+    WITH postings AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    counts AS (SELECT tok, count(*) AS freq FROM postings GROUP BY 1),
+    tr AS (SELECT doc_id, min(freq) > 10 AS trusted
+           FROM postings JOIN counts USING (tok) GROUP BY 1),
+    sel AS (SELECT doc_id, trusted FROM tr WHERE doc_id % 2 = 0)
+    SELECT d.doc_id, coalesce(s.trusted, FALSE) AS trusted,
+           NOT coalesce(s.trusted, FALSE) AS "unique"
+    FROM documents d LEFT JOIN sel s USING (doc_id)
+"""
+
+_ORACLES["k1_fasta_format"] = f"""
+    WITH {SQL_CHAIN}
+    SELECT '>' || node_id || ' len=' || CAST(length(repeat(seq, 3)) AS VARCHAR)
+           || ' cov=' || printf('%.2f', cov) || chr(10)
+           || rtrim(regexp_replace(repeat(seq, 3), '(.{{60}})',
+                                   '\\1' || chr(10), 'g'), chr(10)) AS value
+    FROM cnd
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -1392,6 +1784,19 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g1_pwm_consensus": q_g1_pwm_consensus,
     "k2_explode_emit": q_k2_explode_emit,
     "a8_precorrect": q_a8_precorrect,
+    # graph-operator fixture steps (cloudbrush_spark.oracle_fixtures)
+    "g2_edge_removal": q_g2_edge_removal,
+    "g5_pairmark": q_g5_pairmark,
+    "g6_pairmerge": q_g6_pairmerge,
+    "g7g8_chain_contract": q_g7g8_chain_contract,
+    "g9_define_consensus": q_g9_define_consensus,
+    "g10_count_braid": q_g10_count_braid,
+    "c2_find_bubbles": q_c2_find_bubbles,
+    "c3_pop_bubbles": q_c3_pop_bubbles,
+    "c4_low_coverage": q_c4_low_coverage,
+    "j4_mate_adjust": q_j4_mate_adjust,
+    "a7_tag_trusted": q_a7_tag_trusted,
+    "k1_fasta_format": q_k1_fasta_format,
     # multimodal binary-column surface
     "mm_metadata": q_mm_metadata,
     "mm_binary_dedup": q_mm_binary_dedup,

@@ -82,10 +82,13 @@ def read_fastq(spark: SparkSession, path: str, mate_suffix: bool = True,
     return out
 
 
-def write_fasta(contigs: DataFrame, path: str, id_col: str = "node_id",
-                seq_col: str = "seq", cov_col: str = "cov", wrap: int = 60) -> None:
-    """K1 Graph2Fasta: ``>id len=N cov=C`` + wrapped sequence, one text file
-    per partition (map-only; src/Brush/Graph2Fasta.java:54-77,108)."""
+def fasta_records(contigs: DataFrame, id_col: str = "node_id",
+                  seq_col: str = "seq", cov_col: str = "cov",
+                  wrap: int = 60) -> DataFrame:
+    """K1 record expression: one ``value`` string per contig —
+    ``>id len=N cov=C`` + wrap-char-wrapped sequence
+    (src/Brush/Graph2Fasta.java:54-77).  Shared by write_fasta and the
+    driver-oracle query (k1_fasta_format)."""
     wrapped = F.regexp_replace(
         F.col(seq_col), "(.{" + str(wrap) + "})", "$1\n"
     )
@@ -95,7 +98,15 @@ def write_fasta(contigs: DataFrame, path: str, id_col: str = "node_id",
         F.lit(" cov="), F.format_number(F.col(cov_col), 2),
         F.lit("\n"), F.rtrim(wrapped),
     )
-    contigs.select(rec.alias("value")).write.mode("overwrite").text(path)
+    return contigs.select(rec.alias("value"))
+
+
+def write_fasta(contigs: DataFrame, path: str, id_col: str = "node_id",
+                seq_col: str = "seq", cov_col: str = "cov", wrap: int = 60) -> None:
+    """K1 Graph2Fasta sink: map-only text write of fasta_records
+    (src/Brush/Graph2Fasta.java:54-77,108)."""
+    fasta_records(contigs, id_col, seq_col, cov_col, wrap) \
+        .write.mode("overwrite").text(path)
 
 
 def write_sfa_expanded(nodes: DataFrame, path: str, id_col: str = "node_id",
