@@ -21,14 +21,15 @@ split as src/Brush/MatchPrefix.java:120-174 + src/Brush/VerifyOverlap.java:287-3
   anti-join; mirrors src/Brush/MatchPrefix.java:155-158) — removes the
   repeat-induced hot keys that would otherwise dominate the shuffle;
 - homopolymer seed windows dropped (src/Brush/MatchPrefix.java:163,170);
-- per-key candidate cap via window rank (src/Brush/MatchPrefix.java:366-380)
-  bounds the worst-case join fan-out per key;
+- NON-OPTIONAL per-key cap: over-cap seed keys found by groupBy-count and
+  dropped whole via broadcast anti-join (src/Brush/MatchPrefix.java:366-380)
+  — bounds worst-case join fan-out without ever windowing on the hot key;
 - AQE skew-join handles residual imbalance.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cloudbrush_spark.functions import dna
@@ -75,18 +76,31 @@ def _drop_noise_keys(postings: DataFrame, k: int, high_kmers: DataFrame | None) 
 def match_prefix(nodes: DataFrame, k: int, high_kmers: DataFrame | None = None,
                  per_key_cap: int = 2000) -> DataFrame:
     """J1: candidate overlap edges (src, d1, dst, d2, ov), maximal ov per
-    oriented pair."""
+    oriented pair.
+
+    The skew guard is NON-OPTIONAL: whether or not a precomputed
+    ``high_kmers`` blacklist is supplied, seed keys whose posting count
+    exceeds ``per_key_cap`` are detected with a groupBy-count (map-side
+    partials, skew-proof) and removed via broadcast anti-join — dropped
+    whole, the reference's own high-frequency-kmer semantics
+    (src/Brush/MatchPrefix.java:155-158, :366-380).  No window ever
+    partitions by the hot key itself, so the hottest posting list never
+    lands in a single task.
+    """
     prefixes, suffixes = _postings(nodes, k)
     prefixes = _drop_noise_keys(prefixes, k, high_kmers)
     suffixes = _drop_noise_keys(suffixes, k, high_kmers)
-    capped = suffixes.withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.partitionBy("kmer").orderBy(F.col("ov").desc(), F.col("node_id"))
-        ),
-    ).filter(F.col("rnk") <= per_key_cap).drop("rnk")
+    hot = (
+        suffixes.groupBy("kmer").count()
+        .unionByName(prefixes.groupBy("kmer").count())
+        .groupBy("kmer").agg(F.sum("count").alias("count"))
+        .filter(F.col("count") > per_key_cap)
+        .select("kmer")
+    )
+    suffixes = suffixes.join(F.broadcast(hot), "kmer", "left_anti")
+    prefixes = prefixes.join(F.broadcast(hot), "kmer", "left_anti")
     cand = (
-        capped.alias("s")
+        suffixes.alias("s")
         .join(prefixes.alias("p"), "kmer")
         .filter(F.col("s.node_id") != F.col("p.node_id"))
         .select(
