@@ -66,32 +66,59 @@ def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
 
 
-def lsh_bucket(vectors: DataFrame, dim: int, planes: int = 8, seed: int = 42,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Random-hyperplane LSH: bucket = sign-pattern of ``planes`` projections.
-
-    Hyperplanes are generated driver-side (seeded, tiny) and folded into the
-    expression as literals — no UDF, no broadcast variable needed.
-    """
-    hp = _hyperplanes(dim, planes, seed)
+def _sig_expr(vec_col: str, hp: list[list[float]]):
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(hp):
         proj = _dot(F.col(vec_col), F.array(*[F.lit(w) for w in plane]))
         sig = sig + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return vectors.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    return sig
+
+
+def lsh_bucket(vectors: DataFrame, dim: int, planes: int = 8, seed: int = 42,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               tables: int = 1) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-pattern of ``planes`` projections,
+    one ``(tbl, bucket)`` row per vector per hash table.
+
+    Hyperplanes are generated driver-side (seeded, tiny) and folded into the
+    expression as literals — no UDF, no broadcast variable needed.  Multiple
+    tables (independent seeds) are the standard recall lever: a near pair is
+    found if it collides in ANY table, so recall = 1-(1-p)^tables at a
+    ``tables``-times-larger (still bucket-bounded) candidate volume.
+    """
+    sigs = [
+        F.struct(F.lit(t).alias("tbl"),
+                 _sig_expr(vec_col, _hyperplanes(dim, planes, seed + 7919 * t))
+                 .alias("bucket"))
+        for t in range(tables)
+    ]
+    return vectors.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(F.array(*sigs)).alias("tb"),
+    ).select(id_col, vec_col, F.col("tb.tbl").alias("tbl"),
+             F.col("tb.bucket").alias("bucket"))
 
 
 def cosine_topk_lsh(vectors: DataFrame, dim: int, k: int = 10, planes: int = 8,
                     seed: int = 42, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
-    """Approximate all-pairs top-k: candidates share an LSH bucket, exact
-    cosine re-rank within the bucket.  One shuffle on the bucket key."""
-    b = lsh_bucket(vectors, dim, planes, seed, id_col, vec_col)
-    a = b.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket")
-    c = b.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket")
-    scored = (
-        a.join(c, "bucket")
+                    vec_col: str = "embedding", tables: int = 1) -> DataFrame:
+    """Approximate all-pairs top-k: candidates share an LSH bucket in any
+    table; the distinct candidate-pair set is re-ranked with exact cosine.
+    One shuffle on (tbl, bucket); pair dedup BEFORE the vector join keeps
+    the rerank linear in distinct candidates, not tables x candidates."""
+    b = lsh_bucket(vectors, dim, planes, seed, id_col, vec_col, tables)
+    a = b.select(F.col(id_col).alias("query_id"), "tbl", "bucket")
+    c = b.select(F.col(id_col).alias("neighbor_id"), "tbl", "bucket")
+    cand = (
+        a.join(c, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = vectors.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(qv, "query_id").join(cv, "neighbor_id")
         .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) /
                     (_norm(F.col("qv")) * _norm(F.col("cv"))))
     )
@@ -181,18 +208,27 @@ def cosine_topk_ivf(vectors: DataFrame, k: int = 10, n_centroids: int = 16,
 
 def embedding_near_dup(vectors: DataFrame, dim: int, threshold: float = 0.95,
                        planes: int = 6, seed: int = 42, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding", tables: int = 1) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold),
-    LSH-bucketed candidate generation + exact verify."""
-    b = lsh_bucket(vectors, dim, planes, seed, id_col, vec_col)
-    a = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
-    c = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
-    return (
-        a.join(c, "bucket")
+    LSH-bucketed candidate generation (any-table collision) + exact verify.
+    Every emitted pair passes the exact cosine filter, so the output is
+    always a SUBSET of the brute-force pair set — only recall varies with
+    ``planes``/``tables``."""
+    b = lsh_bucket(vectors, dim, planes, seed, id_col, vec_col, tables)
+    a = b.select(F.col(id_col).alias("a"), "tbl", "bucket")
+    c = b.select(F.col(id_col).alias("b"), "tbl", "bucket")
+    cand = (
+        a.join(c, ["tbl", "bucket"])
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "a").join(vb, "b")
         .withColumn("cosine", _dot(F.col("va"), F.col("vb")) /
                     (_norm(F.col("va")) * _norm(F.col("vb"))))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
-        .distinct()
     )
