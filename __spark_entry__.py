@@ -952,6 +952,20 @@ def q_a7_tag_trusted(spark, sf_dir):
                              id_col="doc_id", flag_col="trusted")
 
 
+def q_overlap_graph(spark, sf_dir):
+    """J1 MatchPrefix -> J2 VerifyOverlap -> J3 GenReverseEdge composite —
+    the reference's hottest stage (src/Brush/MatchPrefix.java:51-495,
+    BrushAssembler.java:313-333) — over the synthetic block-genome reads
+    (one read per orders row; scales with sf).  The read layout makes the
+    verified overlap graph analytically known, so the k-mer-seeded join's
+    FULL output is hash-checked: a missed edge, a spurious survivor of the
+    verify filter, or a broken mirror all flip the row hash."""
+    from cloudbrush_spark import oracle_fixtures as gfx
+    from cloudbrush_spark.operators import overlap
+    reads = gfx.overlap_reads(spark, sf_dir)
+    return overlap.build_overlap_graph(reads, k=24)
+
+
 def q_k1_fasta_format(spark, sf_dir):
     """K1 Graph2Fasta record formatting: ``>id len= cov=`` + 60-char-wrapped
     sequence (src/Brush/Graph2Fasta.java:54-77) — the sink's exact record
@@ -1872,6 +1886,13 @@ _ORACLES["mm_blockhash_pairs"] = """
     WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
 """
 
+from cloudbrush_spark.oracle_fixtures import SQL_OVERLAP_EDGES  # noqa: E402
+
+_ORACLES["overlap_graph"] = f"""
+    WITH {SQL_OVERLAP_EDGES}
+    SELECT src, et, dst, ov FROM oedges
+"""
+
 _ORACLES["k1_fasta_format"] = f"""
     WITH {SQL_CHAIN}
     SELECT '>' || node_id || ' len=' || CAST(length(repeat(seq, 3)) AS VARCHAR)
@@ -1943,6 +1964,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j4_mate_adjust": q_j4_mate_adjust,
     "a7_tag_trusted": q_a7_tag_trusted,
     "k1_fasta_format": q_k1_fasta_format,
+    "overlap_graph": q_overlap_graph,
     # multimodal binary-column surface
     "mm_metadata": q_mm_metadata,
     "mm_binary_dedup": q_mm_binary_dedup,

@@ -37,6 +37,7 @@ HEADLINE = [
     "g3_transitive_reduction",
     "asof_join",
     "mm_binary_dedup",
+    "overlap_graph",
 ]
 
 

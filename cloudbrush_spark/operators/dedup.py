@@ -157,13 +157,19 @@ def minhash_dedup_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     shape, src/Brush/VerifyOverlap.java:287-309).
 
     The shingle set feeds both the signature stage and the verification
-    stage — materialized once (lazy localCheckpoint) so the tokenizer/
-    shingler runs a single pass over the corpus.
+    stage — persisted so the tokenizer/shingler runs a single pass over
+    the corpus.  persist(), not localCheckpoint(eager=False): the lazy
+    checkpoint materializes by RE-RUNNING the marked tasks after the
+    driving query's execution is torn down, and those replayed tasks
+    report to that query's already-unregistered SQLMetrics accumulators —
+    the source of the benign-but-noisy "attempted to access non-existent
+    accumulator" ERROR storm in earlier bench logs.
 
     Output: (a, b, jaccard) pairs above threshold, a < b.
     """
+    from pyspark import StorageLevel
     shingles = _shingle_sets(docs, id_col, text_col, shingle_n) \
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures_from_shingles(shingles, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     jac = _jaccard_for_pairs(shingles, cands, id_col)

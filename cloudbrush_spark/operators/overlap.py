@@ -90,18 +90,30 @@ def match_prefix(nodes: DataFrame, k: int, high_kmers: DataFrame | None = None,
     prefixes, suffixes = _postings(nodes, k)
     prefixes = _drop_noise_keys(prefixes, k, high_kmers)
     suffixes = _drop_noise_keys(suffixes, k, high_kmers)
-    hot = (
-        suffixes.groupBy("kmer").count()
-        .unionByName(prefixes.groupBy("kmer").count())
-        .groupBy("kmer").agg(F.sum("count").alias("count"))
-        .filter(F.col("count") > per_key_cap)
-        .select("kmer")
-    )
-    suffixes = suffixes.join(F.broadcast(hot), "kmer", "left_anti")
-    prefixes = prefixes.join(F.broadcast(hot), "kmer", "left_anti")
+    if high_kmers is None:
+        # No precomputed blacklist (P3) supplied: derive it from the posting
+        # tables themselves — one extra map-side-combined aggregation over
+        # the postings, the price of never running unguarded.  Callers with
+        # a P3 blacklist (the assembler) skip this: their threshold already
+        # bounds every surviving key's posting count.
+        hot = (
+            suffixes.groupBy("kmer").count()
+            .unionByName(prefixes.groupBy("kmer").count())
+            .groupBy("kmer").agg(F.sum("count").alias("count"))
+            .filter(F.col("count") > per_key_cap)
+            .select("kmer")
+        )
+        suffixes = suffixes.join(F.broadcast(hot), "kmer", "left_anti")
+        prefixes = prefixes.join(F.broadcast(hot), "kmer", "left_anti")
+    # Explicit shuffle-hash join: both posting tables are explode-multiplied,
+    # and Catalyst's Generate estimate is the CHILD's size, so the planner
+    # will happily broadcast a multi-GiB posting side if the stats look
+    # small (observed: 5 GiB broadcast at sf0.1).  Postings are never
+    # broadcastable at scale — pin the strategy; build on the sparser
+    # prefix side (2 postings/read vs ~len-k/read).
     cand = (
         suffixes.alias("s")
-        .join(prefixes.alias("p"), "kmer")
+        .join(prefixes.alias("p").hint("shuffle_hash"), "kmer")
         .filter(F.col("s.node_id") != F.col("p.node_id"))
         .select(
             F.col("s.node_id").alias("src"),
@@ -139,15 +151,24 @@ def verify_overlap(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
 
 
 def symmetrize(edges: DataFrame) -> DataFrame:
-    """J3: symmetric closure — union with flipped edges, dedup
-    (src/Brush/GenReverseEdge.java:209-241 re-expressed as union+distinct)."""
-    rev = edges.select(
-        F.col("dst").alias("src"),
-        dna.flip_link("et").alias("et"),
-        F.col("src").alias("dst"),
-        "ov",
-    )
-    return edges.unionByName(rev).distinct()
+    """J3: symmetric closure — emit each edge and its flip in ONE pass
+    (explode of a 2-struct array), then dedup
+    (src/Brush/GenReverseEdge.java:209-241).
+
+    Deliberately not union(e, flip(e)): a union re-executes the upstream
+    plan once per branch (Catalyst's exchange reuse does not fire across
+    the differing projections), which doubled the whole J1->J2 pipeline
+    in the overlap-graph composite."""
+    both = edges.select(F.explode(F.array(
+        F.struct("src", "et", "dst", "ov"),
+        F.struct(
+            F.col("dst").alias("src"),
+            dna.flip_link("et").alias("et"),
+            F.col("src").alias("dst"),
+            F.col("ov").alias("ov"),
+        ),
+    )).alias("e"))
+    return both.select("e.src", "e.et", "e.dst", "e.ov").distinct()
 
 
 def build_overlap_graph(nodes: DataFrame, k: int,

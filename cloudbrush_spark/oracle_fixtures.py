@@ -345,3 +345,59 @@ SQL_MATE = f"""
                      max(support) OVER (PARTITION BY src, d) AS best
               FROM msup)
 """
+
+
+# ---------------------------------------------------------------------------
+# Overlap-bench fixture (J1 -> J2 -> J3 composite): one synthetic read per
+# orders row over a block genome.  Read with orderkey i = blocks i..i+3
+# (4 x 32 bp = 128 bp), so reads i and i+d overlap by exactly 128 - 32*d bp
+# (d = 1..3, when orderkey i+d exists) and nothing else — the verified
+# overlap graph has an ANALYTIC ground truth, while the k-mer candidate
+# join still does real work (~N*96 seed postings), and the workload scales
+# with sf.
+#
+# Deliberately built FROM THE PARQUET SCAN, not spark.range: range-derived
+# frames carry near-zero size stats, which made Catalyst broadcast the
+# multi-million-row suffix-posting side of the J1 join (a 5 GiB broadcast
+# at sf0.1).  Deriving from orders keeps the optimizer's size estimates —
+# and therefore the join strategy the plan would pick at real scale —
+# honest.
+# ---------------------------------------------------------------------------
+
+def overlap_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orders.parquet is one small file -> one input partition; the ~100x
+    # posting explosion downstream must not run on one core.  At real scale
+    # reads arrive in many files and this repartition is unnecessary — here
+    # it stands in for that natural parallelism (150k rows, cheap shuffle).
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .select(F.col("o_orderkey").cast("long").alias("i")) \
+        .repartition(nparts)
+    blocks = [
+        F.translate(
+            F.md5(F.concat(F.lit("ov"), (F.col("i") + j).cast("string"))),
+            _HEX, _DNA)
+        for j in range(4)
+    ]
+    return o.select(
+        F.lpad(F.col("i").cast("string"), 8, "0").alias("node_id"),
+        F.concat(*blocks).alias("seq"),
+        F.lit(1.0).alias("cov"),
+    )
+
+
+# Expected symmetric edge set: (i, ff, i+d, 128-32d) for orderkey pairs at
+# distance d <= 3, plus the bidirected mirror (i+d, rr, i, 128-32d) —
+# src/Brush/Node.java:2071-2078 reverse rule.
+SQL_OVERLAP_EDGES = """
+    oidx AS (SELECT o_orderkey AS i FROM orders),
+    ofwd AS (SELECT lpad(CAST(a.i AS VARCHAR), 8, '0') AS src, 'ff' AS et,
+                    lpad(CAST(b.i AS VARCHAR), 8, '0') AS dst,
+                    128 - 32 * d AS ov
+             FROM oidx a
+             CROSS JOIN (VALUES (1), (2), (3)) AS dd(d)
+             JOIN oidx b ON b.i = a.i + d),
+    oedges AS (SELECT src, et, dst, ov FROM ofwd
+               UNION ALL
+               SELECT dst AS src, 'rr' AS et, src AS dst, ov FROM ofwd)
+"""
