@@ -135,6 +135,18 @@ def remove_nodes(nodes: DataFrame, edges: DataFrame, doomed: DataFrame) -> tuple
     return new_nodes, new_edges
 
 
+def count_tip_islands(nodes: DataFrame, edges: DataFrame,
+                      tiplength: int) -> int:
+    """C1 TipsRemoval island counter: tip-short nodes with NO edges at all
+    — disconnected from the graph, nothing to clip, but the reference
+    reports them (``tips_island``, src/Brush/TipsRemoval.java:84-89)."""
+    deg = node_degrees(nodes, edges)
+    return deg.filter(
+        (F.length("seq") * F.col("cov") <= tiplength)
+        & (F.col("fdeg") + F.col("rdeg") == 0)
+    ).count()
+
+
 def find_tips(nodes: DataFrame, edges: DataFrame, tiplength: int) -> DataFrame:
     """C1 TipsRemoval, detection half.
 

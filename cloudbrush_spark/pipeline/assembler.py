@@ -133,6 +133,12 @@ class Assembler:
                     ) -> tuple[DataFrame, DataFrame]:
         p = self.params
         total = 0
+        # reference reports disconnected tip-short nodes separately
+        # (tips_island, src/Brush/TipsRemoval.java:84-89); they are never
+        # clipped, so count once up front
+        islands = graph.count_tip_islands(nodes, edges, p.tiplength)
+        self.counters["tips_island"] = \
+            self.counters.get("tips_island", 0) + islands
         while True:
             doomed = graph.find_tips(nodes, edges, p.tiplength)
             n = doomed.count()
@@ -142,7 +148,7 @@ class Assembler:
             nodes, edges = graph.remove_nodes(nodes, edges, doomed)
             nodes, edges = self.compress_chains(nodes, edges)
         self.counters["tips_removed"] = self.counters.get("tips_removed", 0) + total
-        self._log(f"remove_tips: {total} tips removed")
+        self._log(f"remove_tips: {total} tips removed, {islands} islands")
         return nodes, edges
 
     # -- popallbubbles (BrushAssembler.java:623-676) -----------------------

@@ -55,6 +55,9 @@ def test_stage_counters(assembly):
     assert c["nodes"] == 16507          # P1 dedup of 20,000 reads
     assert c["edges"] > 100_000         # J1-J3 overlap graph
     assert c["tips_removed"] > 0 and c["lowcov_removed"] > 0
+    # disconnected tip-short islands are counted, never clipped
+    # (src/Brush/TipsRemoval.java:84-89)
+    assert c["tips_island"] >= 0
     assert 0 < c["final_nodes"] < 200   # near-complete reconstruction
 
 
