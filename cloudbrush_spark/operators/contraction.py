@@ -347,7 +347,7 @@ def _serial_contract(nodes: DataFrame, edges: DataFrame,
 
 def contract_chains(nodes: DataFrame, edges: DataFrame, seed: int = 42,
                     max_rounds: int = 64, checkpoint_every: int = 1,
-                    serial_threshold: int = 4096,
+                    serial_threshold: int = 4096, coin: str = "xxhash64",
                     verbose: bool = False) -> tuple[DataFrame, DataFrame, int]:
     """Contract all compressible chains to single nodes.
 
@@ -377,7 +377,7 @@ def contract_chains(nodes: DataFrame, edges: DataFrame, seed: int = 42,
                 print(f"contract serial finish: {n_links} links "
                       f"({time.time() - t0:.1f}s)", flush=True)
             break
-        merges = _pick_merges(links, seed + rnd).localCheckpoint(eager=True)
+        merges = _pick_merges(links, seed + rnd, coin).localCheckpoint(eager=True)
         n_merges = merges.count()
         if n_merges == 0:
             # all-same-coin pathology on a residual chain: next seed reshuffles
