@@ -159,47 +159,54 @@ def decode_images(df: DataFrame, content_col: str = "content",
     """Decode an image payload column to (id, width, height, channels,
     pixels).  ``fake=True`` derives a deterministic 8x8 RGB image from the
     payload bytes — full plumbing (schema, Arrow batching, partition
-    preservation) without an image library.  The real path needs PIL,
-    which this container does not ship: it raises NotImplementedError at
-    *stage-build* time, not inside executors.
+    preservation) without touching the payload format.
+
+    The real path uses PIL when importable (any format); otherwise it
+    falls back to the vendored pure-python codec
+    (functions/imagecodec.py: uncompressed 24-bit BMP + binary PPM), so
+    the real decode stage runs in CI too.  Unsupported payloads raise
+    ValueError inside the executor — per-record decode failure, the
+    behavior a real media pipeline must handle anyway.
     """
     import numpy as np
     import pandas as pd
-
-    if not fake:
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError as e:  # pragma: no cover - PIL absent by design
-            raise NotImplementedError(
-                "real image decode needs PIL, which is not installed; "
-                "pass fake=True for the deterministic test path") from e
 
     src = df.select(F.col(id_col).cast("string").alias("id"),
                     F.col(content_col).alias("c"))
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        try:
+            import PIL.Image
+            have_pil = True
+        except ImportError:
+            have_pil = False
         for pdf in it:
             rows = {k: [] for k in ("id", "width", "height", "channels", "pixels")}
             for i, buf in zip(pdf["id"], pdf["c"]):
-                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                raw = bytes(buf)
                 if fake:
                     # deterministic fake: tile payload bytes into 8x8x3
+                    b = np.frombuffer(raw, dtype=np.uint8)
                     px = np.resize(b if b.size else np.zeros(1, np.uint8),
-                                   8 * 8 * 3).astype(np.uint8)
+                                   8 * 8 * 3).astype(np.uint8).tobytes()
                     w = h = 8
                     ch = 3
-                else:  # pragma: no cover - needs PIL
+                elif have_pil:  # pragma: no cover - PIL not in this container
                     import io
-                    import PIL.Image
-                    img = PIL.Image.open(io.BytesIO(bytes(buf))).convert("RGB")
+                    img = PIL.Image.open(io.BytesIO(raw)).convert("RGB")
                     w, h = img.size
                     ch = 3
-                    px = np.asarray(img, dtype=np.uint8).ravel()
+                    px = np.asarray(img, dtype=np.uint8).ravel().tobytes()
+                else:
+                    from cloudbrush_spark.functions.imagecodec import (
+                        decode_image_bytes,
+                    )
+                    w, h, ch, px = decode_image_bytes(raw)
                 rows["id"].append(i)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["channels"].append(ch)
-                rows["pixels"].append(px.tobytes())
+                rows["pixels"].append(px)
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(batches, DECODE_SCHEMA)

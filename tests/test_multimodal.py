@@ -54,14 +54,32 @@ def test_decode_images_fake_path_plumbing(spark):
     assert out["a"].pixels == again["a"].pixels
 
 
-def test_decode_images_real_path_requires_library(spark):
+def test_decode_images_real_path_bmp_ppm(spark):
+    """REAL decode path (fake=False) end-to-end via the vendored codec:
+    a 3x2 RGB image round-trips through both BMP (bottom-up BGR rows,
+    4-byte padding) and PPM encodings to identical row-major RGB8."""
+    from cloudbrush_spark.functions.imagecodec import encode_bmp, encode_ppm
+    rgb = bytes([
+        255, 0, 0,   0, 255, 0,   0, 0, 255,     # row 0: R G B
+        10, 20, 30,  40, 50, 60,  70, 80, 90,    # row 1
+    ])
+    df = _blobs(spark, [("bmp", encode_bmp(3, 2, rgb)),
+                        ("ppm", encode_ppm(3, 2, rgb))])
+    out = {r.id: r for r in multimodal.decode_images(df, fake=False).collect()}
+    for k in ("bmp", "ppm"):
+        assert (out[k].width, out[k].height, out[k].channels) == (3, 2, 3)
+        assert bytes(out[k].pixels) == rgb
+
+
+def test_decode_images_real_path_rejects_garbage(spark):
+    from py4j.protocol import Py4JJavaError
     df = _blobs(spark, [("a", b"\x01")])
     try:
         import PIL  # noqa: F401
-        pytest.skip("PIL present; stub path not reachable")
+        pytest.skip("PIL present; fallback codec not reachable")
     except ImportError:
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_images(df, fake=False)
+        with pytest.raises((Py4JJavaError, Exception)):
+            multimodal.decode_images(df, fake=False).collect()
 
 
 def test_extract_features_shape_and_norm(spark):
