@@ -952,6 +952,55 @@ def q_a7_tag_trusted(spark, sf_dir):
                              id_col="doc_id", flag_col="trusted")
 
 
+def _dna_from_docs(col):
+    return F.translate(F.md5(col), "0123456789abcdef", "acgtacgtacgtacgt")
+
+
+def q_s2_sfa_roundtrip(spark, sf_dir):
+    """S2 SFA scan round-trip: derive one (id, dna32) row per document,
+    write a real tab-separated .sfa file, read it back through read_sfa
+    (csv scan + upper normalization, src/Brush/BrushAssembler.java SFA
+    input contract; data/preprocessor.pl output format).  The oracle
+    derives the same rows directly — a parse/normalize bug in the scanner
+    breaks the hash."""
+    import os
+    import tempfile
+    from cloudbrush_spark.sources import fasta
+    docs = _t(spark, sf_dir, "documents")
+    rows = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("read_id"),
+        _dna_from_docs(F.col("text")).alias("seq"),
+    ).sort("read_id").collect()
+    d = tempfile.mkdtemp(prefix="sfa_rt_")
+    path = os.path.join(d, "reads.sfa")
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(f"{r.read_id}\t{r.seq}\n")
+    return fasta.read_sfa(spark, path)
+
+
+def q_s1_fastq_roundtrip(spark, sf_dir):
+    """S1 FASTQ preprocessor round-trip: write a real 4-line-record FASTQ
+    (with '/1' mate suffixes and quality lines that START WITH '@' — the
+    ambiguity that breaks byte-sniffing record detection), read it back
+    through read_fastq's index-arithmetic parser
+    (data/preprocessor.pl:33-51)."""
+    import os
+    import tempfile
+    from cloudbrush_spark.sources import fasta
+    docs = _t(spark, sf_dir, "documents")
+    rows = docs.select(
+        F.col("doc_id").cast("string").alias("rid"),
+        _dna_from_docs(F.col("text")).alias("seq"),
+    ).sort(F.col("doc_id").cast("long")).collect()
+    d = tempfile.mkdtemp(prefix="fastq_rt_")
+    path = os.path.join(d, "reads.fastq")
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(f"@d{r.rid}/1\n{r.seq}\n+\n@{'I' * (len(r.seq) - 1)}\n")
+    return fasta.read_fastq(spark, path, mate_suffix=True)
+
+
 def q_overlap_graph(spark, sf_dir):
     """J1 MatchPrefix -> J2 VerifyOverlap -> J3 GenReverseEdge composite —
     the reference's hottest stage (src/Brush/MatchPrefix.java:51-495,
@@ -1886,6 +1935,20 @@ _ORACLES["mm_blockhash_pairs"] = """
     WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
 """
 
+_DNA_FROM_DOCS = "upper(translate(md5(text), '0123456789abcdef', 'acgtacgtacgtacgt'))"
+
+_ORACLES["s2_sfa_roundtrip"] = f"""
+    SELECT 'd' || CAST(doc_id AS VARCHAR) AS read_id,
+           {_DNA_FROM_DOCS} AS seq
+    FROM documents
+"""
+
+_ORACLES["s1_fastq_roundtrip"] = f"""
+    SELECT 'd' || CAST(doc_id AS VARCHAR) || '_1' AS read_id,
+           {_DNA_FROM_DOCS} AS seq
+    FROM documents
+"""
+
 from cloudbrush_spark.oracle_fixtures import SQL_OVERLAP_EDGES  # noqa: E402
 
 _ORACLES["overlap_graph"] = f"""
@@ -1965,6 +2028,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a7_tag_trusted": q_a7_tag_trusted,
     "k1_fasta_format": q_k1_fasta_format,
     "overlap_graph": q_overlap_graph,
+    "s1_fastq_roundtrip": q_s1_fastq_roundtrip,
+    "s2_sfa_roundtrip": q_s2_sfa_roundtrip,
     # multimodal binary-column surface
     "mm_metadata": q_mm_metadata,
     "mm_binary_dedup": q_mm_binary_dedup,
