@@ -327,8 +327,14 @@ def hamming_near_pairs(sig: DataFrame, id_col: str,
     else:
         raise ValueError("chunk banding guarantees recall only for max_hamming <= 7")
     half = nchunks // 2
+    # the signature frame feeds the distinct-banding branch AND both
+    # member-recovery joins — materialize once (signature computation is
+    # the expensive upstream: a 64-wide token aggregate for SimHash, an
+    # Arrow pandas stage for blockhash)
+    from pyspark import StorageLevel
     sig = sig.select(F.col(id_col),
-                     F.col(hi_col).alias("sim_hi"), F.col(lo_col).alias("sim_lo"))
+                     F.col(hi_col).alias("sim_hi"), F.col(lo_col).alias("sim_lo")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     dsig = sig.select("sim_hi", "sim_lo").distinct()
     chunks = dsig.select(
         "sim_hi", "sim_lo",
