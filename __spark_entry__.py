@@ -869,6 +869,24 @@ def q_g7g8_chain_contract(spark, sf_dir):
     return n2.select("node_id", "seq", F.round("cov", 4).alias("cov"))
 
 
+def q_g5g6_distributed_fixpoint(spark, sf_dir):
+    """G5/G6 randomized rounds driven to the fixpoint with the serial
+    finish DISABLED (serial_threshold=0) — the pure distributed path.
+    Runs on the overlap-CONSISTENT chain fixture (node seqs sliced from a
+    per-chain walk string), where the contracted sequences are merge-order
+    INVARIANT; survivor ids and coverages are order-dependent (reference
+    semantics, PairMerge.java:149) so only the canonical sequences are
+    returned, which the DuckDB walk-prefix oracle reproduces exactly."""
+    from cloudbrush_spark import oracle_fixtures as gfx
+    from cloudbrush_spark.functions import dna
+    from cloudbrush_spark.operators import contraction
+    nodes = gfx.cons_chain_nodes(spark, sf_dir)
+    edges = gfx.cons_chain_edges(spark, sf_dir)
+    n2, _, _ = contraction.contract_chains(nodes, edges, seed=3,
+                                           serial_threshold=0)
+    return n2.select(F.least("seq", dna.rc("seq")).alias("seq"))
+
+
 def q_g9_define_consensus(spark, sf_dir):
     """G9 DefineConsensus: per (node, side) B/W color from the bounded PWM
     consensus over the star fixture (src/Brush/DefineConsensus.java:288-341,
@@ -1736,6 +1754,17 @@ _ORACLES["g7g8_chain_contract"] = f"""
     FROM walk WHERE pos = 7
 """
 
+# Distributed-fixpoint twin over the CONSISTENT chain fixture: expected
+# contracted sequence per chain = the walk-string prefix, canonicalized.
+# (Survivor id / coverage are merge-order-dependent on the distributed
+# path; the quotient sequences are not.)
+from cloudbrush_spark.oracle_fixtures import SQL_CONS_CHAIN_RESULT  # noqa: E402
+
+_ORACLES["g5g6_distributed_fixpoint"] = f"""
+    WITH {SQL_CONS_CHAIN_RESULT}
+    SELECT least(w, {_RC.format('w')}) AS seq FROM ccw
+"""
+
 # Bounded PWM consensus twin (Node.Consensus, src/Brush/Node.java:1293-1377)
 # over the star fixture — shared by the G9 and G10 oracles.
 _SQL_PWM_STAR = f"""
@@ -2019,6 +2048,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g5_pairmark": q_g5_pairmark,
     "g6_pairmerge": q_g6_pairmerge,
     "g7g8_chain_contract": q_g7g8_chain_contract,
+    "g5g6_distributed_fixpoint": q_g5g6_distributed_fixpoint,
     "g9_define_consensus": q_g9_define_consensus,
     "g10_count_braid": q_g10_count_braid,
     "c2_find_bubbles": q_c2_find_bubbles,
