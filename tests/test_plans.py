@@ -63,3 +63,22 @@ def test_asof_join_avoids_nested_loop(spark):
     plan = plans.explain_str(joins.asof_join(left, right, "k", "lts", "rts"))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_overlap_posting_join_never_broadcasts_postings(spark):
+    """Regression guard for the 5 GiB broadcast: Catalyst's Generate
+    (explode) size estimate is its CHILD's size, so without the explicit
+    shuffle_hash pin the planner broadcast the ~100x-exploded posting
+    table.  The J1 candidate join must stay a shuffled join; the only
+    BroadcastExchanges allowed in match_prefix are the tiny hot-key /
+    blacklist anti-join sides."""
+    from cloudbrush_spark import oracle_fixtures as gfx
+    from cloudbrush_spark.operators import overlap
+
+    reads = gfx.overlap_reads(spark, SF)
+    plan = plans.explain_str(overlap.match_prefix(reads, 24))
+    assert "ShuffledHashJoin" in plan
+    # every inner join in the candidate path is the posting join — none
+    # of them may be broadcast (the LeftAnti joins against the tiny
+    # hot-key set are the only broadcasts allowed)
+    assert "BroadcastHashJoin Inner" not in plan, "posting join became broadcast"
