@@ -24,18 +24,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects; read it with nanosAsLong and keep ``ts`` as epoch-nanos BIGINT
-    (the oracle side uses DuckDB's epoch_ns for exact integer parity).
+_EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
 
-    NOTE: setting ``spark.sql.legacy.parquet.nanosAsLong`` mutates
-    session-global conf as a side effect — any later nanos-parquet read in
-    the same session sees BIGINT ts.  Harmless for the driver contract
-    (every events query wants this reading) but worth knowing in ad-hoc
-    sessions."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table carries TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects by default; an EXPLICIT schema with ``ts`` as LongType
+    reads it as epoch-nanos BIGINT (the oracle side uses DuckDB's
+    epoch_ns for exact integer parity) — no session-global
+    ``nanosAsLong`` conf mutation, no side effects on later reads."""
+    return spark.read.schema(_EVENTS_SCHEMA) \
+        .parquet(os.path.join(sf_dir, "events.parquet"))
 
 
 # ---------------------------------------------------------------------------
