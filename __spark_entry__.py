@@ -421,6 +421,26 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6-shaped forecast-revenue filter-aggregate: narrow predicate
+    band on date/discount/quantity, single global sum — the pure
+    scan-pushdown + map-side-aggregate shape (no shuffle beyond the final
+    1-row combine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").cast("decimal(18,2)").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(dec("l_extendedprice") * dec("l_discount"))
+             .cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3-shaped join+agg (customer segment revenue top-10)."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -1231,6 +1251,16 @@ _ORACLES: dict[str, str] = {
         WHERE l_shipdate <= TIMESTAMP '2002-09-02'
         GROUP BY 1, 2
     """,
+    "tpch_q6": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
     "tpch_q3": """
         SELECT o_orderkey,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
@@ -2029,6 +2059,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fp": q_winnow_fp,
     "fingerprint": q_fingerprint,
     "tpch_q1": q_tpch_q1,
+    "tpch_q6": q_tpch_q6,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "ann_topk": q_ann_topk,
