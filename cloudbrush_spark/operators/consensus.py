@@ -220,24 +220,47 @@ def apply_corrections(reads: DataFrame, fixes: DataFrame,
 
 def precorrect(reads: DataFrame, id_col: str = "read_id", seq_col: str = "seq",
                cov_col: str | None = None, half: int = 12,
-               minority_ratio: float = 0.25) -> DataFrame:
-    """A8 PreCorrect: spaced-seed (12+1+12) positional voting; emits
-    (read_id, pos, from_base, to_base) fixes where the masked-position base
-    is in a < ``minority_ratio`` minority (src/Brush/PreCorrect.java:68-217)."""
-    wlen = 2 * half + 1
+               minority_ratio: float = 0.25,
+               edge_seeds: bool = True) -> DataFrame:
+    """A8 PreCorrect: spaced-seed positional voting; emits
+    (read_id, pos, from_base, to_base) fixes where the masked-position
+    base is in a < ``minority_ratio`` minority
+    (src/Brush/PreCorrect.java:68-217).
+
+    The reference uses only the centered seed (``half`` context on each
+    side), which can never correct the first/last ``half`` positions of a
+    read — on 36 bp reads that leaves 2/3 of positions uncorrectable.
+    ``edge_seeds=True`` adds two edge-anchored families with the SAME
+    total context (one-sided: 2*half right of the masked base, and 2*half
+    left of it), so every position with ``2*half`` flanking bases on
+    either side gets a vote.  Conflicting fixes for one (read, pos)
+    resolve by family priority center > left-edge > right-edge, then
+    lexical to_base.
+    """
     w = F.col(cov_col) if cov_col else F.lit(1.0)
-    wins = reads.select(
-        F.col(id_col), w.alias("w"),
-        F.posexplode(F.expr(
-            f"transform(sequence(1, greatest(length({seq_col}) - {wlen} + 1, 0)),"
-            f" i -> substring({seq_col}, i, {wlen}))"
-        )).alias("off", "win"),
-    ).select(
-        id_col, "w", "off",
-        F.concat(F.substring("win", 1, half),
-                 F.substring("win", half + 2, half)).alias("key"),
-        F.substring("win", half + 1, 1).alias("mid"),
-    )
+    families = [(half, half, "C", 0)]
+    if edge_seeds:
+        families += [(0, 2 * half, "L", 1), (2 * half, 0, "R", 2)]
+
+    wins = None
+    for left, right, tag, prio in families:
+        wlen = left + 1 + right
+        fam = reads.select(
+            F.col(id_col), w.alias("w"),
+            F.posexplode(F.expr(
+                f"transform(sequence(1, greatest(length({seq_col}) - {wlen} + 1, 0)),"
+                f" i -> substring({seq_col}, i, {wlen}))"
+            )).alias("off", "win"),
+        ).select(
+            id_col, "w",
+            (F.col("off") + left).alias("pos"),  # 0-based masked position
+            F.concat(F.lit(tag), F.substring("win", 1, left),
+                     F.substring("win", left + 2, right)).alias("key"),
+            F.substring("win", left + 1, 1).alias("mid"),
+            F.lit(prio).alias("prio"),
+        )
+        wins = fam if wins is None else wins.unionByName(fam)
+
     votes = wins.groupBy("key", "mid").agg(F.sum("w").alias("vw"))
     winner = votes.groupBy("key").agg(
         F.max("vw").alias("top_w"),
@@ -249,12 +272,15 @@ def precorrect(reads: DataFrame, id_col: str = "read_id", seq_col: str = "seq",
                 & (F.col("mid") != F.col("top_mid")))
         .select("key", "mid", "top_mid")
     )
+    fixes = wins.join(weak, ["key", "mid"]).select(
+        F.col(id_col), "pos",
+        F.col("mid").alias("from_base"),
+        F.col("top_mid").alias("to_base"),
+        "prio",
+    )
+    pick = Window.partitionBy(id_col, "pos").orderBy("prio", "to_base")
     return (
-        wins.join(weak, ["key", "mid"])
-        .select(
-            F.col(id_col),
-            (F.col("off") + half).alias("pos"),  # 0-based position of masked base
-            F.col("mid").alias("from_base"),
-            F.col("top_mid").alias("to_base"),
-        )
+        fixes.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "pos", "from_base", "to_base")
     )

@@ -98,3 +98,39 @@ def test_assembly_stats_invariants(assembly):
     assert max(lens) >= 5000             # dominant contig spans the genome
     # conservation: ~genome-sized assembly, far below the raw read mass
     assert 10_000 * 0.9 < total < 10_000 * 2
+
+
+@pytest.fixture(scope="module")
+def corrected_assembly(spark):
+    from cloudbrush_spark.config import BrushParams
+    from cloudbrush_spark.pipeline.assembler import Assembler
+    from cloudbrush_spark.sources.fasta import read_sfa
+
+    asm = Assembler(spark, BrushParams(k=21, readlen=36,
+                                       precorrect=True, precorrect_rounds=2))
+    nodes, _ = asm.assemble(read_sfa(spark, SFA))
+    contigs = [r.seq for r in nodes.select("seq").collect()]
+    return asm, contigs
+
+
+def test_precorrect_edge_seeds_near_complete_assembly(corrected_assembly):
+    """A8 with edge-anchored seed families (2 rounds) corrects errors in
+    ALL read positions, not just the center 12 of 36 — the assembly
+    collapses from ~22 contigs / 1.06x redundancy to single digits at
+    ~1.005x.  Pinned loosely (coin-order variation moves contig counts by
+    1-2): <= 12 contigs, total bp within 1.02x of the 10,232 bp genome,
+    N50 >= 8000."""
+    asm, contigs = corrected_assembly
+    lens = sorted((len(s) for s in contigs), reverse=True)
+    total = sum(lens)
+    run = 0
+    n50 = 0
+    for L in lens:
+        run += L
+        if run >= total / 2:
+            n50 = L
+            break
+    assert asm.counters["precorrect_fixes"] > 5000
+    assert len(lens) <= 12
+    assert total <= 1.02 * 10232
+    assert n50 >= 8000
