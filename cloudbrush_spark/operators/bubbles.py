@@ -88,7 +88,9 @@ def find_bubbles(nodes: DataFrame, edges: DataFrame, maxbubblelen: int,
         .select(
             F.col("pb").alias("node_id"),
             F.col("pa").alias("survivor_id"),
-            (F.col("cvb") * F.col("lb")).alias("mass"),
+            # mass = popped cov x INTERIOR length (vmerlen = vstr.length(),
+            # src/Brush/FindBubbles.java:426-428), not the full node length
+            (F.col("cvb") * F.length("ib")).alias("mass"),
         )
     )
 

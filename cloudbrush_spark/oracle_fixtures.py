@@ -248,7 +248,7 @@ SQL_BUBBLE = """
         -- orientation class 'rf'; interior window = chars 5..28 (ov 4 both
         -- sides); survivor = higher coverage (tie: smaller id)
         SELECT b.node_id AS node_id, a.node_id AS survivor_id,
-               b.cov * length(b.seq) AS mass
+               b.cov * length(substring(b.seq, 5, 24)) AS mass
         FROM bint a JOIN bint b
           ON a.g = b.g
          AND (a.cov > b.cov OR (a.cov = b.cov AND a.node_id < b.node_id))

@@ -34,7 +34,9 @@ def test_find_bubbles_pops_lower_coverage_path(spark):
     nodes, edges = _bubble_fixture(spark)
     pops = bubbles.find_bubbles(nodes, edges, maxbubblelen=10, edit_rate=0.25)
     got = [(r.node_id, r.survivor_id, r.mass) for r in pops.collect()]
-    assert got == [("P2", "P1", 10.0)]   # cov 1.0 * len 10
+    # mass = cov 1.0 * INTERIOR len 4 (vmerlen = vstr.length(),
+    # src/Brush/FindBubbles.java:426-428)
+    assert got == [("P2", "P1", 4.0)]
 
 
 def test_find_bubbles_respects_edit_rate(spark):
@@ -56,7 +58,8 @@ def test_pop_bubbles_transfers_mass_and_removes_node(spark):
     ids = {r.node_id for r in n2.collect()}
     assert ids == {"S", "E", "P1"}
     cov = {r.node_id: r.cov for r in n2.collect()}
-    assert cov["P1"] == pytest.approx(3.0)   # 2.0 + 10.0 mass / len 10
+    # 2.0 + interior-mass 4.0 / survivor len 10 (PopBubbles.java:199-204)
+    assert cov["P1"] == pytest.approx(2.4)
     # every edge touching P2 is gone, P1's survive
     remaining = {(r.src, r.dst) for r in e2.collect()}
     assert all("P2" not in pair for pair in remaining)
