@@ -44,4 +44,11 @@ class BrushParams:
     def __post_init__(self) -> None:
         self.tiplength = 10 * self.readlen
         self.maxbubblelen = 4 * self.readlen - 2 * self.k - 1
-        self.max_low_cov_len = 2 * self.readlen
+        # BrushConfig.java:90 defaults MAX_LOW_COV_LEN = 2*READLEN, but
+        # RemoveLowCoverage.configure IGNORES the conf value (commented
+        # out, RemoveLowCoverage.java:63-66) and recomputes
+        # (LOW_COV_THRESH+1)*READLEN - LOW_COV_THRESH*K — the mapper's
+        # formula is what actually runs (51 for the golden k=21/rl=36).
+        self.max_low_cov_len = int(
+            (self.low_cov_thresh + 1) * self.readlen
+            - self.low_cov_thresh * self.k)
