@@ -103,3 +103,24 @@ def stream_running_counts(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_dedup(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "10 minutes",
+                 within: bool = True) -> DataFrame:
+    """Streaming exact dedup — the P1-shape for a continuously-arriving
+    corpus (content keys = digest columns upstream).
+
+    ``within=True`` uses ``dropDuplicatesWithinWatermark``: state for a
+    key is held only until the watermark passes it, so state is BOUNDED —
+    the only form that survives an unbounded 100 TB/day stream.  A
+    duplicate arriving after the watermark expires its original is
+    re-emitted (at-least-once dedup); exactly-once dedup over all time
+    requires unbounded state (``within=False``, plain dropDuplicates —
+    only for bounded backfills).
+    """
+    keys = keys or ["user_id", "event_type"]
+    wm = events.withWatermark("ts", watermark)
+    if within:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    return wm.dropDuplicates(keys)

@@ -74,3 +74,20 @@ def test_stream_running_counts_stateful(spark, event_dir):
              for r in out.groupBy("user_id").agg(
                  F.max("total_events").alias("total_events")).collect()}
     assert final == {1: 3, 2: 2}
+
+
+def test_stream_dedup_matches_batch(spark, event_dir):
+    from cloudbrush_spark.streaming import read_event_stream
+    from cloudbrush_spark.streaming.windows import stream_dedup
+
+    events = read_event_stream(spark, event_dir)
+    out = _run_stream(spark, stream_dedup(events), "dedup_stream", "append")
+    batch = spark.read.parquet(event_dir).dropDuplicates(
+        ["user_id", "event_type"])
+    # within-watermark dedup on a bounded replay keeps at least the
+    # batch-distinct key set, never loses a key, and never exceeds the
+    # input row count
+    got_keys = {(r.user_id, r.event_type) for r in out.collect()}
+    want_keys = {(r.user_id, r.event_type) for r in batch.collect()}
+    assert got_keys == want_keys
+    assert out.count() <= spark.read.parquet(event_dir).count()
