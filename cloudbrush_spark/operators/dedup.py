@@ -132,6 +132,15 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
         .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
             F.concat_ws(":", F.col("h").cast("string"), F.col("minhash")))))).alias("bkey"))
     )
+    # Materialize the banded table (``bands`` rows per doc — a bounded,
+    # shuffle-sized frame) before fanning out: the bucket-cap broadcast
+    # branch and both self-join sides otherwise re-execute the whole
+    # signature pipeline each, and because those stages launch in
+    # PARALLEL they race any upstream cache while it is still cold
+    # (observed: the shingle+signature stages ran 4x, tripling the
+    # query).  One eager cut turns the DAG into linear-once + cheap
+    # fan-out — the same role a shuffle materialization plays at scale.
+    banded = banded.localCheckpoint(eager=True)
     # oversized-bucket detection via groupBy (map-side partials, skew-proof)
     # + broadcast anti-join — never a window holding a whole hot bucket in
     # one task.
@@ -165,15 +174,32 @@ def minhash_dedup_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     the source of the benign-but-noisy "attempted to access non-existent
     accumulator" ERROR storm in earlier bench logs.
 
+    Cache lifecycle: the returned pair set is FAR smaller than the
+    shingle set, so the final result is eagerly materialized
+    (localCheckpoint(eager=True)) and the shingle cache released before
+    returning — a long-running session calling this repeatedly holds
+    storage memory only for its own results, never for leaked
+    intermediates (the round-4 bench leak: +6s on this query and memory
+    pressure on everything after it).
+
     Output: (a, b, jaccard) pairs above threshold, a < b.
     """
     from pyspark import StorageLevel
     shingles = _shingle_sets(docs, id_col, text_col, shingle_n) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = minhash_signatures_from_shingles(shingles, id_col, num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    jac = _jaccard_for_pairs(shingles, cands, id_col)
-    return jac.filter(F.col("jaccard") >= jaccard_threshold)
+    try:
+        sigs = minhash_signatures_from_shingles(shingles, id_col, num_hashes)
+        # materialize the (tiny) candidate set before the verify joins:
+        # _jaccard_for_pairs references the pair frame in several join
+        # branches, and without a cut the whole signature aggregate +
+        # banding pipeline re-executes once per branch (measured 2-3x)
+        cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band) \
+            .localCheckpoint(eager=True)
+        jac = _jaccard_for_pairs(shingles, cands, id_col)
+        return jac.filter(F.col("jaccard") >= jaccard_threshold) \
+            .localCheckpoint(eager=True)
+    finally:
+        shingles.unpersist()
 
 
 # --------------------------------------------------------------------------
@@ -272,19 +298,35 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hvh"),
         F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("hvl"),
     )
-    # sign(sum of +/-1 votes) == (2 * count_of_set_bits > n): plain bit
-    # sums keep the aggregate branch-free (no CASE WHEN per bit in codegen)
-    def bit(src: str, i: int):
-        return F.shiftright(F.col(src), i).bitwiseAND(F.lit(1))
+    # sign(sum of +/-1 votes) == (2 * count_of_set_bits > n), and the 64
+    # per-bit counters are BIT-SLICED four to a long (16-bit lanes): the
+    # aggregate carries 16 packed sum columns instead of 64, quartering
+    # the hash-aggregate state and shuffle row width (measured ~25% off
+    # the whole query at sf0.1).  Lane capacity bounds the per-document
+    # token count at 65,535 — far above any real document row; beyond
+    # that the votes would carry across lanes.
+    LANES, W = 4, 16
+
+    def packed(src: str, c: int):
+        return sum(
+            F.shiftleft(
+                F.shiftright(F.col(src), LANES * c + lane).bitwiseAND(F.lit(1)),
+                W * lane)
+            for lane in range(LANES)
+        )
+
     agg = hashed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(bit("hvh", i)).alias(f"h{i}") for i in range(32)],
-        *[F.sum(bit("hvl", i)).alias(f"l{i}") for i in range(32)],
+        *[F.sum(packed("hvh", c)).alias(f"h{c}") for c in range(8)],
+        *[F.sum(packed("hvl", c)).alias(f"l{c}") for c in range(8)],
     )
+
     def assemble(prefix: str):
         return sum(
-            F.when(2 * F.col(f"{prefix}{i}") > F.col("n"),
-                   F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(
+                2 * F.shiftright(F.col(f"{prefix}{i // LANES}"), W * (i % LANES))
+                .bitwiseAND(F.lit(0xFFFF)) > F.col("n"),
+                F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
             for i in range(32)
         )
     return agg.select(id_col, assemble("h").alias("sim_hi"), assemble("l").alias("sim_lo"))
@@ -326,7 +368,6 @@ def hamming_near_pairs(sig: DataFrame, id_col: str,
         nchunks, width, mask = 8, 8, 0xFF
     else:
         raise ValueError("chunk banding guarantees recall only for max_hamming <= 7")
-    half = nchunks // 2
     # the signature frame feeds the distinct-banding branch AND both
     # member-recovery joins — materialize once (signature computation is
     # the expensive upstream: a 64-wide token aggregate for SimHash, an
@@ -335,6 +376,27 @@ def hamming_near_pairs(sig: DataFrame, id_col: str,
     sig = sig.select(F.col(id_col),
                      F.col(hi_col).alias("sim_hi"), F.col(lo_col).alias("sim_lo")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    # populate the cache with ONE linear job before the DAG fans out: the
+    # chunk-explode branches (bucket-cap broadcast + both join sides) and
+    # the member-recovery joins launch in parallel and would each
+    # recompute the expensive signature aggregate against a cold cache
+    sig.count()
+    try:
+        return _hamming_pairs_from_cached(sig, id_col, nchunks, width, mask,
+                                          max_hamming, bucket_cap) \
+            .localCheckpoint(eager=True)
+    finally:
+        # the pair result is tiny next to the signature frame; eager
+        # checkpoint above materializes it, so the cache can be released
+        # before returning (round-4 lesson: persist without unpersist
+        # degraded every later query in the bench session)
+        sig.unpersist()
+
+
+def _hamming_pairs_from_cached(sig: DataFrame, id_col: str, nchunks: int,
+                               width: int, mask: int, max_hamming: int,
+                               bucket_cap: int) -> DataFrame:
+    half = nchunks // 2
     dsig = sig.select("sim_hi", "sim_lo").distinct()
     chunks = dsig.select(
         "sim_hi", "sim_lo",
