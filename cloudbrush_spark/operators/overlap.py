@@ -90,21 +90,34 @@ def match_prefix(nodes: DataFrame, k: int, high_kmers: DataFrame | None = None,
     prefixes, suffixes = _postings(nodes, k)
     prefixes = _drop_noise_keys(prefixes, k, high_kmers)
     suffixes = _drop_noise_keys(suffixes, k, high_kmers)
+    # Hash the seed key BEFORE anything shuffles: a 24-char UTF8 k-mer is
+    # ~3x the bytes of a long and far slower to hash/compare in the
+    # exchange, the aggregate and the join probe (measured: the hot-key
+    # aggregate alone dropped ~10x CPU at sf0.1).  xxhash64 is
+    # deterministic, and a collision can only create a FALSE candidate,
+    # which the exact J2 substring verify then rejects — the same
+    # candidates-then-verify contract the reference relies on.  The
+    # string-level filters (homopolymer, P3 blacklist) above run at
+    # posting-generation time, before the hash.
+    prefixes = prefixes.select(
+        F.xxhash64("kmer").alias("khash"), "node_id", "d")
+    suffixes = suffixes.select(
+        "node_id", "d", F.xxhash64("kmer").alias("khash"), "ov")
     if high_kmers is None:
         # No precomputed blacklist (P3) supplied: derive it from the posting
         # tables themselves — one extra map-side-combined aggregation over
-        # the postings, the price of never running unguarded.  Callers with
-        # a P3 blacklist (the assembler) skip this: their threshold already
-        # bounds every surviving key's posting count.
+        # the (hashed) postings, the price of never running unguarded.
+        # Callers with a P3 blacklist (the assembler) skip this: their
+        # threshold already bounds every surviving key's posting count.
         hot = (
-            suffixes.groupBy("kmer").count()
-            .unionByName(prefixes.groupBy("kmer").count())
-            .groupBy("kmer").agg(F.sum("count").alias("count"))
+            suffixes.groupBy("khash").count()
+            .unionByName(prefixes.groupBy("khash").count())
+            .groupBy("khash").agg(F.sum("count").alias("count"))
             .filter(F.col("count") > per_key_cap)
-            .select("kmer")
+            .select("khash")
         )
-        suffixes = suffixes.join(F.broadcast(hot), "kmer", "left_anti")
-        prefixes = prefixes.join(F.broadcast(hot), "kmer", "left_anti")
+        suffixes = suffixes.join(F.broadcast(hot), "khash", "left_anti")
+        prefixes = prefixes.join(F.broadcast(hot), "khash", "left_anti")
     # Explicit shuffle-hash join: both posting tables are explode-multiplied,
     # and Catalyst's Generate estimate is the CHILD's size, so the planner
     # will happily broadcast a multi-GiB posting side if the stats look
@@ -113,7 +126,7 @@ def match_prefix(nodes: DataFrame, k: int, high_kmers: DataFrame | None = None,
     # prefix side (2 postings/read vs ~len-k/read).
     cand = (
         suffixes.alias("s")
-        .join(prefixes.alias("p").hint("shuffle_hash"), "kmer")
+        .join(prefixes.alias("p").hint("shuffle_hash"), "khash")
         .filter(F.col("s.node_id") != F.col("p.node_id"))
         .select(
             F.col("s.node_id").alias("src"),

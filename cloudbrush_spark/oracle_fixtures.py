@@ -379,8 +379,13 @@ def overlap_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
             _HEX, _DNA)
         for j in range(4)
     ]
+    # LONG node ids, not padded strings: the id rides every posting row
+    # through the J1 shuffle and the candidate aggregate — 8-byte integer
+    # keys keep those exchanges narrow and their hash/compare cheap.
+    # Format at the edge of the pipeline (a sink concern), never in the
+    # hot path.
     return o.select(
-        F.lpad(F.col("i").cast("string"), 8, "0").alias("node_id"),
+        F.col("i").alias("node_id"),
         F.concat(*blocks).alias("seq"),
         F.lit(1.0).alias("cov"),
     )
@@ -391,8 +396,8 @@ def overlap_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
 # src/Brush/Node.java:2071-2078 reverse rule.
 SQL_OVERLAP_EDGES = """
     oidx AS (SELECT o_orderkey AS i FROM orders),
-    ofwd AS (SELECT lpad(CAST(a.i AS VARCHAR), 8, '0') AS src, 'ff' AS et,
-                    lpad(CAST(b.i AS VARCHAR), 8, '0') AS dst,
+    ofwd AS (SELECT CAST(a.i AS BIGINT) AS src, 'ff' AS et,
+                    CAST(b.i AS BIGINT) AS dst,
                     128 - 32 * d AS ov
              FROM oidx a
              CROSS JOIN (VALUES (1), (2), (3)) AS dd(d)
