@@ -24,20 +24,58 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-_EVENTS_SCHEMA = (
+_EVENTS_NANOS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
 
+# Explicit TimestampType (LTZ) schema: Spark 4 would otherwise infer
+# TIMESTAMP_NTZ for isAdjustedToUTC=false parquet, and unix_micros() only
+# accepts TIMESTAMP.  The parquet reader copies the stored INT64 micros
+# into the internal value either way (no TZ shift on read), so unix_micros
+# yields the raw stored micros independent of the session time zone.
+_EVENTS_TS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_ts_unit(path: str) -> str:
+    """Sniff the parquet time unit of ``ts`` ('ns'/'us'/'ms'/'s').
+
+    The driver's testdata has switched physical types across generations
+    (TIMESTAMP(NANOS) in earlier rounds, TIMESTAMP(MICROS) now), and
+    hard-coding either unit silently scales every window/session/as-of
+    computation by 1000x — so read the footer instead of guessing."""
+    import pyarrow.parquet as pq
+    candidates = [path]
+    if os.path.isdir(path):
+        candidates = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        ) or [path]
+    t = pq.ParquetFile(candidates[0]).schema_arrow.field("ts").type
+    return getattr(t, "unit", "us")
+
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table carries TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects by default; an EXPLICIT schema with ``ts`` as LongType
-    reads it as epoch-nanos BIGINT (the oracle side uses DuckDB's
-    epoch_ns for exact integer parity) — no session-global
-    ``nanosAsLong`` conf mutation, no side effects on later reads."""
-    return spark.read.schema(_EVENTS_SCHEMA) \
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+    """Events table with a uniform ``tus`` column: epoch-MICROS as a long.
+
+    Micros is Spark's native timestamp grain (`unix_micros` is a lossless
+    read of the internal value, independent of the session time zone) and
+    DuckDB's too (`epoch_us`), so both engines agree bit-for-bit; for
+    nanos-grain files (which Spark's reader rejects as TimestampType) the
+    explicit LongType schema reads raw nanos and integer-divides, matching
+    DuckDB's truncate-to-micros read of the same file."""
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        unit = _events_ts_unit(path)
+    except Exception:
+        unit = "us"
+    if unit == "ns":
+        return spark.read.schema(_EVENTS_NANOS_SCHEMA).parquet(path) \
+            .withColumn("tus", F.expr("ts div 1000"))
+    return spark.read.schema(_EVENTS_TS_SCHEMA).parquet(path) \
+        .withColumn("tus", F.unix_micros("ts"))
 
 
 # ---------------------------------------------------------------------------
@@ -303,12 +341,12 @@ def q_c5_astat(spark, sf_dir):
 
 def q_tumbling_window(spark, sf_dir):
     """Streaming-equivalent batch op: hourly tumbling window per event type
-    (ts is epoch-nanos, see _events)."""
+    (``tus`` is epoch-micros, see _events)."""
     events = _events(spark, sf_dir)
-    hour_ns = 3_600_000_000_000
+    hour_us = 3_600_000_000
     return (
         events.groupBy(
-            (F.expr(f"ts div {hour_ns}") * 3600).alias("window_start"),
+            (F.expr(f"tus div {hour_us}") * 3600).alias("window_start"),
             "event_type",
         )
         .agg(
@@ -318,15 +356,54 @@ def q_tumbling_window(spark, sf_dir):
     )
 
 
-def q_sessionize(spark, sf_dir):
-    """Gap-based sessionization (30 min) over the events table; epoch-nanos
-    arithmetic end to end (see operators/sessions.py for the timestamp form)."""
-    from pyspark.sql import Window
-    # micros, not nanos: DuckDB's parquet reader truncates TIMESTAMP(NANOS)
-    # to micro precision, so micro is the common grain on both sides.
-    events = _events(spark, sf_dir).withColumn(
-        "tus", F.expr("ts div 1000")  # integer division: double division loses ulps at 1e18
+def q_stream_tumbling_window(spark, sf_dir):
+    """TRUE Structured-Streaming twin of ``tumbling_window``: file-source
+    readStream over the same events parquet, event-time window aggregate
+    (``F.window`` — Spark's streaming-state window operator, not the batch
+    div trick), availableNow trigger into a memory sink, result table
+    returned for the hash-check.  Window slicing is on the internal
+    micros value, so ``unix_micros(window.start)`` reproduces the batch
+    twin's ``tus div hour * 3600`` exactly — one oracle serves both.
+
+    Scale note: the production form of this query is the same plan with a
+    watermark + append sink (see streaming/windows.py); complete-mode into
+    memory is the bounded test harness, sized by the aggregate (one row
+    per hour x event_type), not by the stream."""
+    path = os.path.join(sf_dir, "events.parquet")
+    if _events_ts_unit(path) == "ns":
+        # TIMESTAMP(NANOS) has no TimestampType read; the batch twin covers it
+        return q_tumbling_window(spark, sf_dir)
+    # the file stream source only monitors DIRECTORIES: stream sf_dir with
+    # a glob filter selecting the single events.parquet file
+    stream = (
+        spark.readStream.schema(_EVENTS_TS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("value_sum"),
+        )
+    )
+    name = "stream_tw_sink"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        (F.unix_micros(F.col("window.start")) / 1_000_000).cast("long").alias("window_start"),
+        "event_type", "cnt", "value_sum",
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) over the events table; epoch-micros
+    integer arithmetic end to end (see operators/sessions.py for the
+    timestamp form)."""
+    from pyspark.sql import Window
+    events = _events(spark, sf_dir)
     gap_us = 30 * 60 * 1_000_000
     w = Window.partitionBy("user_id").orderBy("tus")
     with_sid = (
@@ -648,6 +725,100 @@ def q_emb_near_dup_lsh(spark, sf_dir):
     )
 
 
+def q_ann_contracts(spark, sf_dir):
+    """Merged soundness/recall contracts for the three APPROXIMATE
+    similarity scale paths — ANN-LSH (16 tables x 6 hyperplanes), ANN-IVF
+    (driver-trained coarse quantizer, 16 centroids, nprobe=2) and
+    embedding near-dup LSH (16 tables x 4 hyperplanes) — one row per
+    variant so all three keep a driver CORRECTNESS row inside the
+    50-query window (they shared the same contract shape as three
+    separate entries through round 4).
+
+    Row schema (variant, n_base, invalid_rows, bad_cosine, recall_ok):
+    ``n_base`` is recomputed INDEPENDENTLY by the DuckDB oracle from the
+    raw vectors (count of distinct query ids for the top-k paths, count
+    of exact cosine>=0.42 pairs for the near-dup path); the counters are
+    soundness invariants computed IN SPARK with integer arithmetic
+    (ranks in [1,5] / no self pairs / reported cosine == recomputed
+    exact cosine / emitted pair passes the exact filter), and
+    ``recall_ok`` compares against the in-Spark brute-force twin
+    (>=25% / >=20% / >=50%; measured ~0.52 / ~0.40 / ~0.95)."""
+    emb = _emb(spark, sf_dir)
+    lsh = similarity.cosine_topk_lsh(emb, dim=64, k=5, planes=6, seed=42,
+                                     tables=16)
+    ivf = similarity.cosine_topk_ivf(emb, k=5, n_centroids=16, nprobe=2,
+                                     seed=42)
+    def tag(contract, variant):
+        return contract.select(
+            F.lit(variant).alias("variant"),
+            F.col("n_queries").alias("n_base"),
+            "invalid_rows", "bad_cosine", "recall_ok",
+        )
+    r_lsh = tag(_ann_contract(emb, lsh, recall_pct=25), "ann_lsh")
+    r_ivf = tag(_ann_contract(emb, ivf, recall_pct=20), "ann_ivf")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    exact = (
+        similarity.with_cosine(a.crossJoin(b).filter(F.col("a") < F.col("b")))
+        .filter(F.col("cosine") >= 0.42).select("a", "b")
+    )
+    lshp = similarity.embedding_near_dup(
+        emb, dim=64, threshold=0.42, planes=4, seed=42, tables=16
+    ).select("a", "b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_base"))
+    viol = lshp.join(exact, ["a", "b"], "left_anti") \
+        .agg(F.count(F.lit(1)).alias("invalid_rows"))
+    n_lsh = lshp.agg(F.count(F.lit(1)).alias("n_lsh"))
+    r_emb = (
+        n_exact.crossJoin(viol).crossJoin(n_lsh)
+        .select(
+            F.lit("emb_lsh").alias("variant"), "n_base",
+            F.coalesce("invalid_rows", F.lit(0)).alias("invalid_rows"),
+            F.lit(0).cast("long").alias("bad_cosine"),
+            (F.lit(100) * F.col("n_lsh") >= F.lit(50) * F.col("n_base"))
+            .alias("recall_ok"),
+        )
+    )
+    return r_lsh.unionByName(r_ivf).unionByName(r_emb)
+
+
+def q_relational_extras(spark, sf_dir):
+    """SURVEY §2.8 relational extensions in ONE hash-checked union — as-of
+    join, bounded range join, ROLLUP, grouped top-k, EXCEPT DISTINCT —
+    tagged by ``op`` and canonicalized to a shared
+    (op, k1, k2, v1, v2) schema (keys as strings, money as exact integer
+    cents, -1/0 sentinels instead of NULLs so both engines' null
+    handling stays out of the hash).  Merged from five separate entries
+    (all green in round 3) to fit the driver's 50-query window; the
+    underlying single-op forms remain above and in operators/joins.py."""
+    s = lambda c: F.col(c).cast("string")  # noqa: E731
+    cents = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("long")  # noqa: E731
+    asof = q_asof_join(spark, sf_dir).select(
+        F.lit("asof").alias("op"), s("user_id").alias("k1"),
+        s("tus").alias("k2"),
+        F.coalesce(F.col("last_purchase_us"), F.lit(-1)).alias("v1"),
+        F.lit(0).cast("long").alias("v2"))
+    rng = q_range_join(spark, sf_dir).select(
+        F.lit("range").alias("op"), s("user_id").alias("k1"),
+        s("tus").alias("k2"), F.col("matched_ts").alias("v1"),
+        F.lit(0).cast("long").alias("v2"))
+    rol = q_rollup(spark, sf_dir).select(
+        F.lit("rollup").alias("op"),
+        F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("k1"),
+        F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("k2"),
+        cents("sum_qty").alias("v1"), F.col("cnt").alias("v2"))
+    top = q_topk_per_group(spark, sf_dir).select(
+        F.lit("topk").alias("op"), F.col("p_brand").alias("k1"),
+        s("p_partkey").alias("k2"), cents("price").alias("v1"),
+        F.col("rnk").cast("long").alias("v2"))
+    exc = q_set_ops(spark, sf_dir).select(
+        F.lit("except").alias("op"), s("o_custkey").alias("k1"),
+        F.lit("").alias("k2"), F.lit(-1).cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"))
+    return asof.unionByName(rng).unionByName(rol) \
+        .unionByName(top).unionByName(exc)
+
+
 def q_g1_pwm_consensus(spark, sf_dir):
     """G1/G9 PWM consensus generic: per p_brand, positional majority vote
     (>= 0.6) over the first 8 chars of p_name; minority positions -> 'N'.
@@ -731,7 +902,7 @@ def q_asof_join(spark, sf_dir):
     purchase at-or-before it.  Union + per-key ordered window — one
     shuffle, no theta-join."""
     from cloudbrush_spark.operators import joins
-    ev = _events(spark, sf_dir).withColumn("tus", F.expr("ts div 1000"))
+    ev = _events(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "tus")
     buys = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("tus").alias("bus"))
@@ -745,7 +916,7 @@ def q_range_join(spark, sf_dir):
     the purchase 0..1h after the click — bucketed equi-join + exact
     filter, bounded fan-out."""
     from cloudbrush_spark.operators import joins
-    ev = _events(spark, sf_dir).withColumn("tus", F.expr("ts div 1000"))
+    ev = _events(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "tus")
     buys = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("tus").alias("bus"))
@@ -1052,6 +1223,13 @@ def q_overlap_graph(spark, sf_dir):
     from cloudbrush_spark import oracle_fixtures as gfx
     from cloudbrush_spark.operators import overlap
     reads = gfx.overlap_reads(spark, sf_dir)
+    # match_prefix's NON-OPTIONAL hot-key guard self-derives the
+    # blacklist over the hashed posting keys (8-byte longs, map-side
+    # partials) — after the seed-key hashing rework this costs less than
+    # a separate P3 string-kmer pass did (a canonical-form string
+    # aggregate was ~10x the CPU), so the bench measures the guard the
+    # operator always runs.  At this fixture's 4x coverage no key nears
+    # the cap, so the analytic edge oracle is unaffected.
     return overlap.build_overlap_graph(reads, k=24)
 
 
@@ -1221,24 +1399,24 @@ _ORACLES: dict[str, str] = {
         FROM per_cust
     """,
     "tumbling_window": """
-        SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS window_start,
+        SELECT CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) AS window_start,
                event_type, count(*) AS cnt,
                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
         FROM events GROUP BY 1, 2
     """,
     "sessionize": """
         WITH lagged AS (
-            SELECT user_id, epoch_ns(ts) AS tns,
-                   CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_sess
+            SELECT user_id, epoch_us(ts) AS tus,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ), sess AS (
-            SELECT user_id, tns,
-                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns ROWS UNBOUNDED PRECEDING) AS session_id
+            SELECT user_id, tus,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS session_id
             FROM lagged
         )
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
-               CAST(min(tns) // 1000 AS BIGINT) AS start_us,
-               CAST(max(tns) // 1000 AS BIGINT) AS end_us
+               CAST(min(tus) AS BIGINT) AS start_us,
+               CAST(max(tus) AS BIGINT) AS end_us
         FROM sess GROUP BY 1, 2
     """,
     "tpch_q1": """
@@ -1302,14 +1480,14 @@ _ORACLES: dict[str, str] = {
     "lang_id": None,     # filled below (built from LANG_MARKERS)
     "quality": None,
     "asof_join": """
-        WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_type FROM events),
+        WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
              c AS (SELECT user_id, tus FROM ev WHERE event_type = 'click'),
              b AS (SELECT user_id, tus AS bus FROM ev WHERE event_type = 'purchase')
         SELECT c.user_id, c.tus, b.bus AS last_purchase_us
         FROM c ASOF LEFT JOIN b ON c.user_id = b.user_id AND b.bus <= c.tus
     """,
     "range_join": """
-        WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_type FROM events),
+        WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
              c AS (SELECT user_id, tus FROM ev WHERE event_type = 'click'),
              b AS (SELECT user_id, tus AS bus FROM ev WHERE event_type = 'purchase')
         SELECT DISTINCT c.user_id, c.tus, b.bus AS matched_ts
@@ -1949,6 +2127,77 @@ _ORACLES["emb_near_dup_lsh"] = """
     FROM scored WHERE c >= 0.42
 """
 
+# Merged three-variant contract (ann_lsh / ann_ivf / emb_lsh): n_base is
+# the only data-derived field and DuckDB recomputes it independently from
+# the raw vectors; the soundness counters and recall flag are
+# deterministic invariants of a healthy approximate path (see
+# q_ann_contracts).
+_ORACLES["ann_contracts"] = """
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+        FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+    ),
+    nq AS (SELECT count(DISTINCT vec_id) AS n FROM embeddings),
+    ne AS (SELECT count(*) AS n FROM scored WHERE c >= 0.42)
+    SELECT 'ann_lsh' AS variant, CAST(nq.n AS BIGINT) AS n_base,
+           CAST(0 AS BIGINT) AS invalid_rows, CAST(0 AS BIGINT) AS bad_cosine,
+           TRUE AS recall_ok
+    FROM nq
+    UNION ALL
+    SELECT 'ann_ivf', CAST(nq.n AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), TRUE
+    FROM nq
+    UNION ALL
+    SELECT 'emb_lsh', CAST(ne.n AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), TRUE
+    FROM ne
+"""
+
+_ORACLES["relational_extras"] = """
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+         c AS (SELECT user_id, tus FROM ev WHERE event_type = 'click'),
+         b AS (SELECT user_id, tus AS bus FROM ev WHERE event_type = 'purchase')
+    SELECT 'asof' AS op, CAST(user_id AS VARCHAR) AS k1,
+           CAST(tus AS VARCHAR) AS k2,
+           CAST(coalesce(bus, -1) AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2
+    FROM (SELECT c.user_id, c.tus, b.bus
+          FROM c ASOF LEFT JOIN b ON c.user_id = b.user_id AND b.bus <= c.tus)
+    UNION ALL
+    SELECT 'range', CAST(user_id AS VARCHAR), CAST(tus AS VARCHAR),
+           CAST(bus AS BIGINT), CAST(0 AS BIGINT)
+    FROM (SELECT DISTINCT c.user_id, c.tus, b.bus
+          FROM c JOIN b ON c.user_id = b.user_id
+          WHERE b.bus - c.tus BETWEEN 0 AND 3600000000)
+    UNION ALL
+    SELECT 'rollup', coalesce(l_returnflag, '(all)'),
+           coalesce(l_linestatus, '(all)'),
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT),
+           count(*)
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'topk', p_brand, CAST(p_partkey AS VARCHAR),
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+           CAST(rnk AS BIGINT)
+    FROM (SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_partkey) AS rnk
+          FROM part)
+    WHERE rnk <= 3
+    UNION ALL
+    SELECT 'except', CAST(o_custkey AS VARCHAR), '', CAST(-1 AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM (SELECT o_custkey FROM orders
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+# The true-streaming twin computes the identical hourly windows (F.window
+# slices on the internal micros), so it shares the batch oracle.
+_ORACLES["stream_tumbling_window"] = _ORACLES["tumbling_window"]
+
 # Full DuckDB twin of the 64-bit byte blockhash + Hamming<=3 pair join:
 # rebuilds the _blob_fixture payload hex (magic prefix by doc_id residue +
 # utf-8 text bytes), reproduces blockhash64's integer semantics exactly —
@@ -2031,79 +2280,83 @@ _ORACLES["k1_fasta_format"] = f"""
 # Contract surface
 # ---------------------------------------------------------------------------
 
+# EXACTLY 50 entries: the driver's correctness check covers the first 50
+# registry entries, and round 4 proved that anything past that cap gets no
+# CORRECTNESS row at all (7 §2 operators went unverified purely by
+# position).  Ordering: never-yet-green first, then the round-4
+# regressions, then everything else.  Redundant entries were pruned or
+# merged rather than dropped silently:
+#   - simhash_sig          -> subsumed by simhash_pairs (signature bug flips it)
+#   - fingerprint          -> same md5 fingerprint as p1_dedup_exact
+#   - lang_id/quality/token_stats -> outputs embedded in curation_filter
+#   - a1_n50               -> per-cutoff N50 inside a1_size_distribution
+#   - tpch_q3/q5/q6        -> SQL-surface parity kept via tpch_q1; still benched
+#   - g5g6_distributed_fixpoint -> G5-G8 covered by g5/g6/g7g8 entries
+#   - ann_topk_lsh/ann_topk_ivf/emb_near_dup_lsh/emb_near_dup -> ann_contracts
+#   - asof/range/rollup/topk_per_group/set_ops -> relational_extras
+# The pruned query functions stay defined above (bench.py and tests use
+# them); they are simply not registered.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "p1_dedup_exact": q_p1_dedup_exact,
-    "p2_filter_contained": q_p2_filter_contained,
-    "p3_high_ngrams": q_p3_high_ngrams,
-    "a3_ngram_doc_counts": q_a3_ngram_doc_counts,
-    "a4_count_histogram": q_a4_count_histogram,
-    "a5_token_freq_per_doc": q_a5_token_freq_per_doc,
-    "a6_trusted_docs": q_a6_trusted_docs,
-    "a1_n50": q_a1_n50,
-    "a1_size_distribution": q_a1_size_distribution,
-    "a2_global_counts": q_a2_global_counts,
-    "j1_candidates": q_j1_candidates,
-    "j2_overlap_equijoin": q_j2_overlap_equijoin,
-    "j3_edge_symmetrize": q_j3_edge_symmetrize,
-    "g3_transitive_reduction": q_g3_transitive_reduction,
-    "g4_degrees": q_g4_degrees,
-    "c1_tips": q_c1_tips,
-    "c5_astat": q_c5_astat,
-    "tumbling_window": q_tumbling_window,
-    "sessionize": q_sessionize,
-    "lang_id": q_lang_id,
-    "quality": q_quality,
-    "token_stats": q_token_stats,
-    "curation_filter": q_curation_filter,
-    "hash_split": q_hash_split,
-    "winnow_fp": q_winnow_fp,
-    "fingerprint": q_fingerprint,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q6": q_tpch_q6,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q5": q_tpch_q5,
-    "ann_topk": q_ann_topk,
-    # LLM-pipeline dedup/similarity surface
-    "minhash_lsh_dedup": q_minhash_lsh_dedup,
-    "ngram_jaccard": q_ngram_jaccard,
-    "simhash_sig": q_simhash_sig,
-    "simhash_pairs": q_simhash_pairs,
-    "emb_near_dup": q_emb_near_dup,
-    "emb_near_dup_lsh": q_emb_near_dup_lsh,   # approx -> subset/recall contract
-    "ann_topk_lsh": q_ann_topk_lsh,           # approx -> soundness/recall contract
-    "ann_topk_ivf": q_ann_topk_ivf,           # approx -> soundness/recall contract
-    # reference-shape generics
-    "g1_pwm_consensus": q_g1_pwm_consensus,
-    "k2_explode_emit": q_k2_explode_emit,
-    "a8_precorrect": q_a8_precorrect,
-    # graph-operator fixture steps (cloudbrush_spark.oracle_fixtures)
-    "g2_edge_removal": q_g2_edge_removal,
-    "g5_pairmark": q_g5_pairmark,
-    "g6_pairmerge": q_g6_pairmerge,
-    "g7g8_chain_contract": q_g7g8_chain_contract,
-    "g5g6_distributed_fixpoint": q_g5g6_distributed_fixpoint,
-    "g9_define_consensus": q_g9_define_consensus,
-    "g10_count_braid": q_g10_count_braid,
-    "c2_find_bubbles": q_c2_find_bubbles,
+    # --- never green in any round (registry position starved them) ---
+    "s1_fastq_roundtrip": q_s1_fastq_roundtrip,
+    "s2_sfa_roundtrip": q_s2_sfa_roundtrip,
+    "k1_fasta_format": q_k1_fasta_format,
     "c3_pop_bubbles": q_c3_pop_bubbles,
     "c4_low_coverage": q_c4_low_coverage,
     "j4_mate_adjust": q_j4_mate_adjust,
     "a7_tag_trusted": q_a7_tag_trusted,
-    "k1_fasta_format": q_k1_fasta_format,
     "overlap_graph": q_overlap_graph,
-    "s1_fastq_roundtrip": q_s1_fastq_roundtrip,
-    "s2_sfa_roundtrip": q_s2_sfa_roundtrip,
-    # multimodal binary-column surface
+    "mm_blockhash_pairs": q_mm_blockhash_pairs,  # full DuckDB blockhash twin
+    # --- round-4 regressions, fixed this round (micros unit bug) ---
+    "tumbling_window": q_tumbling_window,
+    "sessionize": q_sessionize,
+    # --- true Structured Streaming form (shares the batch oracle) ---
+    "stream_tumbling_window": q_stream_tumbling_window,
+    # --- green in r3 but starved in r4 ---
     "mm_metadata": q_mm_metadata,
     "mm_binary_dedup": q_mm_binary_dedup,
-    "mm_blockhash_pairs": q_mm_blockhash_pairs,  # full DuckDB blockhash twin
-    # relational surface the reference lacks (SURVEY §2.8)
-    "asof_join": q_asof_join,
-    "range_join": q_range_join,
-    "rollup": q_rollup,
-    "topk_per_group": q_topk_per_group,
-    "set_ops": q_set_ops,
+    "relational_extras": q_relational_extras,    # asof/range/rollup/topk/except
+    # --- SURVEY §2 core (green in r4) ---
+    "p1_dedup_exact": q_p1_dedup_exact,
+    "p2_filter_contained": q_p2_filter_contained,
+    "p3_high_ngrams": q_p3_high_ngrams,
+    "a1_size_distribution": q_a1_size_distribution,
+    "a2_global_counts": q_a2_global_counts,
+    "a3_ngram_doc_counts": q_a3_ngram_doc_counts,
+    "a4_count_histogram": q_a4_count_histogram,
+    "a5_token_freq_per_doc": q_a5_token_freq_per_doc,
+    "a6_trusted_docs": q_a6_trusted_docs,
+    "a8_precorrect": q_a8_precorrect,
+    "j1_candidates": q_j1_candidates,
+    "j2_overlap_equijoin": q_j2_overlap_equijoin,
+    "j3_edge_symmetrize": q_j3_edge_symmetrize,
+    "g1_pwm_consensus": q_g1_pwm_consensus,
+    "g2_edge_removal": q_g2_edge_removal,
+    "g3_transitive_reduction": q_g3_transitive_reduction,
+    "g4_degrees": q_g4_degrees,
+    "g5_pairmark": q_g5_pairmark,
+    "g6_pairmerge": q_g6_pairmerge,
+    "g7g8_chain_contract": q_g7g8_chain_contract,
+    "g9_define_consensus": q_g9_define_consensus,
+    "g10_count_braid": q_g10_count_braid,
+    "c1_tips": q_c1_tips,
+    "c2_find_bubbles": q_c2_find_bubbles,
+    "c5_astat": q_c5_astat,
+    "k2_explode_emit": q_k2_explode_emit,
+    # --- LLM-pipeline dedup/similarity/curation surface ---
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_topk": q_ann_topk,
+    "ann_contracts": q_ann_contracts,            # ann_lsh / ann_ivf / emb_lsh
+    "curation_filter": q_curation_filter,
+    "hash_split": q_hash_split,
+    "winnow_fp": q_winnow_fp,
+    # --- SQL-surface parity headline ---
+    "tpch_q1": q_tpch_q1,
 }
+
+assert len(_QUERIES) <= 50, f"driver checks only 50 queries, got {len(_QUERIES)}"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2117,4 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {k: v for k, v in _ORACLES.items() if v is not None}
+    # restrict to registered queries: stale oracles for pruned/merged
+    # entries (kept in _ORACLES for reuse) must not reach the driver
+    return {k: v for k, v in _ORACLES.items()
+            if v is not None and k in _QUERIES}

@@ -46,6 +46,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("cloudbrush-bench")
     qs = entrymod.queries()
+    # some headline queries were pruned from the (50-capped) driver
+    # registry but keep their q_* functions — resolve those directly so
+    # the bench set stays comparable across rounds
+    for name in HEADLINE:
+        if name not in qs and hasattr(entrymod, f"q_{name}"):
+            qs[name] = getattr(entrymod, f"q_{name}")
     # warm the JVM + parquet footers with one cheap action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     unknown = [n for n in HEADLINE if n not in qs]
