@@ -212,6 +212,45 @@ def decode_images(df: DataFrame, content_col: str = "content",
     return src.mapInPandas(batches, DECODE_SCHEMA)
 
 
+def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel buffers to (out_w, out_h),
+    preserving the decode schema — the standard normalize-resolution
+    stage between decode and feature extraction.  Library-free integer
+    index mapping (numpy fancy indexing per Arrow batch), deterministic
+    so the stage is oracle/goldens-testable; a PIL/opencv-backed
+    interpolating resize would slot into the same mapInPandas contract.
+
+    Scale note: pure per-row transformation — no shuffle, partition
+    count preserved, output bounded at out_w*out_h*channels bytes per
+    row regardless of input resolution (the reason to resize BEFORE any
+    wide stage that shuffles pixels)."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {k: [] for k in ("id", "width", "height", "channels", "pixels")}
+            for i, w, h, ch, buf in zip(pdf["id"], pdf["width"], pdf["height"],
+                                        pdf["channels"], pdf["pixels"]):
+                w, h, ch = int(w), int(h), int(ch)
+                px = np.frombuffer(bytes(buf), dtype=np.uint8)
+                if w <= 0 or h <= 0 or px.size != w * h * ch:
+                    continue  # undecodable row: drop, like decode failures
+                img = px.reshape(h, w, ch)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                res = img[ys][:, xs]
+                out["id"].append(i)
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["channels"].append(ch)
+                out["pixels"].append(res.ravel().tobytes())
+            yield pd.DataFrame(out)
+
+    return decoded.select("id", "width", "height", "channels", "pixels") \
+        .mapInPandas(batches, DECODE_SCHEMA)
+
+
 FEATURE_SCHEMA = "id string, feature array<float>"
 
 

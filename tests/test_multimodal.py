@@ -95,3 +95,41 @@ def test_frame_sample_bounded_fanout(spark):
     frames = multimodal.frame_sample(df, every_bytes=4096, max_frames=3).collect()
     assert [f.frame_idx for f in frames] == [0, 1, 2]
     assert all(len(f.frame) == 4096 for f in frames)
+
+
+def test_resize_images_nearest_neighbor(spark):
+    """Resize preserves the decode schema, hits exact output dims, and is
+    deterministic; a checkerboard downsample keeps corner pixel values."""
+    import numpy as np
+    # 4x4 RGB checkerboard: (0,0)=10, (3,3)=240
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[0, 0] = 10
+    img[3, 3] = 240
+    df = spark.createDataFrame(
+        [("a", 4, 4, 3, bytearray(img.ravel().tobytes()))],
+        "id string, width int, height int, channels int, pixels binary")
+    out = multimodal.resize_images(df, out_w=2, out_h=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height, r.channels) == (2, 2, 3)
+    res = np.frombuffer(bytes(r.pixels), dtype=np.uint8).reshape(2, 2, 3)
+    assert res[0, 0, 0] == 10        # nearest-neighbor keeps top-left
+    assert len(bytes(r.pixels)) == 2 * 2 * 3
+    # malformed row (pixel count mismatch) is dropped, not crashed
+    bad = spark.createDataFrame(
+        [("b", 4, 4, 3, bytearray(b"\x00\x01"))],
+        "id string, width int, height int, channels int, pixels binary")
+    assert multimodal.resize_images(bad, 2, 2).count() == 0
+
+
+def test_decode_resize_feature_pipeline(spark):
+    """decode -> resize -> feature: the full multimodal stage chain holds
+    schemas end to end and emits fixed-dim normalized vectors."""
+    df = spark.createDataFrame(
+        [("x", bytearray(b"payload-bytes-for-fake-decode"))],
+        "id string, content binary")
+    decoded = multimodal.decode_images(df, content_col="content",
+                                       id_col="id", fake=True)
+    resized = multimodal.resize_images(decoded, out_w=4, out_h=4)
+    feats = multimodal.extract_features(resized, dim=8).collect()
+    assert len(feats) == 1 and len(feats[0].feature) == 8
