@@ -387,11 +387,21 @@ def q_stream_tumbling_window(spark, sf_dir):
         )
     )
     name = "stream_tw_sink"
-    q = (
-        agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    # the stateful aggregate allocates one state-store partition per
+    # shuffle partition AT QUERY START; under a default-conf session that
+    # is 200 tiny state stores for a bounded fixture — pin a sane width
+    # for the query's lifetime and restore the session conf after
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(min(int(prev), 32)))
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
     return spark.table(name).select(
         (F.unix_micros(F.col("window.start")) / 1_000_000).cast("long").alias("window_start"),
         "event_type", "cnt", "value_sum",

@@ -105,10 +105,18 @@ def match_prefix(nodes: DataFrame, k: int, high_kmers: DataFrame | None = None,
         "node_id", "d", F.xxhash64("kmer").alias("khash"), "ov")
     if high_kmers is None:
         # No precomputed blacklist (P3) supplied: derive it from the posting
-        # tables themselves — one extra map-side-combined aggregation over
-        # the (hashed) postings, the price of never running unguarded.
-        # Callers with a P3 blacklist (the assembler) skip this: their
-        # threshold already bounds every surviving key's posting count.
+        # tables themselves.  Both tables are repartitioned on the hashed
+        # seed key FIRST so the hot-key aggregate and the candidate join
+        # consume the SAME exchange (ReuseExchange): the ~200x-exploded
+        # posting generation and its shuffle run once, not once per
+        # consumer — the guard's cost collapses to one extra read of an
+        # exchange the join needs anyway.  The aggregate needs no second
+        # shuffle (already hash-distributed on its grouping key), and the
+        # broadcast anti-join between exchange and join preserves the
+        # distribution.  Callers with a P3 blacklist (the assembler) skip
+        # this: their threshold already bounds every surviving key.
+        suffixes = suffixes.repartition(F.col("khash"))
+        prefixes = prefixes.repartition(F.col("khash"))
         hot = (
             suffixes.groupBy("khash").count()
             .unionByName(prefixes.groupBy("khash").count())
