@@ -301,35 +301,42 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     # sign(sum of +/-1 votes) == (2 * count_of_set_bits > n), and the 64
     # per-bit counters are BIT-SLICED four to a long (16-bit lanes): the
     # aggregate carries 16 packed sum columns instead of 64, quartering
-    # the hash-aggregate state and shuffle row width (measured ~25% off
-    # the whole query at sf0.1).  Lane capacity bounds the per-document
-    # token count at 65,535 — far above any real document row; beyond
-    # that the votes would carry across lanes.
+    # the hash-aggregate state and shuffle row width.  Lane capacity
+    # bounds the per-document token count at 65,535 — far above any real
+    # document row; beyond that the votes would carry across lanes.
+    #
+    # The wide bit expressions are generated as SQL STRINGS and parsed by
+    # one F.expr each: building them as Column-object loops cost ~3s of
+    # py4j round trips PER CALL (thousands of JVM calls for ~1s of actual
+    # execution) — driver-side plan construction is part of the query's
+    # latency budget too.
     LANES, W = 4, 16
 
-    def packed(src: str, c: int):
-        return sum(
-            F.shiftleft(
-                F.shiftright(F.col(src), LANES * c + lane).bitwiseAND(F.lit(1)),
-                W * lane)
+    def packed_sql(src: str, c: int) -> str:
+        return " + ".join(
+            f"shiftleft((shiftright({src}, {LANES * c + lane}) & 1), {W * lane})"
             for lane in range(LANES)
         )
 
     agg = hashed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(packed("hvh", c)).alias(f"h{c}") for c in range(8)],
-        *[F.sum(packed("hvl", c)).alias(f"l{c}") for c in range(8)],
+        *[F.expr(f"sum({packed_sql('hvh', c)})").alias(f"h{c}") for c in range(8)],
+        *[F.expr(f"sum({packed_sql('hvl', c)})").alias(f"l{c}") for c in range(8)],
     )
 
-    def assemble(prefix: str):
-        return sum(
-            F.when(
-                2 * F.shiftright(F.col(f"{prefix}{i // LANES}"), W * (i % LANES))
-                .bitwiseAND(F.lit(0xFFFF)) > F.col("n"),
-                F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    def assemble_sql(prefix: str) -> str:
+        terms = " + ".join(
+            f"IF(2 * (shiftright({prefix}{i // LANES}, {W * (i % LANES)}) & 65535)"
+            f" > n, {1 << i}L, 0L)"
             for i in range(32)
         )
-    return agg.select(id_col, assemble("h").alias("sim_hi"), assemble("l").alias("sim_lo"))
+        return f"CAST({terms} AS BIGINT)"
+
+    return agg.select(
+        id_col,
+        F.expr(assemble_sql("h")).alias("sim_hi"),
+        F.expr(assemble_sql("l")).alias("sim_lo"),
+    )
 
 
 def hamming_near_pairs(sig: DataFrame, id_col: str,
