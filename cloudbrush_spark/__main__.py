@@ -1,0 +1,142 @@
+"""CLI mirroring the reference driver's invocation surface
+(src/Brush/BrushConfig.java:207-406, BrushAssembler.java:781-916), so a
+CloudBrush user can run the same commands against this engine:
+
+    # full assembly (reference: hadoop jar CloudBrush.jar ...)
+    python -m cloudbrush_spark -reads Ec10k.sim.sfa -asm out/ -k 21 -readlen 36
+
+    # stats only (reference -run_stats; -genome adds the genome-target N50)
+    python -m cloudbrush_spark -run_stats out/ -genome 10232
+
+    # conversion only (reference -convert_fa)
+    python -m cloudbrush_spark -convert_fa out/
+
+Option names match the reference's commons-cli flags (-k, -readlen,
+-kmerup, -kmerlow, -kmercov, -bubbleerate, -maj, -N, -lowcov, -slots,
+-nodes, -genome).  The reference's restart flags (-start/-stop/
+-restart_*) are subsumed by ``-ckpt DIR``: every major stage persists to
+parquet there and finished stages are loaded, not recomputed — the same
+partial-run machinery, keyed by stage completion markers instead of
+stage names.
+
+Output layout under -asm: ``nodes.parquet`` + ``edges.parquet`` (the
+typed node/edge tables — the engine's IR, replacing the reference's
+HDFS text directories), ``contigs.fa`` (K1 FASTA sink), and a printed
+stage-counter + stats report.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="python -m cloudbrush_spark", add_help=True,
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("-reads", help="input reads: .sfa (tab-separated) or .fastq")
+    ap.add_argument("-asm", help="output assembly directory")
+    ap.add_argument("-k", type=int, default=21, help="overlap seed size")
+    ap.add_argument("-readlen", type=int, default=36, help="read length")
+    ap.add_argument("-kmerup", type=int, default=2000, help="max kmer cov / per-key cap")
+    ap.add_argument("-kmerlow", type=int, default=1, help="min candidates per kmer key")
+    ap.add_argument("-kmercov", type=float, default=30.0, help="expected kmer coverage (A-stat)")
+    ap.add_argument("-bubbleerate", type=float, default=0.05, help="max bubble error rate")
+    ap.add_argument("-maj", type=float, default=0.6, help="PWM consensus majority")
+    ap.add_argument("-N", type=float, default=0.1, dest="pwm_n", help="PWM N threshold")
+    ap.add_argument("-lowcov", type=float, default=1.0, help="low-coverage cutoff")
+    ap.add_argument("-slots", type=int, default=None,
+                    help="parallelism (shuffle partitions); default: session")
+    ap.add_argument("-nodes", type=int, default=4096,
+                    help="serial-contraction threshold (reference -nodes; "
+                         "reference default 1000, ours 4096)")
+    ap.add_argument("-precorrect", action="store_true",
+                    help="A8 spaced-seed error correction before dedup")
+    ap.add_argument("-ckpt", default=None,
+                    help="stage-checkpoint dir (restartable partial runs)")
+    ap.add_argument("-run_stats", default=None, metavar="DIR",
+                    help="stats-only entry point over DIR's nodes.parquet")
+    ap.add_argument("-genome", type=int, default=None,
+                    help="genome size (bp) for the genome-target N50")
+    ap.add_argument("-convert_fa", default=None, metavar="DIR",
+                    help="conversion-only entry point over DIR's nodes.parquet")
+    return ap
+
+
+def _load_nodes(spark, dirpath: str):
+    path = os.path.join(dirpath, "nodes.parquet")
+    if not os.path.exists(path):
+        raise SystemExit(f"no nodes.parquet under {dirpath!r} "
+                         "(expected an -asm output directory)")
+    return spark.read.parquet(path)
+
+
+def _print_stats(report: dict) -> None:
+    print("== size distribution (per cutoff) ==")
+    report["distribution"].show(50, truncate=False)
+    print("== top contigs ==")
+    report["top"].show(10, truncate=False)
+    if report.get("genome_n50") is not None:
+        print("== genome-target N50 ==")
+        report["genome_n50"].show(truncate=False)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from cloudbrush_spark.session import get_spark
+    extra = {}
+    if args.slots:
+        extra["spark.sql.shuffle.partitions"] = str(args.slots)
+    spark = get_spark("cloudbrush", extra_conf=extra or None)
+
+    if args.run_stats:
+        from cloudbrush_spark.pipeline.assembler import Assembler
+        nodes = _load_nodes(spark, args.run_stats)
+        _print_stats(Assembler(spark).stats_report(nodes, genome_size=args.genome))
+        return 0
+
+    if args.convert_fa:
+        from cloudbrush_spark.sources.fasta import write_fasta
+        nodes = _load_nodes(spark, args.convert_fa)
+        out = os.path.join(args.convert_fa, "contigs.fa")
+        write_fasta(nodes, out)
+        print(f"wrote {out}")
+        return 0
+
+    if not args.reads or not args.asm:
+        _build_parser().print_help()
+        return 2
+
+    from cloudbrush_spark.config import BrushParams
+    from cloudbrush_spark.pipeline.assembler import Assembler
+    from cloudbrush_spark.sources.fasta import read_fastq, read_sfa, write_fasta
+
+    if args.reads.endswith((".fastq", ".fq")):
+        reads = read_fastq(spark, args.reads)
+    else:
+        reads = read_sfa(spark, args.reads)
+    params = BrushParams(
+        k=args.k, readlen=args.readlen, up_kmer=args.kmerup,
+        low_kmer=args.kmerlow, kmer_cov=args.kmercov,
+        bubble_edit_rate=args.bubbleerate, majority=args.maj,
+        pwm_n=args.pwm_n, low_cov_thresh=args.lowcov,
+        serial_threshold=args.nodes, precorrect=args.precorrect,
+    )
+    asm = Assembler(spark, params=params, verbose=True,
+                    checkpoint_dir=args.ckpt)
+    nodes, edges = asm.assemble(reads)
+    os.makedirs(args.asm, exist_ok=True)
+    nodes.write.mode("overwrite").parquet(os.path.join(args.asm, "nodes.parquet"))
+    edges.write.mode("overwrite").parquet(os.path.join(args.asm, "edges.parquet"))
+    final_nodes = spark.read.parquet(os.path.join(args.asm, "nodes.parquet"))
+    write_fasta(final_nodes, os.path.join(args.asm, "contigs.fa"))
+    print("counters:", json.dumps(asm.counters))
+    _print_stats(asm.stats_report(final_nodes, genome_size=args.genome))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

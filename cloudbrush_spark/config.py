@@ -22,6 +22,11 @@ class BrushParams:
     inslen_sd: int = 20
     random_seed: int = 42           # pinned (reference uses Math.random():
                                     # src/Brush/BrushAssembler.java:534-537)
+    serial_threshold: int = 4096    # residual-subgraph size at which chain
+                                    # contraction switches to the driver-side
+                                    # serial finish — the reference's -nodes
+                                    # flag (src/Brush/BrushConfig.java:224,
+                                    # BrushAssembler.java:516-517)
     mate_adjust: bool = False       # J4 pairedgeAdjustment: implemented but
                                     # default-off, like the reference's
                                     # commented-out call site

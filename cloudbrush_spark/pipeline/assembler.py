@@ -123,7 +123,9 @@ class Assembler:
     def compress_chains(self, nodes: DataFrame, edges: DataFrame
                         ) -> tuple[DataFrame, DataFrame]:
         nodes, edges, rounds = contraction.contract_chains(
-            nodes, edges, seed=self.params.random_seed, verbose=self.verbose)
+            nodes, edges, seed=self.params.random_seed,
+            serial_threshold=self.params.serial_threshold,
+            verbose=self.verbose)
         self.counters["compress_rounds"] = \
             self.counters.get("compress_rounds", 0) + rounds
         return self._ckpt(nodes), self._ckpt(edges)

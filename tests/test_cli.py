@@ -1,0 +1,48 @@
+"""The `python -m cloudbrush_spark` CLI: the reference driver's three
+entry points (full assembly / -run_stats / -convert_fa) over a small
+genome-sliced read set, end to end through the real Assembler."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cloudbrush_spark.__main__ import main  # noqa: E402
+
+
+def _write_reads(path: str) -> str:
+    # 40 reads of length 20 tiling a 120 bp deterministic "genome" with
+    # heavy overlap — assembles into few contigs at k=9
+    import hashlib
+    g = "".join("ACGT"[b % 4] for b in hashlib.sha256(b"cli-genome").digest() * 4)[:120]
+    with open(path, "w") as fh:
+        for i in range(40):
+            lo = (i * 3) % (len(g) - 20)
+            fh.write(f"r{i:03d}\t{g[lo:lo + 20]}\n")
+    return path
+
+
+def test_cli_assemble_stats_convert(tmp_path, spark, capsys):
+    sfa = _write_reads(str(tmp_path / "reads.sfa"))
+    out = str(tmp_path / "asm")
+
+    rc = main(["-reads", sfa, "-asm", out, "-k", "9", "-readlen", "20"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "nodes.parquet"))
+    assert os.path.exists(os.path.join(out, "edges.parquet"))
+    fasta_dir = os.path.join(out, "contigs.fa")
+    parts = [f for f in os.listdir(fasta_dir) if f.startswith("part-")]
+    text = "".join(open(os.path.join(fasta_dir, p)).read() for p in parts)
+    assert text.startswith(">") and "len=" in text
+    captured = capsys.readouterr().out
+    assert "counters:" in captured and "size distribution" in captured
+
+    rc = main(["-run_stats", out, "-genome", "120"])
+    assert rc == 0
+    assert "genome-target N50" in capsys.readouterr().out
+
+    rc = main(["-convert_fa", out])
+    assert rc == 0
+
+    # missing required args -> help + exit 2, not a traceback
+    assert main([]) == 2
