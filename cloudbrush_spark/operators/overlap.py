@@ -82,10 +82,21 @@ def match_prefix(nodes: DataFrame, k: int, high_kmers: DataFrame | None = None,
     ``high_kmers`` blacklist is supplied, seed keys whose posting count
     exceeds ``per_key_cap`` are detected with a groupBy-count (map-side
     partials, skew-proof) and removed via broadcast anti-join — dropped
-    whole, the reference's own high-frequency-kmer semantics
-    (src/Brush/MatchPrefix.java:155-158, :366-380).  No window ever
-    partitions by the hot key itself, so the hottest posting list never
-    lands in a single task.
+    whole.  Documented deviations from the reference reducer
+    (src/Brush/MatchPrefix.java:366-380), both deliberate:
+
+    - the reference keeps the TOP ``UP_KMER`` candidates per key by
+      descending overlap instead of dropping the key; that per-key
+      sorted top-K is exactly the window-over-the-hot-key this operator
+      refuses (the hot key's whole posting list in one task).  With the
+      P3 blacklist active the reference's own count cutoff removes such
+      keys before this point anyway.
+    - the reference's ``LOW_KMER`` minimum (skip keys with <= LowKmer
+      candidate edges, default 1 — a pre-verify noise heuristic) is not
+      applied: the exact J2 substring verification already rejects
+      every spurious candidate, so the minimum only changes which TRUE
+      single-candidate edges survive, and dropping true edges is the
+      wrong default for a verified pipeline.
     """
     prefixes, suffixes = _postings(nodes, k)
     prefixes = _drop_noise_keys(prefixes, k, high_kmers)

@@ -67,3 +67,27 @@ def test_write_fasta_format(spark, tmp_path):
     lines = [ln for ln in text.splitlines() if ln]
     assert lines[0] == ">c1 len=130 cov=3.50"
     assert lines[1] == "A" * 60 and lines[2] == "A" * 60 and lines[3] == "A" * 10
+
+
+def test_read_fastq_gzip(spark, tmp_path):
+    """Compressed FASTQ ingests through the same line-index parser:
+    sc.textFile decompresses .gz transparently (single split per file —
+    gzip is not splittable, which is why the scale path prefers many
+    files or uncompressed/zstd-seekable inputs)."""
+    import gzip
+    p = tmp_path / "reads.fastq.gz"
+    with gzip.open(p, "wt") as fh:
+        for i in range(5):
+            fh.write(f"@g{i}/1\nACGTACGT\n+\n@IIIIIII\n")
+    out = {r.read_id: r.seq
+           for r in src.read_fastq(spark, str(p), mate_suffix=True).collect()}
+    assert out == {f"g{i}_1": "ACGTACGT" for i in range(5)}
+
+
+def test_read_sfa_gzip(spark, tmp_path):
+    import gzip
+    p = tmp_path / "reads.sfa.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write("a\tacgt\nb\tTTGG\n")
+    out = {r.read_id: r.seq for r in src.read_sfa(spark, str(p)).collect()}
+    assert out == {"a": "ACGT", "b": "TTGG"}
