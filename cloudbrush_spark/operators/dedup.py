@@ -359,15 +359,27 @@ def hamming_near_pairs(sig: DataFrame, id_col: str,
        4 x 16-bit chunks (65k bucket values — fine-grained buckets);
        for <= 7, 8 x 8-bit chunks (the minimum table count that keeps
        recall 1).
-    3. **Bucket cap on distinct-signature buckets** (detected with a
-       groupBy + broadcast anti-join, never a window over the hot key) —
-       the same skew valve as the reference's per-key candidate cap
-       (src/Brush/MatchPrefix.java:366-380).  With identical signatures
-       already collapsed it only triggers on adversarial near-collision
-       mass; dropped buckets lose only cross-signature recall.
+    3. **Hierarchical re-banding of over-cap buckets** (found with a
+       groupBy + broadcast semi/anti-join, never a window over the hot
+       key).  Hot chunk values are STRUCTURAL, not adversarial: majority
+       votes over shared common tokens correlate signature bits across a
+       corpus, so one byte value of one chunk can collect thousands of
+       distinct signatures (observed at sf0.1: one 8-bit chunk bucket
+       held 1,329 of 4,971 signatures, and DROPPING it lost 41 true
+       pairs vs the brute-force oracle).  Instead of dropping, members
+       of an over-cap bucket are re-banded on ``max_hamming + 1``
+       sub-chunks of the COMPLEMENT bits: a pair sharing the hot parent
+       chunk within the Hamming budget has at most ``max_hamming``
+       differing bits spread over the sub-chunks, so pigeonhole again
+       guarantees one equal sub-chunk — recall stays EXACT, while the
+       hot bucket's quadratic pair expansion is subdivided by the
+       complement bits that near-pairs must mostly share.  Only a
+       sub-bucket that STILL exceeds the cap (signatures agreeing on a
+       parent chunk and a complement sub-chunk in over-cap mass) is
+       dropped — nested skew two levels deep.
 
     Output: (a, b, hamming) with a < b, exact w.r.t. the brute-force scan
-    whenever no bucket exceeds ``bucket_cap``.
+    whenever no SECOND-level bucket exceeds ``bucket_cap``.
     """
     if max_hamming <= 3:
         nchunks, width, mask = 4, 16, 0xFFFF
@@ -419,20 +431,70 @@ def _hamming_pairs_from_cached(sig: DataFrame, id_col: str, nchunks: int,
     big = (chunks.groupBy("c", "v").count()
            .filter(F.col("count") > bucket_cap).select("c", "v"))
     capped = chunks.join(F.broadcast(big), ["c", "v"], "left_anti")
-    a = capped.select(F.col("sim_hi").alias("ha"), F.col("sim_lo").alias("la"), "c", "v")
-    b = capped.select(F.col("sim_hi").alias("hb"), F.col("sim_lo").alias("lb"), "c", "v")
-    sig_pairs = (
-        a.join(b, ["c", "v"])
-        .filter((F.col("ha") < F.col("hb"))
-                | ((F.col("ha") == F.col("hb")) & (F.col("la") < F.col("lb"))))
-        .select(
-            "ha", "la", "hb", "lb",
-            (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-             + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))).alias("hamming"),
+
+    def pair_join(banded: DataFrame, keys: list[str]) -> DataFrame:
+        a = banded.select(F.col("sim_hi").alias("ha"),
+                          F.col("sim_lo").alias("la"), *keys)
+        b = banded.select(F.col("sim_hi").alias("hb"),
+                          F.col("sim_lo").alias("lb"), *keys)
+        return (
+            a.join(b, keys)
+            .filter((F.col("ha") < F.col("hb"))
+                    | ((F.col("ha") == F.col("hb")) & (F.col("la") < F.col("lb"))))
+            .select(
+                "ha", "la", "hb", "lb",
+                (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                 + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+
+    # level 2: re-band over-cap bucket members on max_hamming+1 sub-chunks
+    # of the 64-width complement bits (see docstring) — the expressions
+    # are generated SQL (one F.expr per sub-chunk), branching on the
+    # parent chunk id since the complement depends on it
+    ns = max_hamming + 1
+
+    def _sub_sql(c: int, j: int) -> str:
+        rem = 64 - width
+        sw = rem // ns
+        lo, hi = j * sw, ((j + 1) * sw if j < ns - 1 else rem)
+        terms = []
+        for t, pos in enumerate(range(lo, hi)):
+            bbit = pos if pos < c * width else pos + width
+            col, sh = ("sim_hi", bbit) if bbit < 32 else ("sim_lo", bbit - 32)
+            terms.append(f"shiftleft(shiftright({col}, {sh}) & 1, {t})")
+        return " + ".join(terms)
+
+    sig_pairs = pair_join(capped, ["c", "v"])
+    # level-2 plumbing costs a few extra jobs; pay it only when a hot
+    # bucket actually exists (big is a tiny aggregate over cached sigs)
+    if not big.isEmpty():
+        hot = chunks.join(F.broadcast(big), ["c", "v"], "left_semi")
+        sub_cols = [
+            F.expr("CASE " + " ".join(
+                f"WHEN c = {c} THEN {_sub_sql(c, j)}" for c in range(nchunks)
+            ) + " END").alias(f"__sv{j}")
+            for j in range(ns)
+        ]
+        sub = hot.select("sim_hi", "sim_lo", "c", "v", *sub_cols).select(
+            "sim_hi", "sim_lo", "c", "v",
+            F.explode(F.array(*[
+                F.struct(F.lit(j).alias("sc"), F.col(f"__sv{j}").alias("sv"))
+                for j in range(ns)
+            ])).alias("s"),
+        ).select("sim_hi", "sim_lo", "c", "v",
+                 F.col("s.sc").alias("sc"), F.col("s.sv").alias("sv")) \
+            .localCheckpoint(eager=True)  # ns rows per hot member — small;
+        # cuts the chunk/CASE pipeline from re-running for the sub-bucket
+        # cap aggregate, its broadcast and the pair join
+        big2 = (sub.groupBy("c", "v", "sc", "sv").count()
+                .filter(F.col("count") > bucket_cap)
+                .select("c", "v", "sc", "sv"))
+        capped2 = sub.join(F.broadcast(big2), ["c", "v", "sc", "sv"], "left_anti")
+        sig_pairs = sig_pairs.unionByName(
+            pair_join(capped2, ["c", "v", "sc", "sv"]))
+    sig_pairs = sig_pairs.distinct()
     mem_a = sig.select(F.col(id_col).alias("ia"),
                        F.col("sim_hi").alias("ha"), F.col("sim_lo").alias("la"))
     mem_b = sig.select(F.col(id_col).alias("ib"),
