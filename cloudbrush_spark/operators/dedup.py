@@ -122,7 +122,17 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
     Band key = md5 of the concatenated row minhashes; join on (band, key).
     ``max_bucket`` caps bucket width before pair expansion (skew control,
-    mirrors src/Brush/MatchPrefix.java:366-380).
+    mirrors src/Brush/MatchPrefix.java:366-380) — the cap is part of the
+    operator's CONTRACT and the DuckDB oracle twin implements it too.
+
+    Mass duplication note: a cluster of identical documents shares every
+    band key, so a >max_bucket duplicate cluster is dropped by the cap —
+    deliberately.  Exact duplicates belong to the upstream hash dedup
+    (P1 / fingerprint_dedup: one aggregate, no pair expansion); emitting
+    a million-document cluster's half-trillion near-dup PAIRS is wrong at
+    any cap, the scalable representation of such clusters is the exact
+    path's (survivor, count) groups.  MinHash+LSH is the near-dup stage
+    and assumes exact dedup ran first.
     Output: (a, b) with a < b, distinct.
     """
     banded = (

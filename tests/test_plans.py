@@ -82,3 +82,15 @@ def test_overlap_posting_join_never_broadcasts_postings(spark):
     # of them may be broadcast (the LeftAnti joins against the tiny
     # hot-key set are the only broadcasts allowed)
     assert "BroadcastHashJoin Inner" not in plan, "posting join became broadcast"
+
+
+def test_tpch_q6_filters_reach_parquet_scan(spark):
+    """The Q6-shaped narrow-predicate aggregate is THE pushdown showcase:
+    date/quantity predicates must reach the parquet scan as PushedFilters
+    and the scan schema must carry only the referenced columns."""
+    import __spark_entry__ as entrymod
+    q = entrymod.q_tpch_q6(spark, SF)
+    pushed = " ".join(plans.pushed_filters(q))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    schemas = plans.read_schema(q)
+    assert schemas and "l_comment" not in schemas[0]
