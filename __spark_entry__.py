@@ -411,7 +411,8 @@ def q_stream_tumbling_window(spark, sf_dir):
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30 min) over the events table; epoch-micros
     integer arithmetic end to end (see operators/sessions.py for the
-    timestamp form)."""
+    timestamp form).  Boundary: an exactly-30-min gap stays in the same
+    session (>), matching session_window's inclusive merge rule."""
     from pyspark.sql import Window
     events = _events(spark, sf_dir)
     gap_us = 30 * 60 * 1_000_000

@@ -30,6 +30,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization: a new session starts when a user's gap from
     the previous event exceeds ``gap_minutes``.
 
+    Boundary convention: a gap of EXACTLY ``gap_minutes`` stays in the
+    SAME session (``>``), matching Structured Streaming's
+    ``session_window`` (an event at precisely window-end MERGES — the
+    window end is inclusive for the merge test) — so the streaming twin
+    (streaming/windows.py) groups events identically, ties included.
+
     Classic lag + conditional cumsum over a per-user window.  One shuffle on
     user_id; at scale the window sort is per-user (bounded) not global.
     Output: (user_id, session_id, n_events, session_start, session_end).

@@ -54,9 +54,13 @@ def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
                       watermark: str = "10 minutes") -> DataFrame:
     """Streaming twin of sessions.sessionize via ``session_window``.
 
-    Semantics note: a session window's ``end`` is last_event + gap (the
-    close timestamp), where the batch form reports max(ts); counts and
-    session boundaries (which events group together) are identical.
+    Semantics note: a session window's raw ``end`` is last_event + gap
+    (the close timestamp); this selects max(ts) like the batch form.
+    Session boundaries are identical INCLUDING the exact-gap tie: an
+    event at exactly last_event + gap MERGES in both forms
+    (session_window's merge test is inclusive at window end; the batch
+    form's strict > matches — pinned by
+    tests/test_streaming.py::test_exact_gap_tie_merges_in_both_forms).
     """
     return (
         events.withWatermark("ts", watermark)

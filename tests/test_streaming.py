@@ -16,8 +16,8 @@ from cloudbrush_spark.streaming import (
 )
 
 
-def _ts(h, m=0):
-    return datetime.datetime(2024, 1, 1, h, m)
+def _ts(h, m=0, s=0):
+    return datetime.datetime(2024, 1, 1, h, m, s)
 
 
 @pytest.fixture(scope="module")
@@ -91,3 +91,32 @@ def test_stream_dedup_matches_batch(spark, event_dir):
     want_keys = {(r.user_id, r.event_type) for r in batch.collect()}
     assert got_keys == want_keys
     assert out.count() <= spark.read.parquet(event_dir).count()
+
+
+def test_exact_gap_tie_merges_in_both_forms(spark, tmp_path):
+    """Boundary pin: a gap of EXACTLY the session threshold MERGES in
+    BOTH runners — session_window's merge test is inclusive at the
+    window end (an event at precisely last_event + gap joins the
+    session), and the batch form's strict > matches.  The tie
+    convention must never diverge between the two."""
+    rows = [
+        (_ts(9, 0), 7, "click", 1.0),
+        (_ts(9, 30), 7, "click", 1.0),   # exactly 30m: SAME session
+        (_ts(10, 0, 1), 7, "click", 1.0),  # 30m 1s: NEW session
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string, value double")
+    path = str(tmp_path / "tie_events")
+    df.coalesce(1).write.parquet(path)
+
+    batch = sessions.sessionize(spark.read.parquet(path)).collect()
+    batch_groups = sorted((r.session_start, r.session_end, r.n_events)
+                          for r in batch)
+    assert [g[2] for g in batch_groups] == [2, 1]
+    assert batch_groups[0][1] == _ts(9, 30)
+
+    out = _run_stream(spark, stream_sessionize(read_event_stream(spark, path)),
+                      "t_tie", "complete")
+    stream_groups = sorted((r.session_start, r.session_end, r.n_events)
+                           for r in out.collect())
+    assert stream_groups == batch_groups
