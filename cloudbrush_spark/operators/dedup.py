@@ -26,6 +26,23 @@ from pyspark.sql import functions as F
 from cloudbrush_spark.functions import dna, text
 
 
+def _stage_cut(df: DataFrame) -> DataFrame:
+    """Materialize a small intermediate frame so a fanned-out DAG reads it
+    instead of re-executing (and racing) the expensive upstream pipeline.
+
+    Uses the RELIABLE checkpoint (replicated to ``spark.checkpoint.dir``)
+    when one is configured — the mode to run on a multi-executor cluster,
+    where executor loss / dynamic-allocation scale-in would invalidate
+    executor-local blocks — and falls back to ``localCheckpoint(eager=True)``
+    otherwise, which is correct and cheapest on local[*] where executor
+    loss cannot happen.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def dedup_reads(reads: DataFrame, id_col: str = "read_id", seq_col: str = "seq",
                 k: int = 21) -> DataFrame:
     """P1+P2 in one shot: canonical-key exact dedup of DNA reads.
@@ -150,7 +167,14 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     # (observed: the shingle+signature stages ran 4x, tripling the
     # query).  One eager cut turns the DAG into linear-once + cheap
     # fan-out — the same role a shuffle materialization plays at scale.
-    banded = banded.localCheckpoint(eager=True)
+    #
+    # Cluster caveat: localCheckpoint blocks live only on executors, so it
+    # is NOT fault-tolerant — an executor loss (or dynamic-allocation
+    # scale-in) after the cut makes downstream reads fail.  On a real
+    # cluster set spark.checkpoint.dir and use _stage_cut's reliable mode
+    # (DataFrame.checkpoint) instead; locally the eager cut is exactly
+    # right and avoids the parallel-stage cold-cache race.
+    banded = _stage_cut(banded)
     # oversized-bucket detection via groupBy (map-side partials, skew-proof)
     # + broadcast anti-join — never a window holding a whole hot bucket in
     # one task.
@@ -203,11 +227,9 @@ def minhash_dedup_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
         # _jaccard_for_pairs references the pair frame in several join
         # branches, and without a cut the whole signature aggregate +
         # banding pipeline re-executes once per branch (measured 2-3x)
-        cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band) \
-            .localCheckpoint(eager=True)
+        cands = _stage_cut(lsh_candidate_pairs(sigs, id_col, bands, rows_per_band))
         jac = _jaccard_for_pairs(shingles, cands, id_col)
-        return jac.filter(F.col("jaccard") >= jaccard_threshold) \
-            .localCheckpoint(eager=True)
+        return _stage_cut(jac.filter(F.col("jaccard") >= jaccard_threshold))
     finally:
         shingles.unpersist()
 
@@ -288,6 +310,12 @@ def _jaccard_for_pairs(sh: DataFrame, pairs: DataFrame, id_col: str) -> DataFram
 # SimHash
 # --------------------------------------------------------------------------
 
+# Deterministic per-document token budget for the bit-sliced simhash
+# aggregate — see the simhash() docstring for the two overflow bounds
+# (16-bit lane carry at 65,536; ANSI BIGINT sum at ~32,768 worst-case).
+SIMHASH_MAX_TOKENS = 32_000
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document from md5(token) sign votes, carried as two
     32-bit halves ``sim_hi``/``sim_lo``.
@@ -301,8 +329,20 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     Pure expression pipeline: explode tokens -> per-bit +/-1 votes via bit
     extraction -> sum -> reassemble sign bits.  JVM-side end to end (md5,
     conv, shiftright are all Catalyst expressions inside codegen).
+
+    Per-document tokens are deterministically capped at ``SIMHASH_MAX_TOKENS``
+    (first tokens win, via an array slice before the explode).  Two hard
+    limits of the bit-sliced aggregate motivate the cap: a 16-bit lane
+    carries into its neighbor once a lane's vote count reaches 65,536, and
+    under Spark 4's default ANSI mode the packed BIGINT ``sum`` itself
+    overflows (ArithmeticException) once the top lane's cumulative sum
+    crosses 2^15 rows worst-case (~32,768 tokens).  The 32,000 cap keeps
+    both bounds safe with margin; a signature over the first 32k tokens is
+    the standard long-document convention for near-dup hashing.
     """
-    toks = docs.select(F.col(id_col), F.explode(text.tokens(text_col)).alias("tok"))
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.slice(text.tokens(text_col), 1, SIMHASH_MAX_TOKENS)).alias("tok"))
     hashed = toks.select(
         id_col,
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hvh"),
@@ -311,9 +351,9 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     # sign(sum of +/-1 votes) == (2 * count_of_set_bits > n), and the 64
     # per-bit counters are BIT-SLICED four to a long (16-bit lanes): the
     # aggregate carries 16 packed sum columns instead of 64, quartering
-    # the hash-aggregate state and shuffle row width.  Lane capacity
-    # bounds the per-document token count at 65,535 — far above any real
-    # document row; beyond that the votes would carry across lanes.
+    # the hash-aggregate state and shuffle row width.  Safe because the
+    # SIMHASH_MAX_TOKENS slice above bounds per-doc votes below both the
+    # lane-carry (65,536) and ANSI signed-sum (~32,768) limits.
     #
     # The wide bit expressions are generated as SQL STRINGS and parsed by
     # one F.expr each: building them as Column-object loops cost ~3s of
@@ -411,9 +451,8 @@ def hamming_near_pairs(sig: DataFrame, id_col: str,
     # recompute the expensive signature aggregate against a cold cache
     sig.count()
     try:
-        return _hamming_pairs_from_cached(sig, id_col, nchunks, width, mask,
-                                          max_hamming, bucket_cap) \
-            .localCheckpoint(eager=True)
+        return _stage_cut(_hamming_pairs_from_cached(
+            sig, id_col, nchunks, width, mask, max_hamming, bucket_cap))
     finally:
         # the pair result is tiny next to the signature frame; eager
         # checkpoint above materializes it, so the cache can be released
@@ -494,8 +533,8 @@ def _hamming_pairs_from_cached(sig: DataFrame, id_col: str, nchunks: int,
                 for j in range(ns)
             ])).alias("s"),
         ).select("sim_hi", "sim_lo", "c", "v",
-                 F.col("s.sc").alias("sc"), F.col("s.sv").alias("sv")) \
-            .localCheckpoint(eager=True)  # ns rows per hot member — small;
+                 F.col("s.sc").alias("sc"), F.col("s.sv").alias("sv"))
+        sub = _stage_cut(sub)  # ns rows per hot member — small;
         # cuts the chunk/CASE pipeline from re-running for the sub-bucket
         # cap aggregate, its broadcast and the pair join
         big2 = (sub.groupBy("c", "v", "sc", "sv").count()
@@ -521,6 +560,69 @@ def _hamming_pairs_from_cached(sig: DataFrame, id_col: str, nchunks: int,
                 F.lit(0).alias("hamming"))
     )
     return inter.unionByName(same)
+
+
+def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
+                   id_col: str = "doc_id", max_iter: int = 50) -> DataFrame:
+    """Duplicate CLUSTERS from a verified near-dup pair set — the linear
+    product a 100 TB pipeline consumes, vs the pair enumeration that is
+    inherently quadratic in duplicate-cluster size (m docs sharing a
+    signature -> m(m-1)/2 pair rows, but only m cluster rows).
+
+    Connected components by hash-min label propagation: every node starts
+    labeled with its own id; each round every node takes the min of its
+    own and its neighbors' labels; at fixpoint each component carries its
+    minimum member id.  The generalization of P1's (survivor, count)
+    contract (src/Brush/GenNonContainedReads.java:174-248: min-id
+    representative + coverage count per duplicate group) from exact-key
+    groups to arbitrary near-dup graphs.
+
+    ``items`` (optional) supplies the full id universe so unpaired docs
+    come out as singleton clusters — making the output a total partition
+    of the corpus (the form a curation pipeline keeps).
+
+    Scale shape: per round, one equi-join of the (bounded) edge list
+    against labels plus one min-aggregate — both plain hash shuffles on
+    the id, map-side-combinable.  Rounds = component DIAMETER, not size:
+    near-dup clusters are dense (quasi-cliques from band collisions), so
+    diameter is small even for huge clusters; ``_stage_cut`` truncates
+    lineage each round like the assembler's contraction loop.  For
+    adversarial long-path graphs the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce") drops rounds to
+    O(log n); unnecessary for dedup graphs, noted for reuse.  The driver-
+    side loop holds only a changed-row probe, never data.
+    """
+    edges = pairs.select("a", "b")
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    if items is not None:
+        nodes = items.select(F.col(id_col).alias("member")).distinct()
+    else:
+        nodes = sym.select(F.col("a").alias("member")).distinct()
+    labels = _stage_cut(nodes.withColumn("label", F.col("member")))
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels.select(F.col("member").alias("a"), "label"), "a")
+            .select(F.col("b").alias("member"), "label")
+        )
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("member").agg(F.min("label").alias("label"))
+        )
+        new = _stage_cut(new)
+        converged = (
+            new.alias("n").join(labels.alias("o"), "member")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .isEmpty()
+        )
+        labels = new
+        if converged:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        labels.join(sizes, "label")
+        .select(F.col("label").alias("cluster_rep"), "member", "n")
+    )
 
 
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",

@@ -105,9 +105,16 @@ def match_prefix(nodes: DataFrame, k: int, high_kmers: DataFrame | None = None,
     # ~3x the bytes of a long and far slower to hash/compare in the
     # exchange, the aggregate and the join probe (measured: the hot-key
     # aggregate alone dropped ~10x CPU at sf0.1).  xxhash64 is
-    # deterministic, and a collision can only create a FALSE candidate,
-    # which the exact J2 substring verify then rejects — the same
-    # candidates-then-verify contract the reference relies on.  The
+    # deterministic; on the JOIN side a collision can only create a FALSE
+    # candidate, which the exact J2 substring verify then rejects — the
+    # same candidates-then-verify contract the reference relies on.  On
+    # the self-derived HOT-KEY side (high_kmers is None below) a collision
+    # additionally merges two distinct k-mers' posting counts, which can
+    # push an innocent key over per_key_cap and drop its TRUE edges whole
+    # — a loss verification cannot repair.  That mode needs two k-mers
+    # colliding in a 64-bit space AND their combined count crossing the
+    # cap, ~2^-64-scale per key pair: an accepted, bounded risk (the P3
+    # blacklist path hashes after thresholding and is unaffected).  The
     # string-level filters (homopolymer, P3 blacklist) above run at
     # posting-generation time, before the hash.
     prefixes = prefixes.select(

@@ -37,6 +37,12 @@ def with_cosine(pairs: DataFrame, a_col: str = "va", b_col: str = "vb") -> DataF
     )
 
 
+# Norms are per-VECTOR, not per-pair: computing them in the pair expression
+# re-evaluates an O(dim) aggregate fan-out times per vector.  Each entry
+# point below attaches the norm once in the per-side projection (one pass
+# over each vector) and the pair expression divides by the two scalars.
+
+
 def cosine_topk_bruteforce(vectors: DataFrame, queries: DataFrame, k: int = 10,
                            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors for each query vector (excluding self).
@@ -45,13 +51,15 @@ def cosine_topk_bruteforce(vectors: DataFrame, queries: DataFrame, k: int = 10,
     the corpus streams once — the correct physical plan for 1 query batch
     vs a 100 TB corpus.  Output: (query_id, neighbor_id, rank, cosine).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                       _norm(F.col(vec_col)).alias("qn"))
+    c = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                       _norm(F.col(vec_col)).alias("cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) /
-                    (_norm(F.col("qv")) * _norm(F.col("cv"))))
+                    (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -115,12 +123,14 @@ def cosine_topk_lsh(vectors: DataFrame, dim: int, k: int = 10, planes: int = 8,
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = vectors.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    cv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qv = vectors.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                        _norm(F.col(vec_col)).alias("qn"))
+    cv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                        _norm(F.col(vec_col)).alias("cn"))
     scored = (
         cand.join(qv, "query_id").join(cv, "neighbor_id")
         .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) /
-                    (_norm(F.col("qv")) * _norm(F.col("cv"))))
+                    (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -183,10 +193,12 @@ def cosine_topk_ivf(vectors: DataFrame, k: int = 10, n_centroids: int = 16,
     scores = _centroid_scores(F.col(vec_col), centroids)
     corpus = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
         F.reverse(F.array_sort(scores))[0]["i"].alias("bucket"),
     )
     probes = vectors.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
         F.explode(F.transform(
             F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
             lambda s: s["i"],
@@ -196,7 +208,7 @@ def cosine_topk_ivf(vectors: DataFrame, k: int = 10, n_centroids: int = 16,
         probes.join(corpus, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) /
-                    (_norm(F.col("qv")) * _norm(F.col("cv"))))
+                    (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -223,12 +235,14 @@ def embedding_near_dup(vectors: DataFrame, dim: int, threshold: float = 0.95,
         .select("a", "b")
         .distinct()
     )
-    va = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    vb = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    va = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                        _norm(F.col(vec_col)).alias("na"))
+    vb = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                        _norm(F.col(vec_col)).alias("nb"))
     return (
         cand.join(va, "a").join(vb, "b")
         .withColumn("cosine", _dot(F.col("va"), F.col("vb")) /
-                    (_norm(F.col("va")) * _norm(F.col("vb"))))
+                    (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

@@ -8,6 +8,7 @@ bounding state.
 
 from cloudbrush_spark.streaming.windows import (  # noqa: F401
     read_event_stream,
+    stream_dedup,
     stream_running_counts,
     stream_sessionize,
     stream_tumbling_window,

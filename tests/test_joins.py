@@ -80,3 +80,19 @@ def test_simhash_identical_docs_skew_fixture(spark):
     assert n == 1000 * 999 // 2
     assert pairs.filter(F.col("hamming") > 0).count() == 0
     assert elapsed < 120
+
+
+def test_simhash_token_cap_long_doc(spark):
+    """Docs past SIMHASH_MAX_TOKENS are signed over their first tokens only:
+    the slice keeps the bit-sliced lanes inside both overflow bounds (16-bit
+    lane carry at 65,536 votes; ANSI BIGINT sum at ~32,768 top-lane rows —
+    without the cap a ~70k-token doc throws ArithmeticException under
+    Spark 4's default ANSI mode) and makes the long-doc signature equal by
+    construction to the truncated doc's."""
+    n = dedup.SIMHASH_MAX_TOKENS
+    words = [f"w{i % 4096}" for i in range(n + 38_000)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(words[:n]))],
+        "doc_id long, text string")
+    sigs = {r.doc_id: (r.sim_hi, r.sim_lo) for r in dedup.simhash(docs).collect()}
+    assert sigs[1] == sigs[2]
