@@ -37,6 +37,17 @@ class BrushParams:
                                     # (/root/reference/README.md:21-23);
                                     # off by default like the reference v0
     precorrect_rounds: int = 1
+    trust_filter: bool = False      # A6 IdentifyTrustedReads as a POST-
+                                    # correction gate: drop reads still
+                                    # carrying a k-mer at frequency <=
+                                    # trust_threshold after PreCorrect
+                                    # (src/Brush/IdentifyTrustedReads.java:
+                                    # 73-94) — the CloudRS flow's second
+                                    # half; uncorrectable error reads are
+                                    # what the residual assembly base
+                                    # error merges through.  Off by
+                                    # default like precorrect.
+    trust_threshold: int = 1
     diagnostics: bool = False       # G9/G10 consensus-color + braid counters
                                     # at the end of buildStringGraph
                                     # (src/Brush/BrushAssembler.java:379-396)

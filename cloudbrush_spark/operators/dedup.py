@@ -465,7 +465,11 @@ def _hamming_pairs_from_cached(sig: DataFrame, id_col: str, nchunks: int,
                                width: int, mask: int, max_hamming: int,
                                bucket_cap: int) -> DataFrame:
     half = nchunks // 2
-    dsig = sig.select("sim_hi", "sim_lo").distinct()
+    # one materialized distinct: every downstream branch (cap aggregate,
+    # both pair-join sides, the hot-member explode) re-derives from
+    # ``chunks`` — without the cut each re-derivation replays the
+    # distinct's shuffle
+    dsig = _stage_cut(sig.select("sim_hi", "sim_lo").distinct())
     chunks = dsig.select(
         "sim_hi", "sim_lo",
         F.explode(F.array(*[
@@ -477,9 +481,17 @@ def _hamming_pairs_from_cached(sig: DataFrame, id_col: str, nchunks: int,
             for c in range(nchunks)
         ])).alias("ch"),
     ).select("sim_hi", "sim_lo", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
-    big = (chunks.groupBy("c", "v").count()
-           .filter(F.col("count") > bucket_cap).select("c", "v"))
-    capped = chunks.join(F.broadcast(big), ["c", "v"], "left_anti")
+    # the over-cap bucket list is PROVABLY tiny (at most
+    # n_distinct_sigs * nchunks / bucket_cap rows survive the filter), so
+    # collect it once and re-emit as a literal frame: as a lazy plan it
+    # would re-run the full chunk aggregate for each of its three uses
+    # (anti-join, hot-member semi-join, emptiness branch)
+    big_rows = (chunks.groupBy("c", "v").count()
+                .filter(F.col("count") > bucket_cap).select("c", "v").collect())
+    spark = sig.sparkSession
+    big = spark.createDataFrame(big_rows, "c int, v long") if big_rows else None
+    capped = chunks if big is None else \
+        chunks.join(F.broadcast(big), ["c", "v"], "left_anti")
 
     def pair_join(banded: DataFrame, keys: list[str]) -> DataFrame:
         a = banded.select(F.col("sim_hi").alias("ha"),
@@ -517,8 +529,9 @@ def _hamming_pairs_from_cached(sig: DataFrame, id_col: str, nchunks: int,
 
     sig_pairs = pair_join(capped, ["c", "v"])
     # level-2 plumbing costs a few extra jobs; pay it only when a hot
-    # bucket actually exists (big is a tiny aggregate over cached sigs)
-    if not big.isEmpty():
+    # bucket actually exists (known from the collected cap list — no
+    # extra emptiness job)
+    if big is not None:
         hot = chunks.join(F.broadcast(big), ["c", "v"], "left_semi")
         sub_cols = [
             F.expr("CASE " + " ".join(

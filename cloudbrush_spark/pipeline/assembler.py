@@ -76,6 +76,17 @@ class Assembler:
                     break
                 reads = self._ckpt(consensus_ops.apply_corrections(reads, fixes))
             self._log(f"precorrect: {self.counters.get('precorrect_fixes', 0)} fixes")
+        if p.trust_filter:
+            # A6 as a post-correction gate (IdentifyTrustedReads.java:73-94):
+            # a read still holding a <= trust_threshold k-mer after
+            # correction is an uncorrectable error read — at assembly-grade
+            # coverage a true k-mer is seen tens of times, so these are the
+            # reads whose merge-through causes the residual base error.
+            tr = kmers.trusted_reads(reads, p.k, p.trust_threshold)
+            reads = self._ckpt(
+                reads.join(tr.filter("trusted"), on="read_id", how="left_semi"))
+            self.counters["trusted_reads"] = reads.count()
+            self._log(f"trust_filter: kept {self.counters['trusted_reads']} trusted reads")
         nodes = self._ckpt(dedup.dedup_reads(reads, k=p.k))
         self.counters["nodes"] = nodes.count()
         hk = self._ckpt(kmers.high_kmers(
