@@ -586,6 +586,40 @@ def q_curation_filter(spark, sf_dir):
     )
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation composite (pipeline/curation.py): quality/lang/
+    length gate -> exact fingerprint dedup -> MinHash/LSH cluster dedup
+    (keep each cluster's representative) -> deterministic md5 split.  The
+    flagship LLM-data path: the manifest row set a sink joins back to the
+    corpus to publish the final training set.  At sf0.01: 500 docs -> 453
+    gated -> 431 curated."""
+    from cloudbrush_spark.pipeline import curation
+    docs = _t(spark, sf_dir, "documents")
+    return curation.curate(docs)
+
+
+def q_event_windows(spark, sf_dir):
+    """Batch event-time windowing in ONE tagged-union row — hourly tumbling
+    window per event type + 30-min-gap sessionization (merged r6 to free a
+    registry slot for curation_pipeline; the single-op forms above stay in
+    bench.py and the streaming twins in stream_equivalence).  Canonical
+    (op, k1, v1, v2, v3) schema per relational_extras conventions: keys as
+    strings, money as integer cents, sentinels instead of NULLs."""
+    s = lambda c: F.col(c).cast("string")  # noqa: E731
+    tum = q_tumbling_window(spark, sf_dir).select(
+        F.lit("tumble").alias("op"), s("event_type").alias("k1"),
+        F.col("window_start").cast("long").alias("v1"),
+        F.col("cnt").cast("long").alias("v2"),
+        F.round(F.col("value_sum") * 100).cast("long").alias("v3"))
+    ses = q_sessionize(spark, sf_dir).select(
+        F.lit("session").alias("op"),
+        F.concat_ws("|", s("user_id"), s("session_id")).alias("k1"),
+        F.col("start_us").cast("long").alias("v1"),
+        F.col("end_us").cast("long").alias("v2"),
+        F.col("n_events").cast("long").alias("v3"))
+    return tum.unionByName(ses)
+
+
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary (headline aggregate query)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2030,6 +2064,98 @@ _ORACLES["dedup_clusters"] = f"""
     SELECT l.cluster_rep, l.member, s.n
     FROM labels l JOIN sizes s USING (cluster_rep)
 """
+# End-to-end curation composite: curation_filter gate -> exact fingerprint
+# dedup (min-id survivor) -> MinHash/LSH verified pairs over the survivors
+# (same parameterization as minhash_lsh_dedup, re-derived over the kept
+# subset) -> recursive-CTE connected components -> representative-only ->
+# md5 split buckets.  Mirrors pipeline/curation.curate stage for stage.
+_ORACLES["curation_pipeline"] = f"""
+    WITH RECURSIVE cf AS ({_ORACLES["curation_filter"]}),
+    kept AS (SELECT d.doc_id, d.text FROM documents d
+             JOIN cf ON cf.doc_id = d.doc_id WHERE cf.keep),
+    fps AS (SELECT doc_id, md5({_NORM}) AS fp FROM kept),
+    exact AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+    src AS (SELECT k.doc_id, k.text FROM kept k
+            JOIN exact ON exact.doc_id = k.doc_id),
+    toks AS (SELECT doc_id, {_TOKS_NE} AS t FROM src),
+    csh AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS sh
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i)
+    ),
+    cssz AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY 1),
+    sigs AS (
+        SELECT doc_id, h, min(md5(h::VARCHAR || '|' || sh)) AS mh
+        FROM csh, (SELECT unnest(generate_series(0, 15)) AS h)
+        GROUP BY doc_id, h
+    ),
+    banded AS (
+        SELECT doc_id, h // 4 AS band,
+               md5(array_to_string(list_sort(list(h::VARCHAR || ':' || mh)), '|')) AS bkey
+        FROM sigs GROUP BY doc_id, band
+    ),
+    small AS (
+        SELECT doc_id, band, bkey
+        FROM (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM banded)
+        WHERE bsz <= 50
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM small x JOIN small y USING (band, bkey)
+        WHERE x.doc_id < y.doc_id
+    ),
+    inter AS (
+        SELECT c.a, c.b, count(*) AS i
+        FROM cand c
+        JOIN csh x ON x.doc_id = c.a
+        JOIN csh y ON y.doc_id = c.b AND y.sh = x.sh
+        GROUP BY c.a, c.b
+    ),
+    pairs AS (
+        SELECT i2.a, i2.b FROM (
+            SELECT n.a, n.b, n.i / (sa.sz + sb.sz - n.i) AS j
+            FROM inter n
+            JOIN cssz sa ON sa.doc_id = n.a
+            JOIN cssz sb ON sb.doc_id = n.b) i2
+        WHERE j >= 0.5
+    ),
+    edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+    reach(member, lab) AS (
+        SELECT doc_id, doc_id FROM src
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.member
+    ),
+    labels AS (SELECT member, min(lab) AS cluster_rep FROM reach GROUP BY member),
+    reps AS (SELECT member AS doc_id FROM labels WHERE member = cluster_rep),
+    hashed AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                    i -> (strpos('0123456789abcdef',
+                                 substring(md5('split|' || doc_id::VARCHAR), i, 1)) - 1)
+                         * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 1000 AS bkt
+        FROM reps
+    )
+    SELECT h.doc_id,
+           CASE WHEN bkt < 900 THEN 'train'
+                WHEN bkt < 950 THEN 'val'
+                ELSE 'test' END AS split,
+           cf.ws_tokens, cf.quality
+    FROM hashed h JOIN cf ON cf.doc_id = h.doc_id
+"""
+
+# Batch event-time windowing union: the tumbling-window and sessionize
+# oracles above, canonicalized to the shared measure schema (value sums
+# as integer cents).
+_ORACLES["event_windows"] = f"""
+    SELECT 'tumble' AS op, event_type AS k1, window_start AS v1,
+           cnt AS v2, CAST(round(value_sum * 100) AS BIGINT) AS v3
+    FROM ({_ORACLES["tumbling_window"]})
+    UNION ALL
+    SELECT 'session' AS op,
+           user_id::VARCHAR || '|' || session_id::VARCHAR AS k1,
+           start_us AS v1, end_us AS v2, n_events AS v3
+    FROM ({_ORACLES["sessionize"]})
+"""
+
 _ORACLES["ngram_jaccard"] = _ngram_jaccard_sql()
 _ORACLES["lang_id"] = _lang_id_sql()
 _ORACLES["quality"] = _quality_sql()
@@ -2573,6 +2699,9 @@ _ORACLES["k1_fasta_format"] = f"""
 #   - tpch_q1/q3/q5/q6     -> tpch_suite tagged union (r6; all four verified)
 #   - stream_tumbling_window -> stream_equivalence (r6; + sessionize + dedup)
 #   - g5_pairmark/g6_pairmerge -> g5g6_pairmark_merge tagged union (r6)
+#   - tumbling_window/sessionize -> event_windows tagged union (r6; slot
+#     freed for curation_pipeline — both still verified, plus their
+#     streaming twins in stream_equivalence)
 #   - g5g6_distributed_fixpoint -> G5-G8 covered by g5g6/g7g8 entries
 #   - ann_topk_lsh/ann_topk_ivf/emb_near_dup_lsh/emb_near_dup -> ann_contracts
 #   - asof/range/rollup/topk_per_group/set_ops -> relational_extras
@@ -2580,6 +2709,8 @@ _ORACLES["k1_fasta_format"] = f"""
 # them); they are simply not registered.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 6 (never green yet) ---
+    "curation_pipeline": q_curation_pipeline,    # end-to-end curation
+    "event_windows": q_event_windows,            # tumble + sessionize union
     "tpch_suite": q_tpch_suite,                  # q1/q3/q5/q6 union
     "stream_equivalence": q_stream_equivalence,  # stream tumble/sess/dedup
     "dedup_clusters": q_dedup_clusters,          # linear cluster product
@@ -2594,8 +2725,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a7_tag_trusted": q_a7_tag_trusted,
     "overlap_graph": q_overlap_graph,
     "mm_blockhash_pairs": q_mm_blockhash_pairs,  # full DuckDB blockhash twin
-    "tumbling_window": q_tumbling_window,
-    "sessionize": q_sessionize,
     "mm_metadata": q_mm_metadata,
     "mm_binary_dedup": q_mm_binary_dedup,
     "relational_extras": q_relational_extras,    # asof/range/rollup/topk/except

@@ -1,0 +1,76 @@
+"""End-to-end training-data curation: the composite a 100 TB LLM-corpus
+pipeline actually runs, as one operator.
+
+Stage order mirrors the reference driver's preprocess chain (quality gate
+-> exact dedup -> near-dup resolution -> emit; BrushAssembler's
+preprocess/GenNonContainedReads/RedundantRemoval sequencing,
+src/Brush/BrushAssembler.java:829-893), re-targeted at documents:
+
+1. **Gate** — quality score x language-ID x token-count bounds
+   (``operators/textops.py``): pure column expressions, zero shuffle.
+2. **Exact dedup** — normalized-fingerprint hash aggregate, min-id
+   survivor (P1's survivor contract,
+   src/Brush/GenNonContainedReads.java:174-248).
+3. **Near-dup cluster dedup** — MinHash/LSH verified pairs -> hash-min
+   connected components -> keep each cluster's representative.  Linear in
+   corpus size (the cluster product, not the quadratic pair enumeration).
+4. **Split** — deterministic md5-bucket train/val/test assignment,
+   reproducible under any repartitioning.
+
+Scale shape: every stage is an already-audited operator; the composite
+adds NO new shuffle pattern.  The gate and split are narrow; exact dedup
+is one hash aggregate on a bounded digest key; the near-dup stage is the
+banded LSH join with bucket caps (docs in ``operators/dedup.py``); the
+component loop's rounds are bounded by cluster diameter.  Survivor
+filtering between stages is left-semi (never materializes the dropped
+side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloudbrush_spark.operators import dedup, sampling, textops
+
+
+def curate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+           *, quality_min: float = 0.5, lang: str = "en",
+           min_tokens: int = 10, max_tokens: int = 1000,
+           shingle_n: int = 3, num_hashes: int = 16, bands: int = 4,
+           rows_per_band: int = 4, jaccard_threshold: float = 0.5,
+           train: float = 0.9, val: float = 0.05,
+           seed: str = "split") -> DataFrame:
+    """Curated-corpus manifest: one row per surviving document with its
+    split assignment and headline features.
+
+    Output: (id_col, split, ws_tokens, quality) — the manifest a sink
+    joins back to the raw corpus to publish the final partitioned
+    training set.
+    """
+    q = textops.quality_score(docs, text_col).select(
+        id_col, F.col("n_tokens").alias("ws_tokens"), "quality")
+    l = textops.language_id(docs, text_col).select(id_col, "lang_pred")
+    feats = docs.select(id_col, text_col).join(q, id_col).join(l, id_col)
+    kept = feats.filter(
+        (F.col("quality") >= quality_min) & (F.col("lang_pred") == lang)
+        & F.col("ws_tokens").between(min_tokens, max_tokens))
+
+    # exact dedup: min-id survivor per normalized fingerprint
+    survivors = dedup.fingerprint_dedup(kept, id_col=id_col,
+                                        text_col=text_col).select(id_col)
+    src = kept.join(survivors, id_col, "left_semi")
+
+    # near-dup cluster dedup: keep each cluster's representative
+    pairs = dedup.minhash_dedup_pairs(
+        src.select(id_col, text_col), id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+        rows_per_band=rows_per_band, jaccard_threshold=jaccard_threshold)
+    clusters = dedup.dedup_clusters(pairs, items=src.select(id_col),
+                                    id_col=id_col)
+    reps = clusters.filter(F.col("member") == F.col("cluster_rep")) \
+        .select(F.col("member").alias(id_col))
+
+    out = sampling.assign_split(reps, id_col, train=train, val=val, seed=seed)
+    return out.join(src.select(id_col, "ws_tokens", "quality"), id_col) \
+        .select(id_col, "split", "ws_tokens", "quality")

@@ -1,0 +1,52 @@
+"""End-to-end curation composite: gate -> exact dedup -> cluster dedup ->
+split (pipeline/curation.py), semantic checks on a hand-built corpus."""
+
+from pyspark.sql import functions as F
+
+from cloudbrush_spark.pipeline import curation
+
+GOOD = ("the quick brown fox jumps over the lazy dog and it runs to the "
+        "river in the morning for a drink of water that is cold and clear")
+GOOD2 = ("a completely different story about the sea and the ships that "
+         "sail in it for trade and for glory with cargo of spice and silk "
+         "that is carried to the ports")
+
+
+def _docs(spark):
+    rows = [
+        (1, GOOD),                                  # keeper, cluster rep
+        (2, GOOD.upper() + "!!"),                   # exact dup of 1 (normalized)
+        (3, GOOD + " extra trailing words here"),   # near-dup of 1 (J > 0.5)
+        (4, GOOD2),                                 # independent keeper
+        (5, "too short"),                           # gate: length
+        (6, "le chat est dans la maison et il est pour la nuit que les "
+            "autres une pour dans pas le la les et est une pour dans"),  # gate: lang
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curate_stages(spark):
+    out = curation.curate(_docs(spark)).collect()
+    by_id = {r.doc_id: r for r in out}
+    # survivors: 1 (rep of {1,2,3}) and 4; everything else dropped
+    assert set(by_id) == {1, 4}
+    for r in out:
+        assert r.split in ("train", "val", "test")
+        assert r.quality >= 0.5
+        assert r.ws_tokens >= 10
+
+
+def test_curate_split_stable_under_repartition(spark):
+    docs = _docs(spark)
+    a = {r.doc_id: r.split for r in curation.curate(docs).collect()}
+    b = {r.doc_id: r.split
+         for r in curation.curate(docs.repartition(7)).collect()}
+    assert a == b
+
+
+def test_curate_near_dup_keeps_min_id(spark):
+    # swap ids so the near-dup has the SMALLER id: rep must follow min-id
+    rows = [(10, GOOD), (3, GOOD + " extra trailing words here"), (7, GOOD2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in curation.curate(docs).collect()}
+    assert kept == {3, 7}
