@@ -603,7 +603,11 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
     come out as singleton clusters — making the output a total partition
     of the corpus (the form a curation pipeline keeps).
 
-    Scale shape: per round, one equi-join of the (bounded) edge list
+    Scale shape: the propagation loop runs over PAIRED nodes only (at
+    most 2x|pairs| rows — for any real corpus orders of magnitude
+    smaller than the corpus itself), never the full id universe; the
+    singleton majority joins the result once, label = own id, after the
+    fixpoint.  Per round, one equi-join of the (bounded) edge list
     against labels plus one min-aggregate — both plain hash shuffles on
     the id, map-side-combinable.  Rounds = component DIAMETER, not size:
     near-dup clusters are dense (quasi-cliques from band collisions), so
@@ -617,10 +621,7 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
     edges = pairs.select("a", "b")
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    if items is not None:
-        nodes = items.select(F.col(id_col).alias("member")).distinct()
-    else:
-        nodes = sym.select(F.col("a").alias("member")).distinct()
+    nodes = sym.select(F.col("a").alias("member")).distinct()
     labels = _stage_cut(nodes.withColumn("label", F.col("member")))
     for _ in range(max_iter):
         msgs = (
@@ -640,6 +641,13 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
         labels = new
         if converged:
             break
+    if items is not None:
+        singletons = (
+            items.select(F.col(id_col).alias("member")).distinct()
+            .join(nodes, "member", "left_anti")
+            .withColumn("label", F.col("member"))
+        )
+        labels = labels.unionByName(singletons)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
     return (
         labels.join(sizes, "label")
