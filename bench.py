@@ -38,6 +38,10 @@ HEADLINE = [
     "asof_join",
     "mm_binary_dedup",
     "overlap_graph",
+    # added round 6 (appended so earlier entries keep their warm-up
+    # context and stay comparable across rounds)
+    "dedup_clusters",
+    "curation_pipeline",
 ]
 
 
