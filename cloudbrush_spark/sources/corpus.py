@@ -1,0 +1,75 @@
+"""Curated-corpus publish sink: the write side of the curation pipeline.
+
+``pipeline/curation.curate`` emits a MANIFEST (id, split, features); this
+module joins it back to the raw corpus and writes the final training set
+as split-partitioned parquet — the layout a downstream trainer reads.
+
+The reference's sink analogue is K1 Graph2Fasta (assembly results out,
+src/Brush/Graph2Fasta.java:54-77); a document corpus instead needs:
+
+- **Hive-style split partitioning** (``partitionBy(split)``) so a reader
+  asking for one split prunes the others at the directory level — no
+  file of the wrong split is even listed.
+- **Bounded, balanced file counts.**  A blind ``partitionBy`` write emits
+  one file per (task, split) — up to tasks x splits small files, the
+  classic 100 TB small-file explosion.  Repartitioning on
+  (split, hash(id) % files_per_split) before the write caps output at
+  ``files_per_split`` files per split, each fed by exactly one task, and
+  the content-hash spread keeps them byte-balanced regardless of input
+  skew.  Callers size files_per_split = split_bytes / target_file_size;
+  ``max_records_per_file`` is a belt-and-braces overflow valve.
+- **Within-file ordering** (``sortWithinPartitions(id)``) so parquet
+  min/max column stats on the id are tight and id-range scans prune at
+  the row-group level.
+
+The join manifest->corpus is an inner equi-join on the id: broadcast it
+when the manifest is small after heavy curation; at full scale it is a
+plain shuffle join AQE can split — pass ``broadcast_manifest=False``
+(the default) and let stats decide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def publish_corpus(docs: DataFrame, manifest: DataFrame, path: str,
+                   id_col: str = "doc_id", split_col: str = "split",
+                   files_per_split: int = 16,
+                   max_records_per_file: int = 5_000_000,
+                   broadcast_manifest: bool = False,
+                   compression: str = "zstd") -> None:
+    """Join the curation manifest back to the raw corpus and write the
+    published training set at ``path`` partitioned by split."""
+    m = manifest.select(id_col, split_col)
+    if broadcast_manifest:
+        m = F.broadcast(m)
+    out = docs.join(m, id_col)
+    out = (
+        out.repartition(
+            F.col(split_col),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_split)))
+        # split_col leads the sort: partitionBy's required ordering (the
+        # partition columns) is then already satisfied, so the file writer
+        # does NOT inject its own re-sort — which would not preserve the
+        # id order — and each written file stays id-sorted
+        .sortWithinPartitions(split_col, id_col)
+    )
+    (out.write.mode("overwrite")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(split_col)
+        .parquet(path))
+
+
+def read_corpus(spark: SparkSession, path: str,
+                split: str | None = None,
+                split_col: str = "split") -> DataFrame:
+    """Read a published corpus; ``split`` filters via partition pruning
+    (directory-level — verify with .explain(): PartitionFilters, not
+    PushedFilters)."""
+    df = spark.read.parquet(path)
+    if split is not None:
+        df = df.filter(F.col(split_col) == split)
+    return df
