@@ -367,6 +367,22 @@ def q_tumbling_window(spark, sf_dir):
     )
 
 
+def _events_stream_source(spark, sf_dir):
+    """File-source readStream over the events table, robust to BOTH
+    physical shapes the driver's testdata has shipped: a single
+    ``events.parquet`` file (the stream source monitors directories
+    only, so stream ``sf_dir`` with a glob selecting that one file —
+    pathGlobFilter matches LEAF names, so it must not be used when
+    events.parquet is itself a directory of part-files, where it would
+    silently match nothing and stream zero rows) and a directory-shaped
+    dataset (stream the directory directly)."""
+    reader = spark.readStream.schema(_EVENTS_TS_SCHEMA)
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+
+
 def q_stream_tumbling_window(spark, sf_dir):
     """TRUE Structured-Streaming twin of ``tumbling_window``: file-source
     readStream over the same events parquet, event-time window aggregate
@@ -384,12 +400,7 @@ def q_stream_tumbling_window(spark, sf_dir):
     if _events_ts_unit(path) == "ns":
         # TIMESTAMP(NANOS) has no TimestampType read; the batch twin covers it
         return q_tumbling_window(spark, sf_dir)
-    # the file stream source only monitors DIRECTORIES: stream sf_dir with
-    # a glob filter selecting the single events.parquet file
-    stream = (
-        spark.readStream.schema(_EVENTS_TS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    )
+    stream = _events_stream_source(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
@@ -484,10 +495,7 @@ def q_stream_equivalence(spark, sf_dir):
         # pin state-store width for the queries' lifetime (see
         # q_stream_tumbling_window) and restore the session conf after
         spark.conf.set(key, str(min(int(prev), 32)))
-        # file stream sources monitor DIRECTORIES: stream sf_dir with a
-        # glob selecting the single events.parquet file
-        stream = (spark.readStream.schema(_EVENTS_TS_SCHEMA)
-                  .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        stream = _events_stream_source(spark, sf_dir)
         tumble = run(s_tumble(stream), "se_tumble", "complete").select(
             (F.unix_micros(F.col("window_start")) / 1_000_000)
             .cast("long").alias("window_start"), "event_type", "cnt", "value_sum")
@@ -1940,8 +1948,13 @@ def _ngram_jaccard_sql() -> str:
 # bit i of the 8-hex-char halves is recovered per hex digit
 # (strpos('0123456789abcdef', ch) - 1) >> (i % 4) — no integer parsing of
 # hex needed, so the SQL is pure ANSI-ish string/bit arithmetic.
+# the list_slice cap mirrors dedup.SIMHASH_MAX_TOKENS: the Spark side
+# slices before the vote aggregate (bit-slice lane + ANSI sum bounds),
+# so the oracle must sign the SAME token prefix or long documents diverge
 _SIMHASH_SIG_CTE = f"""
-        toks AS (SELECT doc_id, unnest({_TOKS_NE}) AS tok FROM documents),
+        toks AS (SELECT doc_id,
+                        unnest(list_slice({_TOKS_NE}, 1, {dedup.SIMHASH_MAX_TOKENS})) AS tok
+                 FROM documents),
         hashed AS (SELECT doc_id, md5(tok) AS m FROM toks),
         bits AS (
             SELECT doc_id, half.off AS off, bi.i AS i,

@@ -609,27 +609,43 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
     singleton majority joins the result once, label = own id, after the
     fixpoint.  Per round, one equi-join of the (bounded) edge list
     against labels plus one min-aggregate — both plain hash shuffles on
-    the id, map-side-combinable.  Rounds = component DIAMETER, not size:
-    near-dup clusters are dense (quasi-cliques from band collisions), so
-    diameter is small even for huge clusters; ``_stage_cut`` truncates
-    lineage each round like the assembler's contraction loop.  For
-    adversarial long-path graphs the large-star/small-star alternation
-    (Kiveris et al., "Connected Components in MapReduce") drops rounds to
-    O(log n); unnecessary for dedup graphs, noted for reuse.  The driver-
-    side loop holds only a changed-row probe, never data.
+    the id, map-side-combinable.  Each round also POINTER-JUMPS (every
+    node additionally adopts its current label's label — the doubling
+    step of Kiveris et al., "Connected Components in MapReduce"), so
+    rounds = O(log diameter), not diameter: near-dup clusters are dense
+    quasi-cliques that converge in 2-3 rounds either way, but an
+    adversarial chain of incrementally-edited versions (diameter ≫
+    max_iter) would otherwise exit with labels that name no real
+    representative — and a downstream ``member == cluster_rep`` filter
+    would then silently drop whole clusters.  With jumping, 50
+    iterations cover diameter ~2^50; if the fixpoint is somehow still
+    not reached the function RAISES rather than returning wrong labels.
+    ``_stage_cut`` truncates lineage each round like the assembler's
+    contraction loop; the driver-side loop holds only a changed-row
+    probe, never data.
     """
     edges = pairs.select("a", "b")
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     nodes = sym.select(F.col("a").alias("member")).distinct()
     labels = _stage_cut(nodes.withColumn("label", F.col("member")))
+    converged = False
     for _ in range(max_iter):
         msgs = (
             sym.join(labels.select(F.col("member").alias("a"), "label"), "a")
             .select(F.col("b").alias("member"), "label")
         )
+        # pointer jump: adopt the label of one's label (labels only ever
+        # decrease toward the component min, so the extra candidates are
+        # always valid and the min-aggregate keeps correctness)
+        jump = (
+            labels.alias("l1")
+            .join(labels.select(F.col("member").alias("label"),
+                                F.col("label").alias("label2")), "label")
+            .select("member", F.col("label2").alias("label"))
+        )
         new = (
-            labels.unionByName(msgs)
+            labels.unionByName(msgs).unionByName(jump)
             .groupBy("member").agg(F.min("label").alias("label"))
         )
         new = _stage_cut(new)
@@ -641,6 +657,12 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
         labels = new
         if converged:
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not reach a fixpoint in {max_iter} "
+            "iterations — refusing to return labels that may name no real "
+            "representative (raise max_iter; with pointer jumping "
+            "max_iter=50 covers component diameter ~2^50)")
     if items is not None:
         singletons = (
             items.select(F.col(id_col).alias("member")).distinct()

@@ -15,18 +15,40 @@ from pyspark.sql import functions as F
 from cloudbrush_spark.functions import text
 
 
+def lang_best_col(text_col: str):
+    """Column expression: (hits, lang) struct of the argmax language —
+    marker-token hit count with deterministic tie-break on language code."""
+    toks = text.tokens(text_col)
+    hit_cols = []
+    for lang, markers in sorted(text.LANG_MARKERS.items()):
+        hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    return F.array_max(F.array(*hit_cols))
+
+
+def quality_col(text_col: str):
+    """Column expression: the composite quality score in [0, 1], rounded
+    to 4 places (the same value ``quality_score`` emits)."""
+    n_tokens = text.token_count(text_col)
+    mwl = text.mean_word_len(text_col)
+    pr = text.punct_ratio(text_col)
+    sr = text.stopword_ratio(text_col)
+    score = (
+        F.when(n_tokens >= 20, F.lit(0.25)).otherwise(n_tokens / 20.0 * 0.25)
+        + F.when((mwl >= 3) & (mwl <= 10), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(pr <= 0.2, F.lit(0.25)).otherwise(F.greatest(F.lit(0.0), (F.lit(0.4) - pr) / 0.2 * 0.25))
+        + F.least(sr / 0.2, F.lit(1.0)) * 0.25
+    )
+    return F.round(score, 4)
+
+
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """N-gram/stopword-hit language heuristic: count marker-token hits per
     language, argmax with deterministic tie-break on language code.
 
     Output: doc_id, lang_pred, lang_hits.
     """
-    toks = text.tokens(text_col)
-    hit_cols = []
-    for lang, markers in sorted(text.LANG_MARKERS.items()):
-        hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
-        hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
-    best = F.array_max(F.array(*hit_cols))
+    best = lang_best_col(text_col)
     return docs.select(
         "doc_id",
         best["lang"].alias("lang_pred"),
@@ -42,24 +64,14 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (Gopher/C4-style rules): penalize too-short docs, extreme word lengths,
     punctuation soup, and stopword-free token salad.
     """
-    n_tokens = text.token_count(text_col)
-    mwl = text.mean_word_len(text_col)
-    pr = text.punct_ratio(text_col)
-    sr = text.stopword_ratio(text_col)
-    score = (
-        F.when(n_tokens >= 20, F.lit(0.25)).otherwise(n_tokens / 20.0 * 0.25)
-        + F.when((mwl >= 3) & (mwl <= 10), F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(pr <= 0.2, F.lit(0.25)).otherwise(F.greatest(F.lit(0.0), (F.lit(0.4) - pr) / 0.2 * 0.25))
-        + F.least(sr / 0.2, F.lit(1.0)) * 0.25
-    )
     return docs.select(
         "doc_id",
         F.length(text_col).cast("long").alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.round(mwl, 4).alias("mean_word_len"),
-        F.round(pr, 4).alias("punct_ratio"),
-        F.round(sr, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality"),
+        text.token_count(text_col).cast("long").alias("n_tokens"),
+        F.round(text.mean_word_len(text_col), 4).alias("mean_word_len"),
+        F.round(text.punct_ratio(text_col), 4).alias("punct_ratio"),
+        F.round(text.stopword_ratio(text_col), 4).alias("stopword_ratio"),
+        quality_col(text_col).alias("quality"),
     )
 
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cloudbrush_spark.functions import text
 from cloudbrush_spark.operators import dedup, sampling, textops
 
 
@@ -48,10 +49,15 @@ def curate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     joins back to the raw corpus to publish the final partitioned
     training set.
     """
-    q = textops.quality_score(docs, text_col).select(
-        id_col, F.col("n_tokens").alias("ws_tokens"), "quality")
-    l = textops.language_id(docs, text_col).select(id_col, "lang_pred")
-    feats = docs.select(id_col, text_col).join(q, id_col).join(l, id_col)
+    # gate: ONE projection — quality, language and token count are pure
+    # column expressions over the same row (textops column helpers), so
+    # the whole stage is narrow; joining the per-feature DataFrame forms
+    # here would shuffle the full corpus twice for no semantic gain
+    feats = docs.select(
+        F.col(id_col), F.col(text_col),
+        text.token_count(text_col).cast("long").alias("ws_tokens"),
+        textops.quality_col(text_col).alias("quality"),
+        textops.lang_best_col(text_col)["lang"].alias("lang_pred"))
     kept = feats.filter(
         (F.col("quality") >= quality_min) & (F.col("lang_pred") == lang)
         & F.col("ws_tokens").between(min_tokens, max_tokens))

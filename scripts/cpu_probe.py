@@ -18,6 +18,7 @@ ratio = parallel_wall / single_wall for 32x the work on 32 partitions.
 Healthy: ratio ~1.0-2.0 (scheduler overhead).  >3 means the host is
 throttled and bench numbers will NOT be comparable — re-run later.
 """
+import os
 import sys
 import time
 
@@ -28,7 +29,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from cloudbrush_spark.session import get_spark  # noqa: E402
 
 ROWS = 200_000
-CPUS = 32
+# size the parallel probe to the host so the healthy ratio stays ~1-2
+# on any core count (32 fixed partitions on an 8-core host would run in
+# 4 waves and report a healthy machine as throttled)
+CPUS = os.cpu_count() or 4
 
 
 def main() -> None:
