@@ -63,6 +63,21 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="genome size (bp) for the genome-target N50")
     ap.add_argument("-convert_fa", default=None, metavar="DIR",
                     help="conversion-only entry point over DIR's nodes.parquet")
+    # corpus-curation entry point (the LLM-data surface; no reference
+    # analogue — the document generalization of preprocess+dedup+emit)
+    ap.add_argument("-curate", default=None, metavar="PARQUET",
+                    help="curation entry point: documents parquet with "
+                         "(doc_id, text); requires -out")
+    ap.add_argument("-out", default=None,
+                    help="publish directory for -curate (split-partitioned "
+                         "parquet + manifest.parquet)")
+    ap.add_argument("-quality_min", type=float, default=0.5,
+                    help="curation: min composite quality score")
+    ap.add_argument("-lang", default="en", help="curation: required language")
+    ap.add_argument("-min_tokens", type=int, default=10)
+    ap.add_argument("-max_tokens", type=int, default=1000)
+    ap.add_argument("-files_per_split", type=int, default=16,
+                    help="curation: output parquet files per split")
     return ap
 
 
@@ -104,6 +119,29 @@ def main(argv: list[str] | None = None) -> int:
         out = os.path.join(args.convert_fa, "contigs.fa")
         write_fasta(nodes, out)
         print(f"wrote {out}")
+        return 0
+
+    if args.curate:
+        if not args.out:
+            raise SystemExit("-curate requires -out DIR")
+        from pyspark.sql import functions as F
+
+        from cloudbrush_spark.pipeline.curation import curate
+        from cloudbrush_spark.sources.corpus import publish_corpus
+        docs = spark.read.parquet(args.curate)
+        manifest = curate(
+            docs, quality_min=args.quality_min, lang=args.lang,
+            min_tokens=args.min_tokens, max_tokens=args.max_tokens)
+        # manifest lands beside the corpus: the audit record of what was
+        # kept and why (features + split), re-joinable by doc_id
+        manifest.write.mode("overwrite").parquet(
+            os.path.join(args.out, "manifest.parquet"))
+        manifest = spark.read.parquet(os.path.join(args.out, "manifest.parquet"))
+        publish_corpus(docs, manifest, os.path.join(args.out, "corpus"),
+                       files_per_split=args.files_per_split)
+        counts = {r.split: r.n for r in manifest.groupBy("split")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        print("published:", json.dumps(counts, sort_keys=True))
         return 0
 
     if not args.reads or not args.asm:

@@ -46,3 +46,30 @@ def test_cli_assemble_stats_convert(tmp_path, spark, capsys):
 
     # missing required args -> help + exit 2, not a traceback
     assert main([]) == 2
+
+
+def test_cli_curate_publishes_corpus(tmp_path, spark, capsys):
+    from pyspark.sql import functions as F
+    base = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "river every morning for a drink of cold clear water ")
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(base), F.lit("variant word "), F.col("id")).alias("text"))
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "published")
+
+    rc = main(["-curate", src, "-out", out, "-files_per_split", "1"])
+    assert rc == 0
+    assert "published:" in capsys.readouterr().out
+    manifest = spark.read.parquet(os.path.join(out, "manifest.parquet"))
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert manifest.count() == corpus.count() > 0
+    # published rows carry the original text and a valid split
+    row = corpus.limit(1).collect()[0]
+    assert row.text.startswith(base) and row.split in ("train", "val", "test")
+
+    # -curate without -out is a usage error, not a traceback
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["-curate", src])
