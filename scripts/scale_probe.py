@@ -37,6 +37,7 @@ DEFAULT = [
     "dedup_clusters",
     "simhash_pairs",
     "overlap_graph",
+    "curation_pipeline",
 ]
 
 
