@@ -1826,7 +1826,9 @@ def _lang_id_sql() -> str:
             SELECT doc_id, lang, hits,
                    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
             FROM hits)
-        SELECT doc_id, lang AS lang_pred, CAST(hits AS BIGINT) AS lang_hits
+        SELECT doc_id,
+               CASE WHEN hits = 0 THEN 'und' ELSE lang END AS lang_pred,
+               CAST(hits AS BIGINT) AS lang_hits
         FROM ranked WHERE rn = 1
     """
 
@@ -2111,10 +2113,22 @@ _ORACLES["curation_pipeline"] = f"""
         FROM (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM banded)
         WHERE bsz <= 50
     ),
+    -- overcap='star' mirror: each over-cap bucket contributes linear
+    -- (bucket-min-id, member) candidates instead of quadratic pairs
+    bigb AS (
+        SELECT band, bkey, min(doc_id) AS rep
+        FROM banded GROUP BY band, bkey HAVING count(*) > 50
+    ),
     cand AS (
-        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        FROM small x JOIN small y USING (band, bkey)
-        WHERE x.doc_id < y.doc_id
+        SELECT DISTINCT a, b FROM (
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM small x JOIN small y USING (band, bkey)
+            WHERE x.doc_id < y.doc_id
+            UNION ALL
+            SELECT g.rep AS a, x.doc_id AS b
+            FROM banded x JOIN bigb g USING (band, bkey)
+            WHERE x.doc_id <> g.rep
+        )
     ),
     inter AS (
         SELECT c.a, c.b, count(*) AS i

@@ -74,8 +74,14 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-quality_min", type=float, default=0.5,
                     help="curation: min composite quality score")
     ap.add_argument("-lang", default="en", help="curation: required language")
-    ap.add_argument("-min_tokens", type=int, default=10)
-    ap.add_argument("-max_tokens", type=int, default=1000)
+    ap.add_argument("-min_tokens", type=int, default=10,
+                    help="curation: drop docs with fewer whitespace tokens")
+    ap.add_argument("-max_tokens", type=int, default=1000,
+                    help="curation: drop docs with MORE whitespace tokens "
+                         "than this — the default (1000) suits short-doc "
+                         "corpora; RAISE it for web pages / papers / books "
+                         "or most of a long-document corpus is silently "
+                         "gated out")
     ap.add_argument("-files_per_split", type=int, default=16,
                     help="curation: output parquet files per split")
     return ap

@@ -134,7 +134,8 @@ def minhash_signatures_from_shingles(shingles: DataFrame, id_col: str = "doc_id"
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         bands: int = 4, rows_per_band: int = 4,
-                        max_bucket: int = 50) -> DataFrame:
+                        max_bucket: int = 50,
+                        overcap: str = "drop") -> DataFrame:
     """Band the signatures and emit candidate pairs sharing >= 1 band bucket.
 
     Band key = md5 of the concatenated row minhashes; join on (band, key).
@@ -142,16 +143,29 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     mirrors src/Brush/MatchPrefix.java:366-380) — the cap is part of the
     operator's CONTRACT and the DuckDB oracle twin implements it too.
 
-    Mass duplication note: a cluster of identical documents shares every
-    band key, so a >max_bucket duplicate cluster is dropped by the cap —
-    deliberately.  Exact duplicates belong to the upstream hash dedup
-    (P1 / fingerprint_dedup: one aggregate, no pair expansion); emitting
-    a million-document cluster's half-trillion near-dup PAIRS is wrong at
-    any cap, the scalable representation of such clusters is the exact
-    path's (survivor, count) groups.  MinHash+LSH is the near-dup stage
-    and assumes exact dedup ran first.
+    ``overcap`` picks what happens to buckets over the cap:
+
+    - ``"drop"`` (default): dropped whole.  Right for the PAIR product —
+      a >max_bucket cluster's full pair expansion is quadratic and wrong
+      at any cap; exact duplicates belong to the upstream hash dedup
+      (P1 / fingerprint_dedup), which MinHash+LSH assumes ran first.
+    - ``"star"``: emit (bucket-min-id, member) candidates instead — ONE
+      candidate per member, linear in bucket size.  Right for CLUSTER
+      consumers (curation dedup): mass NEAR-dup boilerplate (thousands
+      of one-token-apart template docs) survives exact dedup, floods
+      every band bucket past the cap, and under "drop" would sail
+      through curation undeduplicated.  Star candidates still go
+      through exact-Jaccard verification, so the result stays sound;
+      members of an over-cap bucket that are near the bucket
+      representative but not each other's transitive chain can be
+      missed — clique-like mass duplication (the realistic shape) is
+      fully recovered.  Per-bucket min is a groupBy aggregate
+      (map-side combinable), never a window over the hot key.
+
     Output: (a, b) with a < b, distinct.
     """
+    if overcap not in ("drop", "star"):
+        raise ValueError(f"overcap must be 'drop' or 'star', got {overcap!r}")
     banded = (
         signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
         .filter(F.col("band") < bands)
@@ -183,18 +197,28 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     small = banded.join(F.broadcast(big), ["band", "bkey"], "left_anti")
     a = small.select(F.col(id_col).alias("a"), "band", "bkey")
     b = small.select(F.col(id_col).alias("b"), "band", "bkey")
-    return (
+    pairs = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
     )
+    if overcap == "star":
+        hot = banded.join(F.broadcast(big), ["band", "bkey"], "left_semi")
+        reps = hot.groupBy("band", "bkey").agg(F.min(id_col).alias("a"))
+        star = (
+            hot.join(reps, ["band", "bkey"])
+            .filter(F.col(id_col) != F.col("a"))
+            .select("a", F.col(id_col).alias("b"))
+        )
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def minhash_dedup_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                         shingle_n: int = 3, num_hashes: int = 16,
                         bands: int = 4, rows_per_band: int = 4,
-                        jaccard_threshold: float = 0.5) -> DataFrame:
+                        jaccard_threshold: float = 0.5,
+                        overcap: str = "drop") -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH candidates -> exact-Jaccard
     verification (the verify step mirrors J2's "candidates then theta-check"
     shape, src/Brush/VerifyOverlap.java:287-309).
@@ -227,7 +251,8 @@ def minhash_dedup_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
         # _jaccard_for_pairs references the pair frame in several join
         # branches, and without a cut the whole signature aggregate +
         # banding pipeline re-executes once per branch (measured 2-3x)
-        cands = _stage_cut(lsh_candidate_pairs(sigs, id_col, bands, rows_per_band))
+        cands = _stage_cut(lsh_candidate_pairs(sigs, id_col, bands,
+                                               rows_per_band, overcap=overcap))
         jac = _jaccard_for_pairs(shingles, cands, id_col)
         return _stage_cut(jac.filter(F.col("jaccard") >= jaccard_threshold))
     finally:

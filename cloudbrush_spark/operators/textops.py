@@ -26,6 +26,18 @@ def lang_best_col(text_col: str):
     return F.array_max(F.array(*hit_cols))
 
 
+def lang_pred_col(text_col: str):
+    """Column expression: predicted language code, or ``'und'`` when no
+    language scored a single marker hit.  Without the zero-evidence
+    guard the argmax tie-break would deterministically return the
+    GREATEST language code — so gibberish, numbers-only text, and any
+    script the tokenizer strips (CJK: ``tokens()`` splits on
+    ``[^a-z0-9]+``) would all be confidently 'identified' as that
+    language, and a gate on it would pass arbitrary documents."""
+    best = lang_best_col(text_col)
+    return F.when(best["hits"] == 0, F.lit("und")).otherwise(best["lang"])
+
+
 def quality_col(text_col: str):
     """Column expression: the composite quality score in [0, 1], rounded
     to 4 places (the same value ``quality_score`` emits)."""
@@ -51,7 +63,7 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     best = lang_best_col(text_col)
     return docs.select(
         "doc_id",
-        best["lang"].alias("lang_pred"),
+        lang_pred_col(text_col).alias("lang_pred"),
         best["hits"].cast("long").alias("lang_hits"),
     )
 

@@ -57,21 +57,31 @@ def curate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.col(id_col), F.col(text_col),
         text.token_count(text_col).cast("long").alias("ws_tokens"),
         textops.quality_col(text_col).alias("quality"),
-        textops.lang_best_col(text_col)["lang"].alias("lang_pred"))
+        textops.lang_pred_col(text_col).alias("lang_pred"))
     kept = feats.filter(
         (F.col("quality") >= quality_min) & (F.col("lang_pred") == lang)
         & F.col("ws_tokens").between(min_tokens, max_tokens))
 
-    # exact dedup: min-id survivor per normalized fingerprint
+    # exact dedup: min-id survivor per normalized fingerprint.  src fans
+    # out into three independent branches (the MinHash pair stage, the
+    # cluster singleton universe, the final feature join), each of which
+    # would otherwise replay the regex-heavy gate projection and the
+    # fingerprint shuffle — cut the lineage once, like the operators'
+    # own fan-out pattern (dedup._stage_cut)
     survivors = dedup.fingerprint_dedup(kept, id_col=id_col,
                                         text_col=text_col).select(id_col)
-    src = kept.join(survivors, id_col, "left_semi")
+    src = dedup._stage_cut(kept.join(survivors, id_col, "left_semi"))
 
-    # near-dup cluster dedup: keep each cluster's representative
+    # near-dup cluster dedup: keep each cluster's representative.
+    # overcap='star' so mass near-dup boilerplate (over-cap LSH buckets,
+    # which the pair product deliberately drops) is still deduplicated:
+    # each over-cap bucket contributes linear (rep, member) candidates,
+    # exact-Jaccard verified like every other pair
     pairs = dedup.minhash_dedup_pairs(
         src.select(id_col, text_col), id_col=id_col, text_col=text_col,
         shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
-        rows_per_band=rows_per_band, jaccard_threshold=jaccard_threshold)
+        rows_per_band=rows_per_band, jaccard_threshold=jaccard_threshold,
+        overcap="star")
     clusters = dedup.dedup_clusters(pairs, items=src.select(id_col),
                                     id_col=id_col)
     reps = clusters.filter(F.col("member") == F.col("cluster_rep")) \

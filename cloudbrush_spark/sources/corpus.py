@@ -12,12 +12,17 @@ src/Brush/Graph2Fasta.java:54-77); a document corpus instead needs:
   file of the wrong split is even listed.
 - **Bounded, balanced file counts.**  A blind ``partitionBy`` write emits
   one file per (task, split) — up to tasks x splits small files, the
-  classic 100 TB small-file explosion.  Repartitioning on
-  (split, hash(id) % files_per_split) before the write caps output at
-  ``files_per_split`` files per split, each fed by exactly one task, and
-  the content-hash spread keeps them byte-balanced regardless of input
-  skew.  Callers size files_per_split = split_bytes / target_file_size;
-  ``max_records_per_file`` is a belt-and-braces overflow valve.
+  classic 100 TB small-file explosion.  Range-repartitioning on
+  (split, hash(id) % files_per_split) into splits x files_per_split
+  partitions before the write caps output at ``files_per_split`` files
+  per split; the range partitioner SAMPLES the key distribution, so the
+  partitions are sized by observed frequency rather than blind hashing
+  (hash-repartition collides distinct (split, bucket) keys into shared
+  tasks at the birthday rate, silently merging files and doubling their
+  size).  Adjacent buckets may still share a task, so file sizes are
+  approximately — not exactly — balanced; ``max_records_per_file`` is
+  the hard overflow valve.  Callers size files_per_split =
+  split_bytes / target_file_size.
 - **Within-file ordering** (``sortWithinPartitions(id)``) so parquet
   min/max column stats on the id are tight and id-range scans prune at
   the row-group level.
@@ -37,17 +42,26 @@ from pyspark.sql import functions as F
 def publish_corpus(docs: DataFrame, manifest: DataFrame, path: str,
                    id_col: str = "doc_id", split_col: str = "split",
                    files_per_split: int = 16,
+                   n_splits: int = 3,
                    max_records_per_file: int = 5_000_000,
                    broadcast_manifest: bool = False,
                    compression: str = "zstd") -> None:
     """Join the curation manifest back to the raw corpus and write the
-    published training set at ``path`` partitioned by split."""
+    published training set at ``path`` partitioned by split.
+
+    If ``docs`` already carries a ``split_col`` column (a stale
+    assignment from an earlier pipeline), it is dropped: the manifest's
+    assignment is authoritative, and keeping both would make the join
+    output ambiguous."""
+    if split_col in docs.columns:
+        docs = docs.drop(split_col)
     m = manifest.select(id_col, split_col)
     if broadcast_manifest:
         m = F.broadcast(m)
     out = docs.join(m, id_col)
     out = (
-        out.repartition(
+        out.repartitionByRange(
+            n_splits * files_per_split,
             F.col(split_col),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_split)))
         # split_col leads the sort: partitionBy's required ordering (the

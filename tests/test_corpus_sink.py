@@ -76,3 +76,14 @@ def test_published_files_are_id_sorted(spark):
         assert by_file
         for ids in by_file.values():
             assert ids == sorted(ids)
+
+
+def test_publish_replaces_stale_split_column(spark):
+    docs, manifest = _fixture(spark)
+    stale = docs.withColumn("split", F.lit("stale"))
+    with tempfile.TemporaryDirectory(prefix="cb-corpus-") as d:
+        path = os.path.join(d, "corpus")
+        corpus.publish_corpus(stale, manifest, path)
+        back = corpus.read_corpus(spark, path)
+        # the manifest's assignment wins; no ambiguous-column crash
+        assert {r.split for r in back.collect()} == {"train", "val", "test"}

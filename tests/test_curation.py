@@ -50,3 +50,23 @@ def test_curate_near_dup_keeps_min_id(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     kept = {r.doc_id for r in curation.curate(docs).collect()}
     assert kept == {3, 7}
+
+
+def test_mass_near_dup_cluster_over_lsh_cap_is_deduplicated(spark):
+    # 60 near-identical template docs (unique trailing token) — distinct
+    # fingerprints, so exact dedup keeps all 60; they flood the LSH band
+    # buckets past max_bucket=50, which the PAIR product drops whole.
+    # curation's overcap='star' path must still collapse them to one
+    # representative via verified (rep, member) candidates.
+    rows = [(i, GOOD + f" trailer{i}") for i in range(60)]
+    rows.append((100, GOOD2))  # independent keeper
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in curation.curate(docs).collect()}
+    assert 100 in kept
+    assert 0 in kept  # min-id representative of the template cluster
+    # LSH recall is probabilistic per band (a variant whose trailer
+    # perturbs all 4 band keys pairs with nobody — observed: doc 52),
+    # so assert near-complete collapse, not perfection: >=57 of the 59
+    # variants must be gone.  Under overcap='drop' (the pre-fix
+    # behavior) EVERY bucket is over cap and all 60 survive.
+    assert len(kept) <= 4
