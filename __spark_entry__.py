@@ -621,7 +621,11 @@ def q_event_windows(spark, sf_dir):
         F.round(F.col("value_sum") * 100).cast("long").alias("v3"))
     ses = q_sessionize(spark, sf_dir).select(
         F.lit("session").alias("op"),
-        F.concat_ws("|", s("user_id"), s("session_id")).alias("k1"),
+        # F.concat, not concat_ws: the oracle's `||` propagates NULL and
+        # concat_ws silently SKIPS it — a NULL user_id would make the
+        # sides disagree (and could collapse two distinct sessions into
+        # one k1 on the Spark side only)
+        F.concat(s("user_id"), F.lit("|"), s("session_id")).alias("k1"),
         F.col("start_us").cast("long").alias("v1"),
         F.col("end_us").cast("long").alias("v2"),
         F.col("n_events").cast("long").alias("v3"))
@@ -1880,15 +1884,40 @@ _SHINGLES_CTE = f"""
 """
 
 
-def _minhash_lsh_sql() -> str:
-    """DuckDB twin of dedup.minhash_dedup_pairs(shingle_n=3, num_hashes=16,
-    bands=4, rows_per_band=4, jaccard_threshold=0.5, max_bucket=50): the
-    md5-based hash family is engine-portable by design (dedup.py)."""
+def _lsh_cand_ctes(sh: str, star: bool = False) -> str:
+    """The MinHash/LSH candidate CTE chain (sigs -> banded -> small ->
+    cand -> inter) over shingle relation ``sh`` — the ONE source of truth
+    for the LSH parameterization (16 md5 minhashes, band = h // 4, bucket
+    cap 50), shared by the minhash_lsh_dedup oracle and the
+    curation_pipeline oracle so the two can never drift apart.
+    ``star=True`` adds dedup.lsh_candidate_pairs' overcap='star' mirror:
+    each over-cap bucket contributes linear (bucket-min-id, member)
+    candidates instead of quadratic pairs."""
+    star_cte = """
+        bigb AS (
+            SELECT band, bkey, min(doc_id) AS rep
+            FROM banded GROUP BY band, bkey HAVING count(*) > 50
+        ),""" if star else ""
+    if star:
+        cand = """
+            SELECT DISTINCT a, b FROM (
+                SELECT x.doc_id AS a, y.doc_id AS b
+                FROM small x JOIN small y USING (band, bkey)
+                WHERE x.doc_id < y.doc_id
+                UNION ALL
+                SELECT g.rep AS a, x.doc_id AS b
+                FROM banded x JOIN bigb g USING (band, bkey)
+                WHERE x.doc_id <> g.rep
+            )"""
+    else:
+        cand = """
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM small x JOIN small y USING (band, bkey)
+            WHERE x.doc_id < y.doc_id"""
     return f"""
-        WITH {_SHINGLES_CTE},
         sigs AS (
             SELECT doc_id, h, min(md5(h::VARCHAR || '|' || sh)) AS mh
-            FROM sh, (SELECT unnest(generate_series(0, 15)) AS h)
+            FROM {sh}, (SELECT unnest(generate_series(0, 15)) AS h)
             GROUP BY doc_id, h
         ),
         banded AS (
@@ -1900,19 +1929,43 @@ def _minhash_lsh_sql() -> str:
             SELECT doc_id, band, bkey
             FROM (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM banded)
             WHERE bsz <= 50
-        ),
-        cand AS (
-            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-            FROM small x JOIN small y USING (band, bkey)
-            WHERE x.doc_id < y.doc_id
-        ),
+        ),{star_cte}
+        cand AS ({cand}),
         inter AS (
             SELECT c.a, c.b, count(*) AS i
             FROM cand c
-            JOIN sh x ON x.doc_id = c.a
-            JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+            JOIN {sh} x ON x.doc_id = c.a
+            JOIN {sh} y ON y.doc_id = c.b AND y.sh = x.sh
             GROUP BY c.a, c.b
-        )
+        )"""
+
+
+def _split_case_sql(src_rel: str) -> str:
+    """md5-bucket deterministic split (sampling.assign_split twin:
+    seed='split', 1000 buckets, 900/950 thresholds) over ``src_rel``'s
+    doc_id — shared by the hash_split oracle and the curation_pipeline
+    split stage so the thresholds live in exactly one place."""
+    return f"""
+        SELECT doc_id,
+               CASE WHEN b < 900 THEN 'train'
+                    WHEN b < 950 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(generate_series(1, 8),
+                        i -> (strpos('0123456789abcdef',
+                                     substring(md5('split|' || doc_id::VARCHAR), i, 1)) - 1)
+                             * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 1000 AS b
+            FROM {src_rel})"""
+
+
+def _minhash_lsh_sql() -> str:
+    """DuckDB twin of dedup.minhash_dedup_pairs(shingle_n=3, num_hashes=16,
+    bands=4, rows_per_band=4, jaccard_threshold=0.5, max_bucket=50): the
+    md5-based hash family is engine-portable by design (dedup.py)."""
+    return f"""
+        WITH {_SHINGLES_CTE},
+        {_lsh_cand_ctes("sh")}
         SELECT i2.a, i2.b, round(j, 4) AS jaccard FROM (
             SELECT n.a, n.b, n.i / (sa.sz + sb.sz - n.i) AS j
             FROM inter n
@@ -2016,21 +2069,7 @@ _ORACLES["winnow_fp"] = f"""
     SELECT DISTINCT doc_id, wmin AS fp FROM winm WHERE pos <= n - 4
 """
 
-_ORACLES["hash_split"] = """
-    WITH hashed AS (
-        SELECT doc_id,
-               CAST(list_sum(list_transform(generate_series(1, 8),
-                    i -> (strpos('0123456789abcdef',
-                                 substring(md5('split|' || doc_id::VARCHAR), i, 1)) - 1)
-                         * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 1000 AS b
-        FROM documents
-    )
-    SELECT doc_id,
-           CASE WHEN b < 900 THEN 'train'
-                WHEN b < 950 THEN 'val'
-                ELSE 'test' END AS split
-    FROM hashed
-"""
+_ORACLES["hash_split"] = _split_case_sql("documents")
 
 _ORACLES["curation_filter"] = f"""
     WITH q AS ({_quality_sql()}),
@@ -2098,45 +2137,7 @@ _ORACLES["curation_pipeline"] = f"""
         FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i)
     ),
     cssz AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY 1),
-    sigs AS (
-        SELECT doc_id, h, min(md5(h::VARCHAR || '|' || sh)) AS mh
-        FROM csh, (SELECT unnest(generate_series(0, 15)) AS h)
-        GROUP BY doc_id, h
-    ),
-    banded AS (
-        SELECT doc_id, h // 4 AS band,
-               md5(array_to_string(list_sort(list(h::VARCHAR || ':' || mh)), '|')) AS bkey
-        FROM sigs GROUP BY doc_id, band
-    ),
-    small AS (
-        SELECT doc_id, band, bkey
-        FROM (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM banded)
-        WHERE bsz <= 50
-    ),
-    -- overcap='star' mirror: each over-cap bucket contributes linear
-    -- (bucket-min-id, member) candidates instead of quadratic pairs
-    bigb AS (
-        SELECT band, bkey, min(doc_id) AS rep
-        FROM banded GROUP BY band, bkey HAVING count(*) > 50
-    ),
-    cand AS (
-        SELECT DISTINCT a, b FROM (
-            SELECT x.doc_id AS a, y.doc_id AS b
-            FROM small x JOIN small y USING (band, bkey)
-            WHERE x.doc_id < y.doc_id
-            UNION ALL
-            SELECT g.rep AS a, x.doc_id AS b
-            FROM banded x JOIN bigb g USING (band, bkey)
-            WHERE x.doc_id <> g.rep
-        )
-    ),
-    inter AS (
-        SELECT c.a, c.b, count(*) AS i
-        FROM cand c
-        JOIN csh x ON x.doc_id = c.a
-        JOIN csh y ON y.doc_id = c.b AND y.sh = x.sh
-        GROUP BY c.a, c.b
-    ),
+    {_lsh_cand_ctes("csh", star=True)},
     pairs AS (
         SELECT i2.a, i2.b FROM (
             SELECT n.a, n.b, n.i / (sa.sz + sb.sz - n.i) AS j
@@ -2153,20 +2154,9 @@ _ORACLES["curation_pipeline"] = f"""
     ),
     labels AS (SELECT member, min(lab) AS cluster_rep FROM reach GROUP BY member),
     reps AS (SELECT member AS doc_id FROM labels WHERE member = cluster_rep),
-    hashed AS (
-        SELECT doc_id,
-               CAST(list_sum(list_transform(generate_series(1, 8),
-                    i -> (strpos('0123456789abcdef',
-                                 substring(md5('split|' || doc_id::VARCHAR), i, 1)) - 1)
-                         * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 1000 AS bkt
-        FROM reps
-    )
-    SELECT h.doc_id,
-           CASE WHEN bkt < 900 THEN 'train'
-                WHEN bkt < 950 THEN 'val'
-                ELSE 'test' END AS split,
-           cf.ws_tokens, cf.quality
-    FROM hashed h JOIN cf ON cf.doc_id = h.doc_id
+    splits AS ({_split_case_sql("reps")})
+    SELECT s.doc_id, s.split, cf.ws_tokens, cf.quality
+    FROM splits s JOIN cf ON cf.doc_id = s.doc_id
 """
 
 # Batch event-time windowing union: the tumbling-window and sessionize
