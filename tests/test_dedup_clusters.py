@@ -39,3 +39,35 @@ def test_no_items_returns_paired_nodes_only(spark):
     out = {(r.cluster_rep, r.member, r.n)
            for r in dedup.dedup_clusters(pairs).collect()}
     assert out == {(2, 2, 2), (2, 4, 2)}
+
+
+def test_clusters_over_simhash_pairs(spark):
+    # The composition BASELINE.md prescribes for signature-saturated
+    # corpora (simhash_pairs' decade probe: pair volume grew x94 while
+    # input grew x10): feed the quadratic pair enumeration into
+    # dedup_clusters and consume the LINEAR (rep, member, n) partition.
+    # simhash_near_pairs emits (a, b, hamming) — pin that its pair
+    # columns stay drop-in compatible with dedup_clusters.
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "the quick brown fox jumps over one lazy dog"),
+         (4, "entirely different content about spark catalyst plans"),
+         (5, "unrelated third topic with its own vocabulary set")],
+        "doc_id long, text string")
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=7)
+    got = {(r.a, r.b) for r in pairs.select("a", "b").collect()}
+    assert {(1, 2)} <= got          # identical docs always pair
+    assert not {(1, 4), (1, 5), (4, 5)} & got
+    out = dedup.dedup_clusters(
+        pairs, items=docs.select("doc_id")).collect()
+    by_member = {r.member: r for r in out}
+    assert len(by_member) == 5      # total partition of the corpus
+    # 1 and 2 share a cluster under min-id rep; 4 and 5 are singletons
+    assert by_member[1].cluster_rep == 1 and by_member[2].cluster_rep == 1
+    for s in (4, 5):
+        assert by_member[s].cluster_rep == s and by_member[s].n == 1
+    # every rep is a real member of its own cluster (the invariant the
+    # convergence guard exists to protect)
+    reps = {r.cluster_rep for r in out}
+    assert reps <= set(by_member)
