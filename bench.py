@@ -58,25 +58,12 @@ def main() -> None:
             qs[name] = getattr(entrymod, f"q_{name}")
     # warm the JVM + parquet footers with one cheap action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-    # host-health probe (fixed parallel work vs single-partition): on
-    # shared VMs the hypervisor can throttle aggregate CPU while
-    # single-thread latency stays normal, inflating every shuffle-heavy
-    # query identically — record the ratio so a run under a throttled
-    # host is distinguishable from an engine regression
-    # (scripts/cpu_probe.py documents the round-6 incident: ratio 6.6,
-    # effective ~5 of 32 cores, overlap_graph 12.4s -> 24s untouched)
-    from pyspark.sql import functions as Fn
-    ncpu = os.cpu_count() or 4
-    t0 = time.time()
-    spark.range(0, ncpu * 200_000, 1, ncpu).select(
-        Fn.sha2(Fn.col("id").cast("string"), 256).alias("h")).select(
-        Fn.max("h")).collect()
-    par = time.time() - t0
-    t0 = time.time()
-    spark.range(0, 200_000, 1, 1).select(
-        Fn.sha2(Fn.col("id").cast("string"), 256).alias("h")).select(
-        Fn.max("h")).collect()
-    host_ratio = round(par / max(time.time() - t0, 1e-9), 1)
+    # host-health probe: record the parallel/single ratio so a run under
+    # a throttled host is distinguishable from an engine regression (one
+    # shared implementation — see session.host_parallel_probe)
+    from cloudbrush_spark.session import host_parallel_probe
+    par, single = host_parallel_probe(spark)
+    host_ratio = round(par / single, 1)
     unknown = [n for n in HEADLINE if n not in qs]
     if unknown:
         raise SystemExit(f"HEADLINE names missing from queries(): {unknown}")

@@ -652,6 +652,11 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
     edges = pairs.select("a", "b")
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # cut BEFORE the loop: the edge list is re-joined every round, and an
+    # un-checkpointed ``pairs`` input (this package's pair operators end
+    # in _stage_cut, but arbitrary caller-built pair frames don't) would
+    # otherwise replay its whole upstream plan once per iteration
+    sym = _stage_cut(sym)
     nodes = sym.select(F.col("a").alias("member")).distinct()
     labels = _stage_cut(nodes.withColumn("label", F.col("member")))
     converged = False

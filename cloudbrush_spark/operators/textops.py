@@ -61,9 +61,13 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Output: doc_id, lang_pred, lang_hits.
     """
     best = lang_best_col(text_col)
+    # derive the prediction from the SAME best struct (not a second
+    # lang_pred_col call, which would build the whole per-language
+    # marker-scan tree twice per projection)
     return docs.select(
         "doc_id",
-        lang_pred_col(text_col).alias("lang_pred"),
+        F.when(best["hits"] == 0, F.lit("und"))
+         .otherwise(best["lang"]).alias("lang_pred"),
         best["hits"].cast("long").alias("lang_hits"),
     )
 

@@ -34,10 +34,52 @@ def get_spark(app_name: str = "cloudbrush-spark", extra_conf: dict | None = None
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # reliable checkpoints (_stage_cut's cluster mode, used once per
+        # dedup_clusters round) are NOT auto-deleted by default; without
+        # this a long-running curation service fills the checkpoint volume
+        # with dead label-frame copies
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# parallel/single ratio above which the host's aggregate CPU is throttled
+# and benchmark numbers are not comparable (BASELINE.md round-6 policy)
+HEALTHY_PARALLEL_RATIO = 3.0
+
+
+def host_parallel_probe(spark: SparkSession, rows: int = 200_000) -> tuple[float, float]:
+    """Fixed-work host-health probe: (parallel_sec, single_sec).
+
+    Runs ``cpus x rows`` sha2 hashes on ``cpus`` partitions, then ``rows``
+    on one partition; parallel/single ~1-2 on a healthy host (scheduler
+    overhead only).  On shared VMs the hypervisor can throttle many-core
+    throughput while single-thread latency stays normal — which inflates
+    every shuffle-heavy query by the same factor and looks exactly like an
+    engine regression (observed round 6: ratio 6.6, effective ~5 of 32
+    cores, overlap_graph "regressed" 12.4s -> 24s with zero code change).
+    The probe is sized to the host core count so a healthy 8-core machine
+    is not misread as throttled.  One shared implementation (bench.py and
+    scripts/cpu_probe.py both call it) so a recalibration cannot
+    desynchronize the recorded ratios from the documented probe.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    cpus = os.cpu_count() or 4
+    t0 = time.time()
+    spark.range(0, cpus * rows, 1, cpus) \
+        .select(F.sha2(F.col("id").cast("string"), 256).alias("h")) \
+        .select(F.max("h")).collect()
+    par = time.time() - t0
+    t0 = time.time()
+    spark.range(0, rows, 1, 1) \
+        .select(F.sha2(F.col("id").cast("string"), 256).alias("h")) \
+        .select(F.max("h")).collect()
+    return par, max(time.time() - t0, 1e-9)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):

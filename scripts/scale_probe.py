@@ -62,7 +62,17 @@ def main() -> None:
             t0 = time.time()
             n = fn(spark, sfdir).count()
             row[tag] = {"sec": round(time.time() - t0, 3), "rows": n}
-        e = math.log(row["x10"]["sec"] / row["x1"]["sec"]) / math.log(10)
+        # x1 runs before x10, i.e. cold (codegen, scan setup), which
+        # inflates t1 and biases the exponent LOW — a genuinely
+        # super-linear plan could hide under the flag threshold.  Re-run
+        # x1 warm and use the faster of the two; the residual fixed
+        # per-job overhead still biases e low for small absolute times,
+        # so read e as a lower bound when t1 is ~1s.
+        t0 = time.time()
+        fn(spark, d1).count()
+        row["x1_warm_sec"] = round(time.time() - t0, 3)
+        t1 = min(row["x1"]["sec"], row["x1_warm_sec"])
+        e = math.log(row["x10"]["sec"] / t1) / math.log(10)
         row["exponent"] = round(e, 3)
         out_ratio = row["x10"]["rows"] / max(1, row["x1"]["rows"])
         row["rows_ratio"] = round(out_ratio, 2)

@@ -111,6 +111,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
         if issues:
             failed.append(name)
     print(f"\n{attempted - len(failed)}/{attempted} matched")
+    if only and attempted == 0:
+        # every requested name was unknown: 0/0 must NOT read as green —
+        # a verify script with a stale query list would otherwise pass
+        print("[FAIL] no requested query exists in the registry")
+        return 1
     return 1 if failed else 0
 
 
