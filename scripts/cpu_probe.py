@@ -41,6 +41,17 @@ def main() -> None:
                else "THROTTLED - defer benching")
     print(f"single={single:.2f}s parallel={par:.2f}s "
           f"ratio={ratio:.1f} ({verdict})")
+    if ratio >= HEALTHY_PARALLEL_RATIO:
+        # the single-thread denominator burst-boosts on credit-based
+        # hosts (observed 0.77s -> 0.22s late round 6), inflating the
+        # ratio while aggregate capacity — and query times — are fine.
+        # The absolute parallel wall is fixed work per core, so it IS
+        # comparable across sessions: judge by it and by whether bench
+        # per-query times match their BASELINE.md anchors.
+        print(f"  note: ratio can misfire when single-thread bursts; "
+              f"parallel={par:.2f}s is the comparable signal "
+              f"(~2s when this host matched healthy anchors, 5.9-16.7s "
+              f"during the round-6 throttle incident)")
 
 
 if __name__ == "__main__":
