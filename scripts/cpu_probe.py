@@ -14,10 +14,12 @@ Run before recording BASELINE/BENCH numbers:
 
     python scripts/cpu_probe.py
 
-ratio = parallel_wall / single_wall for cpus x the work on cpus
-partitions.  Healthy: ratio ~1.0-2.0 (scheduler overhead).  Above
-HEALTHY_PARALLEL_RATIO the host is throttled and bench numbers will NOT
-be comparable — re-run later.  The probe itself is shared with bench.py
+The PRIMARY gate is the absolute parallel wall (HEALTHY_PARALLEL_SEC —
+fixed work per core, comparable across sessions); the parallel/single
+ratio is a secondary cross-check only, because the single-thread
+denominator burst-boosts on credit-scheduled hosts and inflates the
+ratio while aggregate capacity is fine (BASELINE.md round-6 amended
+policy).  The probe itself is shared with bench.py
 (cloudbrush_spark.session.host_parallel_probe) so the recorded
 host_parallel_ratio and this verdict can never desynchronize.
 """
@@ -27,6 +29,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from cloudbrush_spark.session import (  # noqa: E402
     HEALTHY_PARALLEL_RATIO,
+    HEALTHY_PARALLEL_SEC,
     get_spark,
     host_parallel_probe,
 )
@@ -37,21 +40,21 @@ def main() -> None:
     s.range(1).count()  # JVM warm
     par, single = host_parallel_probe(s)
     ratio = par / single
-    verdict = ("healthy" if ratio < HEALTHY_PARALLEL_RATIO
+    # PRIMARY gate: the absolute parallel wall (fixed work per core, so
+    # comparable across sessions).  The ratio alone is NOT a throttle
+    # verdict — the single-thread denominator burst-boosts on
+    # credit-scheduled hosts (observed 0.77s -> 0.22s late round 6),
+    # inflating the ratio while aggregate capacity is fine (BASELINE.md
+    # round-6 amended policy).
+    verdict = ("healthy" if par < HEALTHY_PARALLEL_SEC
                else "THROTTLED - defer benching")
     print(f"single={single:.2f}s parallel={par:.2f}s "
-          f"ratio={ratio:.1f} ({verdict})")
-    if ratio >= HEALTHY_PARALLEL_RATIO:
-        # the single-thread denominator burst-boosts on credit-based
-        # hosts (observed 0.77s -> 0.22s late round 6), inflating the
-        # ratio while aggregate capacity — and query times — are fine.
-        # The absolute parallel wall is fixed work per core, so it IS
-        # comparable across sessions: judge by it and by whether bench
-        # per-query times match their BASELINE.md anchors.
-        print(f"  note: ratio can misfire when single-thread bursts; "
-              f"parallel={par:.2f}s is the comparable signal "
-              f"(~2s when this host matched healthy anchors, 5.9-16.7s "
-              f"during the round-6 throttle incident)")
+          f"ratio={ratio:.1f} ({verdict}; gate: parallel < "
+          f"{HEALTHY_PARALLEL_SEC}s)")
+    if par < HEALTHY_PARALLEL_SEC and ratio >= HEALTHY_PARALLEL_RATIO:
+        print("  note: ratio elevated but parallel leg healthy — "
+              "single-thread burst boost, not a throttle; bench is "
+              "comparable")
 
 
 if __name__ == "__main__":

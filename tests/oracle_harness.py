@@ -89,10 +89,13 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
         unknown = [n for n in only if n not in qs]
         if unknown:
             # a silently-skipped name reads as "checked and passed" —
-            # registry entries get merged/renamed across rounds, so say so
-            print(f"[WARN] not in queries(), skipping: {', '.join(unknown)} "
+            # registry entries get merged/renamed across rounds, so a
+            # stale --only list must FAIL even when other names resolve
+            # (otherwise a verify script silently loses coverage as long
+            # as one name is still valid)
+            print(f"[FAIL] not in queries(): {', '.join(unknown)} "
                   "(merged or renamed? see docs/COVERAGE.md)")
-    failed = []
+    failed = list(unknown) if only else []
     attempted = 0
     for name, fn in qs.items():
         if only and name not in only:
