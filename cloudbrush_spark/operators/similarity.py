@@ -6,9 +6,30 @@ function (``aggregate(zip_with(...))``), so no Python in the hot path.
 
 Scale path (100 TB): random-hyperplane LSH bucketing — each vector lands in
 2^planes sign-pattern buckets; candidates share a bucket, exact cosine
-re-rank inside.  Probing multiple hash tables raises recall.  The bucket
-join is a plain equi-join Catalyst shuffles on the bucket key; AQE splits
-hot buckets.
+re-rank inside.  Probing multiple hash tables raises recall.
+
+The approximate paths carry the same three scale levers as the text-side
+near-dup family (``operators/dedup.py``), because the failure mode is the
+same — a skewed corpus turns a bucket equi-join into a quadratic pair
+bomb:
+
+1. **Distinct-vector pre-collapse** (mirrors ``hamming_near_pairs``'
+   distinct-signature banding): byte-identical vectors — the dominant
+   duplicate mode in a scraped corpus — collapse to ONE representative
+   before any bucketing or pair expansion, so 1M copies of an embedding
+   cost one bucket row, not 10^12 candidate pairs.  Members are recovered
+   from representative results afterwards with linear joins.
+2. **Bucket cap via groupBy-count + broadcast anti-join** (mirrors
+   ``lsh_candidate_pairs``; the reference caps candidates per k-mer key
+   the same way, src/Brush/MatchPrefix.java:366-380), with hierarchical
+   RE-BANDING of over-cap buckets on fresh hyperplanes (mirrors the
+   SimHash level-2 re-band) before any star/drop fallback — sign patterns
+   correlate across a clustered corpus, so dropping a hot bucket outright
+   would lose true neighbors that a finer partition still finds.
+3. **Corpus-sized bucket space**: ``planes=None`` (the default) derives
+   the hyperplane count from the distinct-vector count so the expected
+   bucket occupancy stays ~64 — a fixed ``planes=8`` means 256 buckets
+   and Θ(n²/256) candidates no matter how big n gets.
 """
 
 from __future__ import annotations
@@ -16,7 +37,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -69,6 +90,48 @@ def cosine_topk_bruteforce(vectors: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+# --------------------------------------------------------------------------
+# Distinct-vector pre-collapse (shared by every approximate path)
+# --------------------------------------------------------------------------
+
+def _vkey(vec: Column) -> Column:
+    """128-bit content key of the exact vector (md5 over the decimal text
+    of every component).  A collision (p ~ 2^-128) would merge two distinct
+    vectors into one representative group — the spurious candidates that
+    creates are removed by the exact-cosine verification every consumer
+    runs, so collapse-key collisions cost recall noise, never soundness."""
+    return F.md5(F.concat_ws(",", F.transform(vec, lambda x: x.cast("string"))))
+
+
+def _collapse(vectors: DataFrame, id_col: str, vec_col: str):
+    """(keyed, groups): ``keyed`` maps every original id to its vector-content
+    key; ``groups`` is the DISTINCT-vector frame — one row per unique vector
+    with the min-id representative, member count and the vector itself.
+
+    ``groups`` is eagerly cut (``dedup._stage_cut``): it feeds the bucketing
+    pipeline, both re-rank join sides and the member-recovery joins, which
+    launch as parallel stages and would otherwise each replay the collapse
+    aggregate.  ``keyed`` stays lazy — re-deriving it is one scan + md5.
+    """
+    from cloudbrush_spark.operators.dedup import _stage_cut
+    keyed = vectors.select(F.col(id_col), _vkey(F.col(vec_col)).alias("vkey"),
+                           F.col(vec_col).alias("__vec"))
+    groups = _stage_cut(keyed.groupBy("vkey").agg(
+        F.min(id_col).alias("rep"),
+        F.count(F.lit(1)).alias("m"),
+        F.min_by("__vec", id_col).alias("__vec"),
+    ))
+    return keyed.select(id_col, "vkey"), groups
+
+
+def _derive_planes(n_distinct: int) -> int:
+    """Hyperplane count sized to the corpus: 2^planes ≈ n/64 (expected
+    bucket occupancy ~64), clamped to [8, 24].  A fixed small default is
+    the classic LSH scale bug — 2^8 = 256 buckets makes candidate volume
+    Θ(n²/256) regardless of corpus size."""
+    return max(8, min(24, math.ceil(math.log2(max(n_distinct / 64.0, 2.0)))))
+
+
 def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
@@ -107,37 +170,163 @@ def lsh_bucket(vectors: DataFrame, dim: int, planes: int = 8, seed: int = 42,
              F.col("tb.bucket").alias("bucket"))
 
 
-def cosine_topk_lsh(vectors: DataFrame, dim: int, k: int = 10, planes: int = 8,
-                    seed: int = 42, id_col: str = "vec_id",
-                    vec_col: str = "embedding", tables: int = 1) -> DataFrame:
-    """Approximate all-pairs top-k: candidates share an LSH bucket in any
-    table; the distinct candidate-pair set is re-ranked with exact cosine.
-    One shuffle on (tbl, bucket); pair dedup BEFORE the vector join keeps
-    the rerank linear in distinct candidates, not tables x candidates."""
-    b = lsh_bucket(vectors, dim, planes, seed, id_col, vec_col, tables)
-    a = b.select(F.col(id_col).alias("query_id"), "tbl", "bucket")
-    c = b.select(F.col(id_col).alias("neighbor_id"), "tbl", "bucket")
-    cand = (
-        a.join(c, ["tbl", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    qv = vectors.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                        _norm(F.col(vec_col)).alias("qn"))
-    cv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-                        _norm(F.col(vec_col)).alias("cn"))
-    scored = (
-        cand.join(qv, "query_id").join(cv, "neighbor_id")
-        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) /
-                    (F.col("qn") * F.col("cn")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+def _bucket_pair_join(banded: DataFrame, keys: list[str],
+                      id_col: str = "rep") -> DataFrame:
+    a = banded.select(F.col(id_col).alias("a"), *keys)
+    b = banded.select(F.col(id_col).alias("b"), *keys)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        a.join(b, keys)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+
+
+def _capped_rep_pairs(groups: DataFrame, dim: int, planes: int, seed: int,
+                      tables: int, max_bucket: int,
+                      star_overcap: bool) -> DataFrame:
+    """Candidate representative pairs (a < b, distinct) from capped LSH
+    buckets over the DISTINCT-vector frame.
+
+    Level 1: bucket by ``planes`` hyperplanes per table; buckets over
+    ``max_bucket`` are found with a groupBy count (map-side partials,
+    skew-proof) + broadcast anti-join — never a window over the hot key —
+    and their members are NOT pair-expanded at this level.
+
+    Level 2: hot-bucket members are re-banded on a FRESH hyperplane set
+    (one shared set — level 2 only ever subdivides within a (tbl, bucket),
+    so per-table independence buys nothing) and pair-expanded in the
+    sub-buckets that fit the cap.  Sign patterns correlate across a
+    clustered corpus, so re-banding recovers most hot-bucket neighbors
+    that an outright drop would lose — the vector analogue of the SimHash
+    rotated re-band (``dedup._hamming_pairs_from_cached``), except recall
+    here is probabilistic either way (LSH), not pigeonhole-exact.
+
+    Still-over-cap sub-buckets — genuinely near-degenerate direction mass
+    — fall back to ``star_overcap``: True emits (sub-bucket-min, member)
+    candidates (ONE per member, linear; right for top-k and cluster
+    consumers), False drops them (the faithful-pair-product mode, where a
+    quadratic expansion is wrong at any cap).
+
+    Candidate volume is hard-bounded: every pair-expanded bucket holds
+    <= max_bucket members, so candidates <= tables * n * max_bucket / 2
+    + n star rows — linear in n with the cap constant.
+    """
+    from cloudbrush_spark.operators.dedup import _stage_cut
+    b = lsh_bucket(groups, dim, planes, seed, id_col="rep", vec_col="__vec",
+                   tables=tables)
+    b1 = _stage_cut(b.select("rep", "tbl", "bucket"))
+    big = (b1.groupBy("tbl", "bucket").count()
+           .filter(F.col("count") > max_bucket).select("tbl", "bucket"))
+    small = b1.join(F.broadcast(big), ["tbl", "bucket"], "left_anti")
+    pairs = _bucket_pair_join(small, ["tbl", "bucket"])
+
+    hot = b1.join(F.broadcast(big), ["tbl", "bucket"], "left_semi")
+    # one level-2 signature per distinct hot member (not per (member, tbl)
+    # row): join the vector back by rep and compute the fresh-plane
+    # sign pattern once, then attach it to every hot bucket row
+    hp2 = _hyperplanes(dim, planes, seed + 999_983)
+    sig2 = (hot.select("rep").distinct()
+            .join(groups.select("rep", "__vec"), "rep")
+            .select("rep", _sig_expr("__vec", hp2).alias("bucket2")))
+    sub = _stage_cut(hot.join(sig2, "rep"))
+    big2 = (sub.groupBy("tbl", "bucket", "bucket2").count()
+            .filter(F.col("count") > max_bucket)
+            .select("tbl", "bucket", "bucket2"))
+    capped2 = sub.join(F.broadcast(big2), ["tbl", "bucket", "bucket2"], "left_anti")
+    pairs = pairs.unionByName(
+        _bucket_pair_join(capped2, ["tbl", "bucket", "bucket2"]))
+    if star_overcap:
+        hot2 = sub.join(F.broadcast(big2), ["tbl", "bucket", "bucket2"], "left_semi")
+        reps2 = (hot2.groupBy("tbl", "bucket", "bucket2")
+                 .agg(F.min("rep").alias("a")))
+        star = (
+            hot2.join(reps2, ["tbl", "bucket", "bucket2"])
+            .filter(F.col("rep") != F.col("a"))
+            .select("a", F.col("rep").alias("b"))
+        )
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
+
+
+def _expand_topk(rep_topk: DataFrame, keyed: DataFrame, groups: DataFrame,
+                 id_col: str, k: int) -> DataFrame:
+    """Recover per-original-id top-k from representative-level top-k.
+
+    Every member INHERITS its representative's neighbor list (neighbors are
+    reported as the neighbor group's representative id — the documented
+    collapse contract), and members of multi-member groups additionally get
+    ONE twin neighbor at cosine 1.0: the group's min-id member other than
+    self (the representative, or the second-smallest for the representative
+    itself).  A full twin expansion would be quadratic in group size for
+    zero information — identical vectors are interchangeable; consumers
+    that need the duplicate structure itself want ``embedding_near_dup`` /
+    ``dedup_clusters``, not a top-k list.  Output stays <= k rows per
+    original id.
+    """
+    inherited = (
+        keyed.join(groups.select("vkey", "rep"), "vkey")
+        .select(F.col(id_col).alias("query_id"), "rep")
+        .join(rep_topk.withColumnRenamed("query_rep", "rep"), "rep")
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    dup = groups.filter(F.col("m") > 1).select("vkey", "rep")
+    dmem = keyed.join(dup, "vkey")
+    second = (dmem.filter(F.col(id_col) != F.col("rep"))
+              .groupBy("vkey").agg(F.min(id_col).alias("second")))
+    twins = dmem.join(second, "vkey").select(
+        F.col(id_col).alias("query_id"),
+        F.when(F.col(id_col) == F.col("rep"), F.col("second"))
+        .otherwise(F.col("rep")).alias("neighbor_id"),
+        F.lit(1.0).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        inherited.unionByName(twins)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def cosine_topk_lsh(vectors: DataFrame, dim: int, k: int = 10,
+                    planes: int | None = None, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    tables: int = 1, max_bucket: int = 1000) -> DataFrame:
+    """Approximate all-pairs top-k: candidates share an LSH bucket in any
+    table; the distinct candidate-pair set is re-ranked with exact cosine.
+
+    Skew-bounded end to end: identical vectors pre-collapse to one
+    representative, buckets are capped with level-2 re-banding and a star
+    fallback (``_capped_rep_pairs`` — star is always right for top-k:
+    linear cost, strictly more recall than dropping), and members inherit
+    their representative's list (``_expand_topk``).  ``planes=None``
+    derives the bucket space from the distinct-vector count.
+    """
+    keyed, groups = _collapse(vectors, id_col, vec_col)
+    if planes is None:
+        planes = _derive_planes(groups.count())
+    cand = _capped_rep_pairs(groups, dim, planes, seed, tables, max_bucket,
+                             star_overcap=True)
+    # top-k is per-query: orient every undirected candidate both ways
+    cand = cand.unionByName(
+        cand.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    qv = groups.select(F.col("rep").alias("query_rep"), F.col("__vec").alias("qv"),
+                       _norm(F.col("__vec")).alias("qn"))
+    cv = groups.select(F.col("rep").alias("neighbor_id"), F.col("__vec").alias("cv"),
+                       _norm(F.col("__vec")).alias("cn"))
+    scored = (
+        cand.select(F.col("a").alias("query_rep"), F.col("b").alias("neighbor_id"))
+        .join(qv, "query_rep").join(cv, "neighbor_id")
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) /
+                    (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_rep").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    rep_topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_rep", "neighbor_id", "cosine")
+    )
+    return _expand_topk(rep_topk, keyed, groups, id_col, k)
 
 
 def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, sample: int = 4096,
@@ -147,10 +336,17 @@ def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, sample: int = 4096,
     sample (numpy).  The sample is the ONLY data that leaves the cluster;
     at 100 TB the centroids are trained once on a few thousand rows and
     folded into the plan as literals — no iterative Spark job.
+
+    The sample is UNIFORM over the corpus: rows are ordered by a seeded
+    content hash and the smallest ``sample`` taken (TakeOrdered — a
+    per-partition heap of ``sample`` rows, one scan, no full sort).  A
+    plain ``limit(sample)`` would take the first partitions in input
+    order, and on a sorted/clustered corpus train the quantizer on one
+    corner of the space.
     """
     import numpy as np
     rows = (vectors.select(vec_col)
-            .sample(False, 1.0, seed)  # deterministic pass-through order
+            .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
             .limit(sample).collect())
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
@@ -184,21 +380,26 @@ def cosine_topk_ivf(vectors: DataFrame, k: int = 10, n_centroids: int = 16,
     each query probes its ``nprobe`` nearest centroids and reranks with
     exact cosine inside those lists.
 
-    Scale shape: one shuffle on the centroid id (bounded, ~uniform by
-    construction of k-means); probe fan-out = nprobe rows per query.
-    Recall < 1 by construction (like the LSH variant); raise nprobe for
-    recall, n_centroids for selectivity.
+    Scale shape: identical vectors pre-collapse to one representative
+    (the same mass-duplicate bomb as the LSH paths: a million copies of
+    one embedding otherwise land in ONE inverted list and pair-expand
+    quadratically — and bias the k-means training mass), then one shuffle
+    on the centroid id (bounded, ~uniform by construction of k-means);
+    probe fan-out = nprobe rows per query.  Recall < 1 by construction
+    (like the LSH variant); raise nprobe for recall, n_centroids for
+    selectivity.
     """
-    centroids = ivf_centroids(vectors, n_centroids, seed=seed, vec_col=vec_col)
-    scores = _centroid_scores(F.col(vec_col), centroids)
-    corpus = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
+    keyed, groups = _collapse(vectors, id_col, vec_col)
+    centroids = ivf_centroids(groups, n_centroids, seed=seed, vec_col="__vec")
+    scores = _centroid_scores(F.col("__vec"), centroids)
+    corpus = groups.select(
+        F.col("rep").alias("neighbor_id"), F.col("__vec").alias("cv"),
+        _norm(F.col("__vec")).alias("cn"),
         F.reverse(F.array_sort(scores))[0]["i"].alias("bucket"),
     )
-    probes = vectors.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"),
+    probes = groups.select(
+        F.col("rep").alias("query_rep"), F.col("__vec").alias("qv"),
+        _norm(F.col("__vec")).alias("qn"),
         F.explode(F.transform(
             F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
             lambda s: s["i"],
@@ -206,43 +407,86 @@ def cosine_topk_ivf(vectors: DataFrame, k: int = 10, n_centroids: int = 16,
     )
     scored = (
         probes.join(corpus, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(F.col("query_rep") != F.col("neighbor_id"))
         .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) /
                     (F.col("qn") * F.col("cn")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
+    w = Window.partitionBy("query_rep").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    rep_topk = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+        .select("query_rep", "neighbor_id", "cosine")
     )
+    return _expand_topk(rep_topk, keyed, groups, id_col, k)
 
 
 def embedding_near_dup(vectors: DataFrame, dim: int, threshold: float = 0.95,
-                       planes: int = 6, seed: int = 42, id_col: str = "vec_id",
-                       vec_col: str = "embedding", tables: int = 1) -> DataFrame:
+                       planes: int | None = None, seed: int = 42,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       tables: int = 1, max_bucket: int = 1000,
+                       overcap: str = "drop") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold),
     LSH-bucketed candidate generation (any-table collision) + exact verify.
-    Every emitted pair passes the exact cosine filter, so the output is
-    always a SUBSET of the brute-force pair set — only recall varies with
-    ``planes``/``tables``."""
-    b = lsh_bucket(vectors, dim, planes, seed, id_col, vec_col, tables)
-    a = b.select(F.col(id_col).alias("a"), "tbl", "bucket")
-    c = b.select(F.col(id_col).alias("b"), "tbl", "bucket")
-    cand = (
-        a.join(c, ["tbl", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    va = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
-                        _norm(F.col(vec_col)).alias("na"))
-    vb = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
-                        _norm(F.col(vec_col)).alias("nb"))
-    return (
+    Every emitted pair passes the exact cosine filter (identical vectors
+    are emitted at their exact cosine, 1.0), so the output is always a
+    SUBSET of the brute-force pair set — only recall varies with
+    ``planes``/``tables``.
+
+    Skew levers (see module docstring): identical vectors pre-collapse to
+    one representative; buckets are capped with level-2 re-banding;
+    ``overcap`` picks the fallback for sub-buckets still over the cap,
+    and the member-recovery shape:
+
+    - ``"drop"`` (default): over-cap sub-buckets are dropped, and the
+      faithful PAIR product is emitted — representative pairs expanded to
+      all member combinations, plus all within-group pairs at cosine 1.0
+      (output-driven quadratic in group size, like the SimHash pair
+      product — the pair set of an m-clique IS m(m-1)/2 rows).
+    - ``"star"``: over-cap sub-buckets emit (sub-bucket-min, member)
+      candidates, and member recovery emits representative-level pairs
+      plus within-group STAR edges (rep, member) only — linear, and
+      preserves exactly the connectivity ``dedup_clusters`` needs (a's
+      members — a_rep — b_rep — b's members).  The mode for cluster
+      consumers, mirroring ``lsh_candidate_pairs(overcap='star')``.
+    """
+    if overcap not in ("drop", "star"):
+        raise ValueError(f"overcap must be 'drop' or 'star', got {overcap!r}")
+    keyed, groups = _collapse(vectors, id_col, vec_col)
+    if planes is None:
+        planes = _derive_planes(groups.count())
+    cand = _capped_rep_pairs(groups, dim, planes, seed, tables, max_bucket,
+                             star_overcap=(overcap == "star"))
+    va = groups.select(F.col("rep").alias("a"), F.col("__vec").alias("va"),
+                       _norm(F.col("__vec")).alias("na"))
+    vb = groups.select(F.col("rep").alias("b"), F.col("__vec").alias("vb"),
+                       _norm(F.col("__vec")).alias("nb"))
+    rep_pairs = (
         cand.join(va, "a").join(vb, "b")
         .withColumn("cosine", _dot(F.col("va"), F.col("vb")) /
                     (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+    members = keyed.join(groups.select("vkey", "rep", "m"), "vkey")
+    if overcap == "star":
+        intra = (
+            members.filter((F.col("m") > 1) & (F.col(id_col) != F.col("rep")))
+            .select(F.col("rep").alias("a"), F.col(id_col).alias("b"),
+                    F.lit(1.0).alias("cosine"))
+        )
+        return rep_pairs.unionByName(intra)
+    ga = members.select(F.col("rep").alias("a"), F.col(id_col).alias("ia"))
+    gb = members.select(F.col("rep").alias("b"), F.col(id_col).alias("ib"))
+    cross = (
+        rep_pairs.join(ga, "a").join(gb, "b")
+        .select(F.least("ia", "ib").alias("a"),
+                F.greatest("ia", "ib").alias("b"), "cosine")
+    )
+    intra = (
+        members.filter(F.col("m") > 1).alias("x")
+        .join(members.filter(F.col("m") > 1).alias("y"), "vkey")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"),
+                F.lit(1.0).alias("cosine"))
+    )
+    return cross.unionByName(intra)

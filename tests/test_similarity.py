@@ -61,3 +61,98 @@ def test_lsh_topk_buckets_preserve_clusters(spark, clustered):
     out = similarity.cosine_topk_lsh(clustered.select("vec_id", "embedding"),
                                      dim=8, k=3, planes=4, seed=7)
     assert _within_cluster_fraction(out, clustered) > 0.9
+
+
+def test_emb_near_dup_identical_vectors_skew_fixture(spark):
+    """1,000 byte-identical embeddings + a distinct one: identical vectors
+    collapse to ONE representative before bucketing, so no bucket ever
+    holds the duplicate mass; the faithful pair product still emits all
+    C(1000,2) within-group pairs at cosine 1.0 (output-driven), and the
+    star mode emits the linear 999-edge star instead."""
+    import time
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(1000)]
+    rows.append((5000, [-4.0, 3.0, -2.0, 1.0]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    t0 = time.time()
+    pairs = similarity.embedding_near_dup(vecs, dim=4, threshold=0.9,
+                                          planes=4, seed=7, tables=2)
+    n = pairs.count()
+    elapsed = time.time() - t0
+    assert n == 1000 * 999 // 2
+    assert pairs.filter(F.col("cosine") < 1.0).count() == 0
+    assert elapsed < 120
+    star = similarity.embedding_near_dup(vecs, dim=4, threshold=0.9,
+                                         planes=4, seed=7, tables=2,
+                                         overcap="star")
+    srows = star.collect()
+    assert len(srows) == 999
+    assert all(r.a == 0 and r.cosine == 1.0 for r in srows)
+
+
+def test_lsh_topk_identical_vectors_bounded(spark):
+    """Top-k over a mass-duplicate corpus stays <= k rows per id: members
+    inherit the representative's list plus ONE twin neighbor at cosine
+    1.0 — never a quadratic twin expansion."""
+    rows = [(i, [5.0, 1.0, 0.0, 2.0]) for i in range(500)]
+    rows += [(1000 + i, [-1.0, 4.0, float(i % 3), -2.0]) for i in range(20)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.cosine_topk_lsh(vecs, dim=4, k=3, planes=4, seed=7,
+                                     tables=4).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) >= set(range(500))
+    assert max(len(v) for v in per_q.values()) <= 3
+    # every duplicate member's rank-1 neighbor is its twin at cosine 1.0
+    for qid in (0, 1, 499):
+        top = min(per_q[qid], key=lambda r: r.rank)
+        assert top.cosine == 1.0
+        assert top.neighbor_id == (1 if qid == 0 else 0)
+
+
+def test_capped_rep_pairs_hot_bucket_linear(spark):
+    """A tight direction cluster (distinct vectors, one sign pattern) blows
+    the level-1 cap AND the level-2 re-band: star fallback keeps candidate
+    volume linear; drop mode emits no pairs from the hot mass."""
+    import random as pyrandom
+    rng = pyrandom.Random(11)
+    rows = [(i, [10.0 + rng.gauss(0, 0.01), 20.0 + rng.gauss(0, 0.01),
+                 30.0 + rng.gauss(0, 0.01), 40.0 + rng.gauss(0, 0.01)])
+            for i in range(300)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, groups = similarity._collapse(vecs, "vec_id", "embedding")
+    star = similarity._capped_rep_pairs(groups, dim=4, planes=4, seed=7,
+                                        tables=2, max_bucket=20,
+                                        star_overcap=True)
+    n_star = star.count()
+    # linear bound: capped buckets contribute <= tables*n*cap/2 pairs from
+    # sub-cap buckets plus <= tables*n star rows; the hot mass must not
+    # pair-expand (C(300,2) = 44,850 would mean the cap leaked)
+    assert 0 < n_star <= 2 * 300 * 20 + 2 * 300
+    drop = similarity._capped_rep_pairs(groups, dim=4, planes=4, seed=7,
+                                        tables=2, max_bucket=20,
+                                        star_overcap=False)
+    assert drop.count() <= 2 * 300 * 20
+
+
+def test_ivf_centroid_sample_is_order_independent(spark):
+    """The k-means sample is hash-ordered, not first-N: on a corpus SORTED
+    by cluster, a first-N sample of size << corpus would train every
+    centroid on cluster 0 only.  Each of the 3 well-separated clusters
+    must own at least one trained centroid."""
+    import random as pyrandom
+    rng = pyrandom.Random(5)
+    centers = [[40.0 * (1 if i == c else 0) for i in range(4)] for c in range(3)]
+    rows = []
+    vid = 0
+    for ctr in centers:  # sorted: all of cluster 0, then 1, then 2
+        for _ in range(2000):
+            rows.append((vid, [x + rng.gauss(0, 0.5) for x in ctr]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids(vecs, n_centroids=6, sample=512, seed=3)
+    def nearest_center(c):
+        return min(range(3), key=lambda i: sum((x - y) ** 2
+                                               for x, y in zip(c, centers[i])))
+    covered = {nearest_center(c) for c in cents}
+    assert covered == {0, 1, 2}
