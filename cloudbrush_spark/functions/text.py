@@ -137,5 +137,12 @@ def fingerprint(col: Column | str) -> Column:
     (src/Brush/GenNonContainedReads.java:118-126).
     """
     col = F.col(col) if isinstance(col, str) else col
-    normalized = F.concat_ws(" ", tokens(col))
-    return F.md5(normalized)
+    return fingerprint_from_tokens(tokens(col))
+
+
+def fingerprint_from_tokens(toks_col: Column) -> Column:
+    """``fingerprint`` over an already-tokenized array — the threading
+    variant for pipelines that materialize the token array once and reuse
+    it across stages (gate -> exact dedup -> shingles) instead of paying
+    the tokenizer regex per stage."""
+    return F.md5(F.concat_ws(" ", toks_col))

@@ -221,16 +221,37 @@ def minhash_dedup_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
                         overcap: str = "drop") -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH candidates -> exact-Jaccard
     verification (the verify step mirrors J2's "candidates then theta-check"
-    shape, src/Brush/VerifyOverlap.java:287-309).
+    shape, src/Brush/VerifyOverlap.java:287-309).  Thin tokenizing wrapper
+    over ``minhash_dedup_pairs_from_shingles`` (see there for the shingle
+    cache-lifecycle notes).
 
-    The shingle set feeds both the signature stage and the verification
-    stage — persisted so the tokenizer/shingler runs a single pass over
-    the corpus.  persist(), not localCheckpoint(eager=False): the lazy
-    checkpoint materializes by RE-RUNNING the marked tasks after the
-    driving query's execution is torn down, and those replayed tasks
-    report to that query's already-unregistered SQLMetrics accumulators —
-    the source of the benign-but-noisy "attempted to access non-existent
-    accumulator" ERROR storm in earlier bench logs.
+    Output: (a, b, jaccard) pairs above threshold, a < b.
+    """
+    return minhash_dedup_pairs_from_shingles(
+        _shingle_sets(docs, id_col, text_col, shingle_n), id_col=id_col,
+        num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
+        jaccard_threshold=jaccard_threshold, overcap=overcap)
+
+
+def minhash_dedup_pairs_from_shingles(shingles: DataFrame, id_col: str = "doc_id",
+                                      num_hashes: int = 16,
+                                      bands: int = 4, rows_per_band: int = 4,
+                                      jaccard_threshold: float = 0.5,
+                                      overcap: str = "drop") -> DataFrame:
+    """``minhash_dedup_pairs`` over a PREPARED distinct (id, sh) shingle
+    frame — the threading entry for pipelines (curation) that already
+    materialized the token stream in an earlier stage and shingle from it
+    directly, so the tokenizer regex runs once per document across the
+    whole composite instead of once per stage.
+
+    The shingle frame feeds both the signature aggregate and the exact-
+    Jaccard verification — persisted here so it evaluates once.
+    persist(), not localCheckpoint(eager=False): the lazy checkpoint
+    materializes by RE-RUNNING the marked tasks after the driving query's
+    execution is torn down, and those replayed tasks report to that
+    query's already-unregistered SQLMetrics accumulators — the source of
+    the benign-but-noisy "attempted to access non-existent accumulator"
+    ERROR storm in earlier bench logs.
 
     Cache lifecycle: the returned pair set is FAR smaller than the
     shingle set, so the final result is eagerly materialized
@@ -239,12 +260,9 @@ def minhash_dedup_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     storage memory only for its own results, never for leaked
     intermediates (the round-4 bench leak: +6s on this query and memory
     pressure on everything after it).
-
-    Output: (a, b, jaccard) pairs above threshold, a < b.
     """
     from pyspark import StorageLevel
-    shingles = _shingle_sets(docs, id_col, text_col, shingle_n) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         sigs = minhash_signatures_from_shingles(shingles, id_col, num_hashes)
         # materialize the (tiny) candidate set before the verify joins:

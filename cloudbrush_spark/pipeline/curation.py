@@ -52,9 +52,16 @@ def curate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # gate: ONE projection — quality, language and token count are pure
     # column expressions over the same row (textops column helpers), so
     # the whole stage is narrow; joining the per-feature DataFrame forms
-    # here would shuffle the full corpus twice for no semantic gain
+    # here would shuffle the full corpus twice for no semantic gain.
+    # The token ARRAY is materialized here once and THREADED through the
+    # stage cut to the fingerprint and shingle stages (which consume
+    # tokens, not raw text) — without it each downstream stage re-runs
+    # the tokenizer regex over the survivors; the raw text column is
+    # dropped after the gate, so the checkpoint carries tokens in its
+    # place rather than both
     feats = docs.select(
-        F.col(id_col), F.col(text_col),
+        F.col(id_col),
+        text.tokens(text_col).alias("__toks"),
         text.token_count(text_col).cast("long").alias("ws_tokens"),
         textops.quality_col(text_col).alias("quality"),
         textops.lang_pred_col(text_col).alias("lang_pred"))
@@ -62,24 +69,35 @@ def curate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         (F.col("quality") >= quality_min) & (F.col("lang_pred") == lang)
         & F.col("ws_tokens").between(min_tokens, max_tokens))
 
-    # exact dedup: min-id survivor per normalized fingerprint.  src fans
-    # out into three independent branches (the MinHash pair stage, the
-    # cluster singleton universe, the final feature join), each of which
-    # would otherwise replay the regex-heavy gate projection and the
-    # fingerprint shuffle — cut the lineage once, like the operators'
-    # own fan-out pattern (dedup._stage_cut)
-    survivors = dedup.fingerprint_dedup(kept, id_col=id_col,
-                                        text_col=text_col).select(id_col)
-    src = dedup._stage_cut(kept.join(survivors, id_col, "left_semi"))
+    # exact dedup: min-id survivor per normalized fingerprint (the same
+    # survivor contract as dedup.fingerprint_dedup, computed from the
+    # threaded tokens).  src fans out into three independent branches
+    # (the MinHash pair stage, the cluster singleton universe, the final
+    # feature join), each of which would otherwise replay the regex-heavy
+    # gate projection and the fingerprint shuffle — cut the lineage once,
+    # like the operators' own fan-out pattern (dedup._stage_cut)
+    survivors = (
+        kept.withColumn("fp", text.fingerprint_from_tokens(F.col("__toks")))
+        .groupBy("fp").agg(F.min(id_col).alias(id_col))
+        .select(id_col))
+    src = dedup._stage_cut(
+        kept.join(survivors, id_col, "left_semi")
+        .select(id_col, "ws_tokens", "quality", "__toks"))
 
     # near-dup cluster dedup: keep each cluster's representative.
     # overcap='star' so mass near-dup boilerplate (over-cap LSH buckets,
     # which the pair product deliberately drops) is still deduplicated:
     # each over-cap bucket contributes linear (rep, member) candidates,
-    # exact-Jaccard verified like every other pair
-    pairs = dedup.minhash_dedup_pairs(
-        src.select(id_col, text_col), id_col=id_col, text_col=text_col,
-        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+    # exact-Jaccard verified like every other pair.  Shingles come from
+    # the threaded token arrays (mirrors dedup._shingle_sets minus the
+    # re-tokenization).
+    shingles = (
+        src.select(F.col(id_col),
+                   F.explode(text.word_shingles(F.col("__toks"), shingle_n))
+                   .alias("sh"))
+        .distinct())
+    pairs = dedup.minhash_dedup_pairs_from_shingles(
+        shingles, id_col=id_col, num_hashes=num_hashes, bands=bands,
         rows_per_band=rows_per_band, jaccard_threshold=jaccard_threshold,
         overcap="star")
     clusters = dedup.dedup_clusters(pairs, items=src.select(id_col),
