@@ -597,13 +597,37 @@ def q_curation_filter(spark, sf_dir):
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation composite (pipeline/curation.py): quality/lang/
     length gate -> exact fingerprint dedup -> MinHash/LSH cluster dedup
-    (keep each cluster's representative) -> deterministic md5 split.  The
-    flagship LLM-data path: the manifest row set a sink joins back to the
-    corpus to publish the final training set.  At sf0.01: 500 docs -> 453
-    gated -> 431 curated."""
+    (keep each cluster's representative) -> deterministic md5 split ->
+    PUBLISH through the corpus sink (sources/corpus.publish_corpus) into a
+    scratch dir.  The returned rows are rebuilt from the READ-BACK parquet,
+    so the sink's manifest join, split-partitioned write and content
+    fidelity sit on the driver's hash: a lost/duplicated row breaks the
+    row count, a wrong split assignment breaks the value hash, and
+    ``text_ok`` compares the read-back text md5 against the source md5
+    row-by-row (the oracle emits the trivially-true twin — the
+    ann_contracts invariant pattern).  At sf0.01: 500 docs -> 453 gated ->
+    431 curated -> published and read back."""
+    import tempfile
+
     from cloudbrush_spark.pipeline import curation
+    from cloudbrush_spark.sources import corpus
     docs = _t(spark, sf_dir, "documents")
-    return curation.curate(docs)
+    # the manifest feeds the publish write AND the feature join on the
+    # read-back — cut once (4k rows at sf0.1) so the whole gate/dedup/CC
+    # composite does not execute twice
+    manifest = dedup._stage_cut(curation.curate(docs))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "cb_publish_" + os.path.basename(os.path.normpath(sf_dir)))
+    corpus.publish_corpus(docs, manifest, path, files_per_split=4)
+    back = corpus.read_corpus(spark, path)
+    src_md5 = docs.select("doc_id", F.md5("text").alias("__src_md5"))
+    return (
+        back.join(src_md5, "doc_id")
+        .join(manifest.select("doc_id", "ws_tokens", "quality"), "doc_id")
+        .select("doc_id", "split", "ws_tokens", "quality",
+                (F.md5("text") == F.col("__src_md5")).alias("text_ok"))
+    )
 
 
 def q_event_windows(spark, sf_dir):
@@ -2155,7 +2179,7 @@ _ORACLES["curation_pipeline"] = f"""
     labels AS (SELECT member, min(lab) AS cluster_rep FROM reach GROUP BY member),
     reps AS (SELECT member AS doc_id FROM labels WHERE member = cluster_rep),
     splits AS ({_split_case_sql("reps")})
-    SELECT s.doc_id, s.split, cf.ws_tokens, cf.quality
+    SELECT s.doc_id, s.split, cf.ws_tokens, cf.quality, TRUE AS text_ok
     FROM splits s JOIN cf ON cf.doc_id = s.doc_id
 """
 
