@@ -915,6 +915,16 @@ def q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(docs, max_hamming=7)
 
 
+def q_simhash_clusters(spark, sf_dir):
+    """SimHash duplicate clusters (distinct-signature-level CC) — the
+    LINEAR consumable product on duplicate-saturated corpora where the
+    pair enumeration is output-quadratic.  Not in the 50-row registry
+    (equivalence to dedup_clusters-over-simhash_near_pairs is pinned by
+    tests/test_joins.py); resolved by name in bench.py/scale_probe.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_clusters(docs, max_hamming=7)
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (exact all-pairs form, cosine
     >= 0.42 on the synthetic embeddings)."""

@@ -732,3 +732,65 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     see that function for the 100 TB design notes."""
     return hamming_near_pairs(simhash(docs, id_col, text_col), id_col,
                               max_hamming=max_hamming, bucket_cap=bucket_cap)
+
+
+def simhash_clusters(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", max_hamming: int = 7,
+                     bucket_cap: int = 1000, max_iter: int = 50) -> DataFrame:
+    """SimHash duplicate CLUSTERS — the linear consumable product for
+    duplicate-saturated corpora, where the pair enumeration
+    (``simhash_near_pairs``) is inherently quadratic in signature-group
+    size: m documents sharing one signature contribute m(m-1)/2 pair rows
+    but only m cluster rows.
+
+    The whole graph computation runs at the DISTINCT-SIGNATURE level:
+
+    1. one signature node per distinct (sim_hi, sim_lo), its min member
+       id as the node id (and the signature frame stays cached across the
+       fan-out, exactly like ``hamming_near_pairs``);
+    2. banded Hamming pairs over signature NODES (``bucket_cap`` applies
+       to distinct signatures, unchanged semantics);
+    3. hash-min + pointer-jumping connected components over those nodes
+       (``dedup_clusters`` — edge count bounded by distinct-signature
+       pairs, never member pairs);
+    4. every document joins its signature node's label ONCE — the only
+       member-level work is two linear joins.
+
+    Same output contract as ``dedup_clusters``: a total partition
+    (cluster_rep, member, n) of the corpus, cluster_rep = min member id.
+    Equivalent by construction to
+    ``dedup_clusters(simhash_near_pairs(docs), items=docs)`` — identical
+    signatures are hamming-0 pairs there, so each signature group is
+    already one component; pinned by ``tests/test_joins.py``.
+    """
+    from pyspark import StorageLevel
+    sig = simhash(docs, id_col, text_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count()  # populate before the multi-branch fan-out (cold-cache race)
+    try:
+        if max_hamming <= 3:
+            nchunks, width, mask = 4, 16, 0xFFFF
+        else:
+            nchunks, width, mask = 8, 8, 0xFF
+        nodes = _stage_cut(sig.groupBy("sim_hi", "sim_lo")
+                           .agg(F.min(id_col).alias("node_id")))
+        sig_pairs = _hamming_pairs_from_cached(
+            nodes.select(F.col("node_id").alias(id_col), "sim_hi", "sim_lo"),
+            id_col, nchunks, width, mask, max_hamming, bucket_cap)
+        labels = dedup_clusters(
+            sig_pairs.select(F.col("a"), F.col("b")),
+            items=nodes.select(F.col("node_id").alias(id_col)),
+            id_col=id_col, max_iter=max_iter,
+        ).select(F.col("member").alias("node_id"),
+                 F.col("cluster_rep").alias("label"))
+        members = (
+            sig.join(nodes, ["sim_hi", "sim_lo"])
+            .join(labels, "node_id")
+            .select(F.col("label"), F.col(id_col).alias("member"))
+        )
+        sizes = members.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+        return _stage_cut(
+            members.join(sizes, "label")
+            .select(F.col("label").alias("cluster_rep"), "member", "n"))
+    finally:
+        sig.unpersist()

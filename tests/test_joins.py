@@ -96,3 +96,44 @@ def test_simhash_token_cap_long_doc(spark):
         "doc_id long, text string")
     sigs = {r.doc_id: (r.sim_hi, r.sim_lo) for r in dedup.simhash(docs).collect()}
     assert sigs[1] == sigs[2]
+
+
+def test_simhash_clusters_equals_pair_clusters(spark):
+    """simhash_clusters (distinct-signature-level CC) is equivalent by
+    construction to dedup_clusters over the pair enumeration — same
+    total partition, representatives and sizes."""
+    rows = []
+    base = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "jumping through every test corpus sentence we write here")
+    for i in range(6):  # identical group
+        rows.append((i, base))
+    rows.append((10, base.replace("lazy", "sleepy")))  # near-dup of group
+    rows.append((20, "completely different content about spark shuffle joins"))
+    rows.append((21, "completely different content about spark shuffle joins"))
+    rows.append((30, "a third topic entirely with database query planners"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=3)
+    want = {(r.cluster_rep, r.member, r.n) for r in
+            dedup.dedup_clusters(pairs, items=docs).collect()}
+    got = {(r.cluster_rep, r.member, r.n) for r in
+           dedup.simhash_clusters(docs, max_hamming=3).collect()}
+    assert got == want
+    # sanity on the fixture itself: the identical group is one cluster
+    reps = {r[1]: r[0] for r in got}
+    assert len({reps[i] for i in range(6)}) == 1
+
+
+def test_simhash_clusters_skew_fixture_linear(spark):
+    """1,000 identical docs: the cluster product emits 1,001 rows (one per
+    member), never the C(1000,2) pair expansion — the linear consumable
+    for duplicate-saturated corpora."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(1000)]
+    rows.append((5000, "completely different content about spark shuffles and joins"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = time.time()
+    out = dedup.simhash_clusters(docs, max_hamming=3).collect()
+    elapsed = time.time() - t0
+    assert len(out) == 1001
+    sizes = {r.cluster_rep: r.n for r in out}
+    assert sizes[0] == 1000 and sizes[5000] == 1
+    assert elapsed < 120
