@@ -918,11 +918,28 @@ def q_simhash_pairs(spark, sf_dir):
 def q_simhash_clusters(spark, sf_dir):
     """SimHash duplicate clusters (distinct-signature-level CC) — the
     LINEAR consumable product on duplicate-saturated corpora where the
-    pair enumeration is output-quadratic.  Not in the 50-row registry
-    (equivalence to dedup_clusters-over-simhash_near_pairs is pinned by
-    tests/test_joins.py); resolved by name in bench.py/scale_probe.py."""
+    pair enumeration is output-quadratic.  Oracle: DuckDB recomputes the
+    signatures in SQL, brute-forces Hamming<=7 pairs over DISTINCT
+    signatures and closes them with a recursive CTE — a genuinely
+    independent cross-engine check of banding + CC + member recovery.
+    Equivalence to dedup_clusters-over-simhash_near_pairs is additionally
+    pinned by tests/test_joins.py."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_clusters(docs, max_hamming=7)
+
+
+def q_text_fp_split(spark, sf_dir):
+    """Winnowing fingerprints + deterministic md5 train/val/test split in
+    ONE tagged union (merged r7 to free a registry slot for
+    simhash_clusters; the single-op forms above stay defined for bench/
+    tests).  Canonical (op, doc_id, v) schema: winnow fingerprints as
+    decimal strings, split labels as-is."""
+    w = q_winnow_fp(spark, sf_dir).select(
+        F.lit("winnow").alias("op"), "doc_id",
+        F.col("fp").cast("string").alias("v"))
+    s = q_hash_split(spark, sf_dir).select(
+        F.lit("split").alias("op"), "doc_id", F.col("split").alias("v"))
+    return w.unionByName(s)
 
 
 def q_emb_near_dup(spark, sf_dir):
@@ -2105,6 +2122,46 @@ _ORACLES["winnow_fp"] = f"""
 
 _ORACLES["hash_split"] = _split_case_sql("documents")
 
+_ORACLES["text_fp_split"] = f"""
+    SELECT 'winnow' AS op, doc_id, CAST(fp AS VARCHAR) AS v
+    FROM ({_ORACLES["winnow_fp"]})
+    UNION ALL
+    SELECT 'split' AS op, doc_id, split AS v
+    FROM ({_split_case_sql("documents")})
+"""
+
+# cluster-mode SimHash: brute-force Hamming pairs over DISTINCT signatures
+# (one node per signature, min doc_id as node id), recursive-CTE connected
+# components, members join their signature's label once — independently
+# re-deriving what Spark computes via banding + hash-min/pointer-jump CC
+_ORACLES["simhash_clusters"] = f"""
+    WITH RECURSIVE {_SIMHASH_SIG_CTE},
+    nodes AS (SELECT sim_hi, sim_lo, min(doc_id) AS node_id
+              FROM sig GROUP BY 1, 2),
+    npairs AS (
+        SELECT x.node_id AS a, y.node_id AS b
+        FROM nodes x JOIN nodes y ON x.node_id < y.node_id
+        WHERE bit_count(xor(x.sim_hi, y.sim_hi))
+              + bit_count(xor(x.sim_lo, y.sim_lo)) <= 7
+    ),
+    edges AS (SELECT a, b FROM npairs UNION ALL SELECT b AS a, a AS b FROM npairs),
+    reach(member, lab) AS (
+        SELECT node_id, node_id FROM nodes
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.member
+    ),
+    labels AS (SELECT member AS node_id, min(lab) AS lab FROM reach GROUP BY 1),
+    mem AS (
+        SELECT l.lab AS cluster_rep, s.doc_id AS member
+        FROM sig s
+        JOIN nodes nn ON nn.sim_hi = s.sim_hi AND nn.sim_lo = s.sim_lo
+        JOIN labels l ON l.node_id = nn.node_id
+    ),
+    sz AS (SELECT cluster_rep, count(*) AS n FROM mem GROUP BY 1)
+    SELECT m.cluster_rep, m.member, CAST(sz.n AS BIGINT) AS n
+    FROM mem m JOIN sz ON sz.cluster_rep = m.cluster_rep
+"""
+
 _ORACLES["curation_filter"] = f"""
     WITH q AS ({_quality_sql()}),
          l AS ({_lang_id_sql()}),
@@ -2756,10 +2813,15 @@ _ORACLES["k1_fasta_format"] = f"""
 #   - g5g6_distributed_fixpoint -> G5-G8 covered by g5g6/g7g8 entries
 #   - ann_topk_lsh/ann_topk_ivf/emb_near_dup_lsh/emb_near_dup -> ann_contracts
 #   - asof/range/rollup/topk_per_group/set_ops -> relational_extras
+#   - winnow_fp/hash_split -> text_fp_split tagged union (r7; slot freed
+#     for simhash_clusters — both still verified)
 # The pruned query functions stay defined above (bench.py and tests use
 # them); they are simply not registered.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- new in round 6 (never green yet) ---
+    # --- new in round 7 (never green yet) ---
+    "simhash_clusters": q_simhash_clusters,      # linear simhash product
+    "text_fp_split": q_text_fp_split,            # winnow + split union (r7)
+    # --- new in round 6 ---
     "curation_pipeline": q_curation_pipeline,    # end-to-end curation
     "event_windows": q_event_windows,            # tumble + sessionize union
     "tpch_suite": q_tpch_suite,                  # q1/q3/q5/q6 union
@@ -2811,8 +2873,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_contracts": q_ann_contracts,            # ann_lsh / ann_ivf / emb_lsh
     "curation_filter": q_curation_filter,
-    "hash_split": q_hash_split,
-    "winnow_fp": q_winnow_fp,
 }
 
 assert len(_QUERIES) <= 50, f"driver checks only 50 queries, got {len(_QUERIES)}"

@@ -42,6 +42,8 @@ HEADLINE = [
     # context and stay comparable across rounds)
     "dedup_clusters",
     "curation_pipeline",
+    # added round 7
+    "simhash_clusters",
 ]
 
 

@@ -490,3 +490,25 @@ def embedding_near_dup(vectors: DataFrame, dim: int, threshold: float = 0.95,
                 F.lit(1.0).alias("cosine"))
     )
     return cross.unionByName(intra)
+
+
+def embedding_clusters(vectors: DataFrame, dim: int, threshold: float = 0.95,
+                       planes: int | None = None, seed: int = 42,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       tables: int = 1, max_bucket: int = 1000,
+                       max_iter: int = 50) -> DataFrame:
+    """Embedding near-duplicate CLUSTERS — the linear consumable product
+    (vector analogue of ``dedup.simhash_clusters``): star-mode near-dup
+    pairs (linear connectivity — rep-level verified pairs plus
+    within-group star edges) closed into connected components, singletons
+    included from the full id universe.  Output contract matches
+    ``dedup_clusters``: a total (cluster_rep, member, n) partition of the
+    corpus.  Note LSH recall < 1 applies to the EDGES, so two vectors
+    above the threshold may land in different clusters (raise ``tables``);
+    every within-cluster edge was exact-cosine verified."""
+    from cloudbrush_spark.operators.dedup import dedup_clusters
+    pairs = embedding_near_dup(vectors, dim, threshold, planes, seed, id_col,
+                               vec_col, tables, max_bucket, overcap="star")
+    return dedup_clusters(pairs.select("a", "b"),
+                          items=vectors.select(id_col), id_col=id_col,
+                          max_iter=max_iter)

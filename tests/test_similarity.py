@@ -156,3 +156,21 @@ def test_ivf_centroid_sample_is_order_independent(spark):
                                                for x, y in zip(c, centers[i])))
     covered = {nearest_center(c) for c in cents}
     assert covered == {0, 1, 2}
+
+
+def test_embedding_clusters_total_partition(spark):
+    """Cluster product over a mass-duplicate + two-clique corpus: a total
+    partition with the duplicate mass as ONE cluster (star edges give the
+    connectivity), distinct vectors as singletons."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(200)]          # clique
+    rows += [(500, [8.0, -1.0, 0.5, 2.0]), (501, [8.0, -1.0, 0.5, 2.0])]
+    rows.append((900, [-4.0, 3.0, -2.0, 1.0]))                      # singleton
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.embedding_clusters(vecs, dim=4, threshold=0.9,
+                                        planes=4, seed=7, tables=2)
+    rowsd = {(r.cluster_rep, r.member, r.n) for r in out.collect()}
+    members = {m for _, m, _ in rowsd}
+    assert len(rowsd) == 203 and len(members) == 203  # total partition
+    assert (0, 150, 200) in rowsd
+    assert (500, 501, 2) in rowsd
+    assert (900, 900, 1) in rowsd
