@@ -678,24 +678,26 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
     nodes = sym.select(F.col("a").alias("member")).distinct()
     labels = _stage_cut(nodes.withColumn("label", F.col("member")))
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = (
             sym.join(labels.select(F.col("member").alias("a"), "label"), "a")
             .select(F.col("b").alias("member"), "label")
         )
-        # pointer jump: adopt the label of one's label (labels only ever
-        # decrease toward the component min, so the extra candidates are
-        # always valid and the min-aggregate keeps correctness)
-        jump = (
-            labels.alias("l1")
-            .join(labels.select(F.col("member").alias("label"),
-                                F.col("label").alias("label2")), "label")
-            .select("member", F.col("label2").alias("label"))
-        )
-        new = (
-            labels.unionByName(msgs).unionByName(jump)
-            .groupBy("member").agg(F.min("label").alias("label"))
-        )
+        cand = labels.unionByName(msgs)
+        if it > 0:
+            # pointer jump: adopt the label of one's label (labels only
+            # ever decrease toward the component min, so the extra
+            # candidates are always valid and the min-aggregate keeps
+            # correctness).  Skipped in round 1, where labels are the
+            # identity map and the jump join is a pure no-op.
+            jump = (
+                labels.alias("l1")
+                .join(labels.select(F.col("member").alias("label"),
+                                    F.col("label").alias("label2")), "label")
+                .select("member", F.col("label2").alias("label"))
+            )
+            cand = cand.unionByName(jump)
+        new = cand.groupBy("member").agg(F.min("label").alias("label"))
         new = _stage_cut(new)
         converged = (
             new.alias("n").join(labels.alias("o"), "member")
