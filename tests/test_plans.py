@@ -94,3 +94,24 @@ def test_tpch_q6_filters_reach_parquet_scan(spark):
     assert "l_shipdate" in pushed and "l_quantity" in pushed
     schemas = plans.read_schema(q)
     assert schemas and "l_comment" not in schemas[0]
+
+
+def test_vector_lsh_cap_broadcasts_and_avoids_nested_loop(spark):
+    """The round-7 vector-LSH candidate machinery must plan its bucket-cap
+    filters as BROADCAST joins (the over-cap list is tiny by construction)
+    and must never fall back to a broadcast nested loop anywhere in the
+    candidate pipeline — every join is an equi-join on bucket keys or ids."""
+    import random as pyrandom
+
+    from cloudbrush_spark.operators import similarity
+    rng = pyrandom.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(300)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, groups = similarity._collapse(vecs, "vec_id", "embedding")
+    cand = similarity._capped_rep_pairs(groups, dim=8, planes=4, seed=7,
+                                        tables=2, max_bucket=50,
+                                        star_overcap=True)
+    plan = plans.explain_str(cand)
+    assert plans.has_broadcast_join(cand)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
