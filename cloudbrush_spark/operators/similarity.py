@@ -215,10 +215,24 @@ def _capped_rep_pairs(groups: DataFrame, dim: int, planes: int, seed: int,
     b = lsh_bucket(groups, dim, planes, seed, id_col="rep", vec_col="__vec",
                    tables=tables)
     b1 = _stage_cut(b.select("rep", "tbl", "bucket"))
-    big = (b1.groupBy("tbl", "bucket").count()
-           .filter(F.col("count") > max_bucket).select("tbl", "bucket"))
-    small = b1.join(F.broadcast(big), ["tbl", "bucket"], "left_anti")
+    # the over-cap bucket list is PROVABLY tiny (at most
+    # n * tables / max_bucket rows survive the filter), so collect it once
+    # and re-emit as a literal frame — the same pattern as the SimHash cap
+    # (dedup._hamming_pairs_from_cached): as a lazy plan it would re-run
+    # the bucket aggregate for each of its uses, and knowing emptiness
+    # driver-side skips the whole level-2 plumbing (several jobs) on the
+    # common no-hot-bucket corpus
+    big_rows = (b1.groupBy("tbl", "bucket").count()
+                .filter(F.col("count") > max_bucket)
+                .select("tbl", "bucket").collect())
+    spark = groups.sparkSession
+    big = (spark.createDataFrame(big_rows, "tbl int, bucket long")
+           if big_rows else None)
+    small = b1 if big is None else \
+        b1.join(F.broadcast(big), ["tbl", "bucket"], "left_anti")
     pairs = _bucket_pair_join(small, ["tbl", "bucket"])
+    if big is None:
+        return pairs.distinct()
 
     hot = b1.join(F.broadcast(big), ["tbl", "bucket"], "left_semi")
     # one level-2 signature per distinct hot member (not per (member, tbl)

@@ -97,14 +97,18 @@ def test_tpch_q6_filters_reach_parquet_scan(spark):
 
 
 def test_vector_lsh_cap_broadcasts_and_avoids_nested_loop(spark):
-    """The round-7 vector-LSH candidate machinery must plan its bucket-cap
-    filters as BROADCAST joins (the over-cap list is tiny by construction)
-    and must never fall back to a broadcast nested loop anywhere in the
-    candidate pipeline — every join is an equi-join on bucket keys or ids."""
+    """The round-7 vector-LSH candidate machinery: on a well-spread corpus
+    the collected over-cap list is EMPTY and the whole cap/level-2 branch
+    is skipped driver-side (no broadcast join needed); on a hot-direction
+    corpus the cap filters plan as BROADCAST joins (the over-cap list is
+    tiny by construction).  In both regimes no join may fall back to a
+    broadcast nested loop — everything is an equi-join on bucket keys or
+    ids."""
     import random as pyrandom
 
     from cloudbrush_spark.operators import similarity
     rng = pyrandom.Random(3)
+    # regime 1: spread-out vectors, no bucket over the cap
     rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(300)]
     vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     _, groups = similarity._collapse(vecs, "vec_id", "embedding")
@@ -112,6 +116,18 @@ def test_vector_lsh_cap_broadcasts_and_avoids_nested_loop(spark):
                                         tables=2, max_bucket=50,
                                         star_overcap=True)
     plan = plans.explain_str(cand)
-    assert plans.has_broadcast_join(cand)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # regime 2: one tight direction cluster blows the cap
+    hot_rows = [(i, [10.0 + rng.gauss(0, 0.01), 20.0 + rng.gauss(0, 0.01),
+                     30.0 + rng.gauss(0, 0.01), 40.0 + rng.gauss(0, 0.01)])
+                for i in range(200)]
+    hot = spark.createDataFrame(hot_rows, "vec_id long, embedding array<double>")
+    _, hgroups = similarity._collapse(hot, "vec_id", "embedding")
+    hcand = similarity._capped_rep_pairs(hgroups, dim=4, planes=4, seed=7,
+                                         tables=2, max_bucket=20,
+                                         star_overcap=True)
+    hplan = plans.explain_str(hcand)
+    assert plans.has_broadcast_join(hcand)
+    assert "BroadcastNestedLoopJoin" not in hplan
+    assert "CartesianProduct" not in hplan
