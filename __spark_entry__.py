@@ -1042,7 +1042,51 @@ def q_ann_contracts(spark, sf_dir):
             .alias("recall_ok"),
         )
     )
-    return r_lsh.unionByName(r_ivf).unionByName(r_emb)
+    # emb_clusters: the cluster-product path (similarity.embedding_clusters,
+    # star-mode LSH edges -> CC).  n_base is the EXACT-graph cluster count —
+    # Spark computes it via dedup_clusters over the brute-force pair set,
+    # DuckDB recomputes it with a recursive CTE, so the hash-match is a
+    # cross-engine check of connected components itself.  invalid_rows are
+    # partition violations (member duplicated/missing, a cluster whose rep
+    # is not among its members, a row whose n disagrees with the actual
+    # cluster size); recall_ok bounds the extra clusters LSH edge-misses
+    # create at 5% of the corpus (measured: 1/500 at sf0.01, 15/2000 at
+    # sf0.1 — star edges are exact-verified so clusters can only split,
+    # never merge wrongly).
+    exact_cc = dedup.dedup_clusters(exact.select("a", "b"),
+                                    items=emb.select("vec_id"),
+                                    id_col="vec_id")
+    c_exact = exact_cc.agg(F.count_distinct("cluster_rep").alias("n_base"))
+    lshc = similarity.embedding_clusters(emb, dim=64, threshold=0.42,
+                                         planes=4, seed=42, tables=16)
+    n_vec = emb.agg(F.count(F.lit(1)).alias("n_vec"))
+    c_lsh = lshc.agg(F.count_distinct("cluster_rep").alias("n_lshc"))
+    dup_members = lshc.agg(
+        (F.count(F.lit(1)) - F.count_distinct("member")).alias("v1"))
+    bad_rep = (lshc.groupBy("cluster_rep")
+               .agg(F.max(F.when(F.col("member") == F.col("cluster_rep"), 1)
+                          .otherwise(0)).alias("has"))
+               .filter(F.col("has") == 0)
+               .agg(F.count(F.lit(1)).alias("v2")))
+    bad_n = (lshc.groupBy("cluster_rep", "n")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .filter(F.col("n") != F.col("cnt"))
+             .agg(F.count(F.lit(1)).alias("v3")))
+    total = lshc.agg(F.count(F.lit(1)).alias("v4"))
+    r_embc = (
+        c_exact.crossJoin(n_vec).crossJoin(c_lsh).crossJoin(dup_members)
+        .crossJoin(bad_rep).crossJoin(bad_n).crossJoin(total)
+        .select(
+            F.lit("emb_clusters").alias("variant"), "n_base",
+            (F.col("v1") + F.col("v2") + F.col("v3")
+             + F.abs(F.col("v4") - F.col("n_vec"))).alias("invalid_rows"),
+            F.lit(0).cast("long").alias("bad_cosine"),
+            (F.lit(20) * (F.col("n_lshc") - F.col("n_base"))
+             <= F.col("n_vec")).alias("recall_ok"),
+        )
+    )
+    return (r_lsh.unionByName(r_ivf).unionByName(r_emb)
+            .unionByName(r_embc))
 
 
 def q_relational_extras(spark, sf_dir):
@@ -2563,7 +2607,7 @@ _ORACLES["emb_near_dup_lsh"] = """
 # deterministic invariants of a healthy approximate path (see
 # q_ann_contracts).
 _ORACLES["ann_contracts"] = """
-    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH RECURSIVE emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     scored AS (
         SELECT a.vec_id AS a, b.vec_id AS b,
                list_dot_product(a.v, b.v)
@@ -2571,7 +2615,19 @@ _ORACLES["ann_contracts"] = """
         FROM emb a JOIN emb b ON a.vec_id < b.vec_id
     ),
     nq AS (SELECT count(DISTINCT vec_id) AS n FROM embeddings),
-    ne AS (SELECT count(*) AS n FROM scored WHERE c >= 0.42)
+    ne AS (SELECT count(*) AS n FROM scored WHERE c >= 0.42),
+    edges AS (
+        SELECT a, b FROM scored WHERE c >= 0.42
+        UNION ALL
+        SELECT b AS a, a AS b FROM scored WHERE c >= 0.42
+    ),
+    reach(member, lab) AS (
+        SELECT vec_id, vec_id FROM emb
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.member
+    ),
+    labels AS (SELECT member, min(lab) AS lab FROM reach GROUP BY member),
+    cc AS (SELECT count(DISTINCT lab) AS n FROM labels)
     SELECT 'ann_lsh' AS variant, CAST(nq.n AS BIGINT) AS n_base,
            CAST(0 AS BIGINT) AS invalid_rows, CAST(0 AS BIGINT) AS bad_cosine,
            TRUE AS recall_ok
@@ -2584,6 +2640,10 @@ _ORACLES["ann_contracts"] = """
     SELECT 'emb_lsh', CAST(ne.n AS BIGINT), CAST(0 AS BIGINT),
            CAST(0 AS BIGINT), TRUE
     FROM ne
+    UNION ALL
+    SELECT 'emb_clusters', CAST(cc.n AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), TRUE
+    FROM cc
 """
 
 _ORACLES["relational_extras"] = """
