@@ -776,9 +776,14 @@ def simhash_clusters(docs: DataFrame, id_col: str = "doc_id",
             nchunks, width, mask = 8, 8, 0xFF
         nodes = _stage_cut(sig.groupBy("sim_hi", "sim_lo")
                            .agg(F.min(id_col).alias("node_id")))
-        sig_pairs = _hamming_pairs_from_cached(
+        # cut the pair set before the CC: dedup_clusters' symmetrize union
+        # references the pair plan twice, and the banded-Hamming pipeline
+        # is by far the dominant cost on a duplicate-saturated corpus
+        # (x10 fixture: ~117s of ~145s total) — executing it once must not
+        # depend on Catalyst finding the exchange reuse
+        sig_pairs = _stage_cut(_hamming_pairs_from_cached(
             nodes.select(F.col("node_id").alias(id_col), "sim_hi", "sim_lo"),
-            id_col, nchunks, width, mask, max_hamming, bucket_cap)
+            id_col, nchunks, width, mask, max_hamming, bucket_cap))
         labels = dedup_clusters(
             sig_pairs.select(F.col("a"), F.col("b")),
             items=nodes.select(F.col("node_id").alias(id_col)),
