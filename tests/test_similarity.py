@@ -174,3 +174,35 @@ def test_embedding_clusters_total_partition(spark):
     assert (0, 150, 200) in rowsd
     assert (500, 501, 2) in rowsd
     assert (900, 900, 1) in rowsd
+
+
+def test_derive_planes_scales_with_corpus():
+    """Bucket space tracks the distinct-vector count: ~64 expected
+    occupancy, clamped to [8, 24]."""
+    assert similarity._derive_planes(100) == 8
+    assert similarity._derive_planes(16_384) == 8       # 2^8 * 64
+    assert similarity._derive_planes(1_000_000) == 14
+    assert similarity._derive_planes(10 ** 12) == 24    # clamp high
+    assert similarity._derive_planes(0) == 8            # degenerate
+
+
+def test_ivf_topk_end_to_end_on_sorted_corpus(spark):
+    """IVF top-k recall survives a cluster-SORTED corpus with a sample
+    smaller than the corpus — the end-to-end form of the centroid
+    coverage test (a first-N sample would train all centroids on cluster
+    0 and probe junk for clusters 1-2)."""
+    import random as pyrandom
+    rng = pyrandom.Random(5)
+    centers = [[40.0 * (1 if i == c else 0) for i in range(4)] for c in range(3)]
+    rows, truth, vid = [], {}, 0
+    for c, ctr in enumerate(centers):
+        for _ in range(700):
+            rows.append((vid, [x + rng.gauss(0, 0.5) for x in ctr]))
+            truth[vid] = c
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.cosine_topk_ivf(vecs, k=3, n_centroids=6, nprobe=2, seed=3)
+    rowsd = out.collect()
+    assert {r.query_id for r in rowsd} == set(range(2100))
+    same = sum(1 for r in rowsd if truth[r.query_id] == truth[r.neighbor_id])
+    assert same / len(rowsd) > 0.95
