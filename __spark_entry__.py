@@ -594,6 +594,52 @@ def q_curation_filter(spark, sf_dir):
     )
 
 
+def q_corpus_guard(spark, sf_dir):
+    """Corpus-guard tagged union (operators/guard.py) — the three "release
+    hygiene" checks a pretraining corpus runs, in one canonical
+    (op, doc_id, k, v1, v2, v3) row set:
+
+    - ``decontam``: benchmark decontamination by 13-gram overlap.  The
+      held-out "benchmark" is a deterministic 5% md5 sample of the corpus
+      (sampling.deterministic_sample, seed='decontam' — engine-portable,
+      so the oracle re-derives the same split); every remaining corpus
+      doc is joined against the benchmark's n-gram set through an
+      8-byte-hash broadcast.  k = hit/clean, v1 = distinct overlapping
+      grams, v2 = distinct grams.
+    - ``pii``: email/IPv4/phone counts (v1/v2/v3) plus k = md5 of the
+      scrubbed text — the identity-on-clean-text twin makes the oracle
+      verify the actual replacement output, not just the counts.
+    - ``rep``: Gopher-style repetition — k = most frequent word bigram
+      (smallest-wins tie-break both engines), v1 = its count, v2 = top
+      unigram count, v3 = token count.
+    """
+    from cloudbrush_spark.operators import guard
+    from cloudbrush_spark.operators import sampling
+    docs = _t(spark, sf_dir, "documents")
+    bench = sampling.deterministic_sample(docs, "doc_id", 0.05, seed="decontam")
+    corpus = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
+    dec = guard.decontaminate(corpus, bench, n=13).select(
+        F.lit("decontam").alias("op"), "doc_id",
+        F.when(F.col("contaminated"), F.lit("hit"))
+         .otherwise(F.lit("clean")).alias("k"),
+        F.col("n_hit_grams").alias("v1"),
+        F.col("n_grams").alias("v2"),
+        F.lit(0).cast("long").alias("v3"))
+    pii = guard.pii_scrub(docs).select(
+        F.lit("pii").alias("op"), "doc_id",
+        F.md5("scrubbed").alias("k"),
+        F.col("n_emails").alias("v1"),
+        F.col("n_ips").alias("v2"),
+        F.col("n_phones").alias("v3"))
+    rep = guard.repetition_stats(docs).select(
+        F.lit("rep").alias("op"), "doc_id",
+        F.col("top_bigram").alias("k"),
+        F.col("top_bigram_cnt").alias("v1"),
+        F.col("top_unigram_cnt").alias("v2"),
+        F.col("n_tokens").alias("v3"))
+    return dec.unionByName(pii).unionByName(rep)
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation composite (pipeline/curation.py): quality/lang/
     length gate -> exact fingerprint dedup -> MinHash/LSH cluster dedup
@@ -1517,6 +1563,17 @@ def q_s1_fastq_roundtrip(spark, sf_dir):
         for r in rows:
             fh.write(f"@d{r.rid}/1\n{r.seq}\n+\n@{'I' * (len(r.seq) - 1)}\n")
     return fasta.read_fastq(spark, path, mate_suffix=True)
+
+
+def q_source_roundtrips(spark, sf_dir):
+    """S1+S2 source round-trips in one tagged union row (merged r7 to free
+    a registry slot for corpus_guard; both legs unchanged and still fully
+    verified — a parse/normalize bug in either scanner breaks the hash)."""
+    fq = q_s1_fastq_roundtrip(spark, sf_dir).select(
+        F.lit("fastq").alias("op"), "read_id", "seq")
+    sfa = q_s2_sfa_roundtrip(spark, sf_dir).select(
+        F.lit("sfa").alias("op"), "read_id", "seq")
+    return fq.unionByName(sfa)
 
 
 def q_overlap_graph(spark, sf_dir):
@@ -2833,6 +2890,73 @@ _ORACLES["s1_fastq_roundtrip"] = f"""
     FROM documents
 """
 
+_ORACLES["source_roundtrips"] = f"""
+    SELECT 'fastq' AS op, read_id, seq FROM ({_ORACLES["s1_fastq_roundtrip"]})
+    UNION ALL
+    SELECT 'sfa' AS op, read_id, seq FROM ({_ORACLES["s2_sfa_roundtrip"]})
+"""
+
+# Corpus-guard union (operators/guard.py): decontam / pii / rep legs.
+# The benchmark split re-derives sampling.deterministic_sample's md5
+# bucket (seed='decontam', 1e6 buckets, < 50000) with the same hex->long
+# arithmetic as _split_case_sql; the PII patterns are the guard module's
+# own constants (identical semantics under Java regex and RE2 — pinned by
+# tests/test_guard.py::test_pii_scrub_matches_duckdb_semantics).
+from cloudbrush_spark.operators.guard import (  # noqa: E402
+    EMAIL_RE, IPV4_RE, PHONE_RE)
+
+_ORACLES["corpus_guard"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_NE} AS t FROM documents),
+    bench AS (
+        SELECT doc_id FROM documents
+        WHERE CAST(list_sum(list_transform(generate_series(1, 8),
+              i -> (strpos('0123456789abcdef',
+                           substring(md5('decontam|' || doc_id::VARCHAR), i, 1)) - 1)
+                   * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 1000000 < 50000),
+    g13 AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 12), ' ') AS g
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 12, 0))) AS i)),
+    bg AS (SELECT DISTINCT g FROM g13 JOIN bench USING (doc_id)),
+    corpus AS (SELECT d.doc_id FROM documents d ANTI JOIN bench b ON d.doc_id = b.doc_id),
+    ngr AS (SELECT doc_id, count(*) AS n FROM g13 GROUP BY 1),
+    hits AS (SELECT g13.doc_id, count(*) AS n_hit FROM g13 JOIN bg USING (g) GROUP BY 1),
+    dec AS (
+        SELECT 'decontam' AS op, c.doc_id,
+               CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 'hit' ELSE 'clean' END AS k,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS v1,
+               CAST(coalesce(n.n, 0) AS BIGINT) AS v2,
+               CAST(0 AS BIGINT) AS v3
+        FROM corpus c LEFT JOIN hits h USING (doc_id) LEFT JOIN ngr n USING (doc_id)),
+    pii AS (
+        SELECT 'pii' AS op, doc_id,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{IPV4_RE}', '<IP>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g')) AS k,
+               CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS v1,
+               CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS v2,
+               CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS v3
+        FROM documents),
+    uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+    ucnt AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
+    utop AS (SELECT doc_id, max(c) AS uc FROM ucnt GROUP BY 1),
+    big AS (
+        SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS g
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i)),
+    bcnt AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+    btop AS (SELECT doc_id, g, c FROM (
+               SELECT doc_id, g, c,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+               FROM bcnt) WHERE rn = 1),
+    rep AS (
+        SELECT 'rep' AS op, tk.doc_id, coalesce(bt.g, '') AS k,
+               CAST(coalesce(bt.c, 0) AS BIGINT) AS v1,
+               CAST(coalesce(ut.uc, 0) AS BIGINT) AS v2,
+               CAST(len(tk.t) AS BIGINT) AS v3
+        FROM toks tk LEFT JOIN btop bt USING (doc_id) LEFT JOIN utop ut USING (doc_id))
+    SELECT * FROM dec UNION ALL SELECT * FROM pii UNION ALL SELECT * FROM rep
+"""
+
 from cloudbrush_spark.oracle_fixtures import SQL_OVERLAP_EDGES  # noqa: E402
 
 _ORACLES["overlap_graph"] = f"""
@@ -2875,10 +2999,14 @@ _ORACLES["k1_fasta_format"] = f"""
 #   - asof/range/rollup/topk_per_group/set_ops -> relational_extras
 #   - winnow_fp/hash_split -> text_fp_split tagged union (r7; slot freed
 #     for simhash_clusters — both still verified)
+#   - s1_fastq_roundtrip/s2_sfa_roundtrip -> source_roundtrips tagged
+#     union (r7; slot freed for corpus_guard — both legs still verified)
 # The pruned query functions stay defined above (bench.py and tests use
 # them); they are simply not registered.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 7 (never green yet) ---
+    "corpus_guard": q_corpus_guard,              # decontam / pii / repetition
+    "source_roundtrips": q_source_roundtrips,    # s1 fastq + s2 sfa union
     "simhash_clusters": q_simhash_clusters,      # linear simhash product
     "text_fp_split": q_text_fp_split,            # winnow + split union (r7)
     # --- new in round 6 ---
@@ -2889,8 +3017,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,          # linear cluster product
     "g5g6_pairmark_merge": q_g5g6_pairmark_merge,
     # --- green in r5 but merged/starved risk: keep early ---
-    "s1_fastq_roundtrip": q_s1_fastq_roundtrip,
-    "s2_sfa_roundtrip": q_s2_sfa_roundtrip,
     "k1_fasta_format": q_k1_fasta_format,
     "c3_pop_bubbles": q_c3_pop_bubbles,
     "c4_low_coverage": q_c4_low_coverage,

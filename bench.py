@@ -44,6 +44,7 @@ HEADLINE = [
     "curation_pipeline",
     # added round 7
     "simhash_clusters",
+    "corpus_guard",
 ]
 
 

@@ -1,0 +1,186 @@
+"""Corpus guard operators: benchmark decontamination, PII redaction, and
+repetition-based quality signals.
+
+These are the "keep the training set clean" side of a large-scale
+pretraining-data pipeline, complementing the dedup family
+(operators/dedup.py) and the heuristic gate (operators/textops.py).  They
+generalize the reference's filter-by-membership jobs (the broadcast
+blacklist anti-join of src/Brush/MatchPrefix.java:366-380 and the
+trusted-read tagging of src/Brush/TagTrustedReads.java) to the three
+checks every corpus release runs:
+
+- ``decontaminate``: flag corpus documents sharing a word n-gram with a
+  held-out benchmark/eval set (the GPT-3/Llama-style 13-gram overlap
+  rule).
+- ``pii_scrub``: count and redact emails / IPv4 addresses / phone
+  numbers with engine-portable regexes.
+- ``repetition_stats``: most-frequent unigram/bigram mass and duplicate-
+  line fraction (Gopher-style repetition filters).
+
+Scale shape: decontaminate is explode -> broadcast-semi-join -> per-doc
+count (the benchmark gram set is tiny relative to the corpus — a few
+million grams -> an 8-byte-hash broadcast of a few MB; the corpus side is
+one linear pass with NO shuffle on the join, then a map-side-combinable
+groupBy(doc_id)).  pii_scrub is pure column expressions (codegen, zero
+shuffle).  repetition_stats is explode -> groupBy(doc_id, gram) count ->
+struct-min argmax per doc — two well-distributed linear shuffles, never a
+per-row O(tokens^2) array scan, so a 10k-token document costs the same
+per token as a 50-token one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloudbrush_spark.functions import text
+
+# Engine-portable patterns (identical semantics under Java regex and RE2):
+# character classes, bounded repetition and \b word boundaries only — no
+# lookaround, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 13) -> DataFrame:
+    """Flag corpus documents that share any word ``n``-gram with the
+    benchmark set (contamination by eval-set overlap).
+
+    Output: one row per ``docs`` row — (id, n_hit_grams, n_grams,
+    contaminated) where ``n_hit_grams`` counts the doc's DISTINCT
+    n-grams that also occur anywhere in ``benchmark`` and ``n_grams``
+    its total distinct n-grams.  Callers drop ``contaminated`` rows (or
+    audit them — the counts grade severity).
+
+    The join runs on xxhash64(gram), not the gram string: a benchmark of
+    1e6 distinct 13-grams broadcasts as ~8 MB of longs instead of ~100 MB
+    of strings.  A 64-bit collision would need ~2^32 distinct grams to
+    become likely (birthday bound); at realistic benchmark sizes the
+    false-hit probability is < 1e-6, and a false hit only *over*-flags —
+    it never lets contamination through.
+    """
+    grams = F.array_distinct(text.word_shingles(text.tokens(text_col), n))
+    bench_g = (
+        benchmark
+        .select(F.explode(grams).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    corpus_g = (
+        docs
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, F.xxhash64("g").alias("gh"))
+    )
+    hits = (
+        corpus_g.join(F.broadcast(bench_g), "gh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gh").alias("n_hit_grams"))
+    )
+    base = docs.select(
+        F.col(id_col), F.size(grams).cast("long").alias("n_grams"))
+    return (
+        base.join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            "n_grams",
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Count and redact emails, IPv4 addresses and phone numbers.
+
+    Output: (id, n_emails, n_ips, n_phones, scrubbed) where ``scrubbed``
+    is the text with matches replaced by ``<EMAIL>`` / ``<IP>`` /
+    ``<PHONE>`` placeholders.  Counts are measured on the ORIGINAL text;
+    replacement applies email -> IP -> phone in that order (the patterns
+    are mutually exclusive on digits-with-separators shapes, so order
+    only matters for pathological overlaps).
+
+    Pure column expressions — codegen'd, zero shuffle, linear scan.
+    """
+    col = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, EMAIL_RE, "<EMAIL>"),
+            IPV4_RE, "<IP>"),
+        PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(col, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(col, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(col, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Repetition signals for Gopher-style quality filtering.
+
+    Output: (id, top_bigram, top_bigram_cnt, top_unigram_cnt, n_tokens,
+    n_bigrams, dup_line_frac).  ``top_bigram`` is the most frequent word
+    bigram (ties broken toward the lexicographically smallest — the same
+    tie-break an ORDER BY cnt DESC, gram ASC window gives), '' when the
+    doc has < 2 tokens.  ``dup_line_frac`` is the fraction of non-empty
+    lines that are repeats of another line (1 - distinct/total), 0.0 for
+    single-line docs.  Consumers threshold top_bigram_cnt/n_bigrams and
+    top_unigram_cnt/n_tokens — high mass in one gram marks boilerplate
+    and degenerate repetition.
+
+    The per-gram counts go through explode + groupBy(doc, gram) +
+    struct-min argmax (min over (-cnt, gram) = most frequent, smallest
+    on ties) — never a per-row array self-scan, so cost stays linear in
+    tokens regardless of document length.  dup_line_frac is a pure array
+    expression (lines per doc are bounded by doc size and need no
+    cross-row state).
+    """
+    toks = docs.select(F.col(id_col), text.tokens(text_col).alias("t"))
+    uni = (
+        toks.select(id_col, F.explode("t").alias("g"))
+        .groupBy(id_col, "g").count()
+        .groupBy(id_col).agg(F.max("count").alias("top_unigram_cnt"))
+    )
+    big = (
+        toks.select(
+            id_col,
+            F.explode(text.word_shingles(F.col("t"), 2)).alias("g"))
+        .groupBy(id_col, "g").count()
+        .groupBy(id_col).agg(
+            F.min(F.struct((-F.col("count")).alias("negc"),
+                           F.col("g").alias("g"))).alias("top"))
+        .select(
+            id_col,
+            F.col("top.g").alias("top_bigram"),
+            (-F.col("top.negc")).cast("long").alias("top_bigram_cnt"))
+    )
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda s: F.trim(s) != F.lit(""))
+    # n_tokens from the SAME tokenizer the gram counts use, so the
+    # top_*_cnt / n_* ratios consumers threshold are true fractions
+    n_tok = F.size(text.tokens(text_col))
+    base = docs.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.greatest(n_tok - 1, F.lit(0)).cast("long").alias("n_bigrams"),
+        F.when(F.size(lines) <= 1, F.lit(0.0))
+         .otherwise(F.round(
+             1.0 - F.size(F.array_distinct(lines)) / F.size(lines), 4))
+         .alias("dup_line_frac"),
+    )
+    return (
+        base.join(big, id_col, "left").join(uni, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.coalesce("top_bigram_cnt", F.lit(0)).cast("long").alias("top_bigram_cnt"),
+            F.coalesce("top_unigram_cnt", F.lit(0)).cast("long").alias("top_unigram_cnt"),
+            "n_tokens", "n_bigrams", "dup_line_frac",
+        )
+    )

@@ -1,0 +1,170 @@
+"""Corpus guard operators: decontamination, PII scrub, repetition stats."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudbrush_spark.operators import guard
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    # 5-token benchmark doc; corpus doc 1 embeds its exact run, doc 2
+    # shares only 4 consecutive tokens (below n=5), doc 3 is disjoint
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    corpus = _docs(spark, [
+        (1, "intro alpha beta gamma delta epsilon outro"),
+        (2, "alpha beta gamma delta UNRELATED epsilon"),
+        (3, "zeta eta theta iota kappa lambda"),
+    ])
+    out = {r.doc_id: r for r in
+           guard.decontaminate(corpus, bench, n=5).collect()}
+    assert out[1].contaminated and out[1].n_hit_grams == 1
+    assert not out[2].contaminated
+    assert not out[3].contaminated
+    # n_grams is distinct n-gram count: doc 3 has 6 tokens -> 2 5-grams
+    assert out[3].n_grams == 2
+
+
+def test_decontaminate_short_docs_and_counts(spark):
+    # docs shorter than n produce zero grams and are never contaminated
+    bench = _docs(spark, [(100, "a b c d e f g h i j k l m")])
+    corpus = _docs(spark, [(1, "a b c"), (2, "")])
+    out = {r.doc_id: r for r in
+           guard.decontaminate(corpus, bench, n=13).collect()}
+    assert out[1].n_grams == 0 and not out[1].contaminated
+    assert out[2].n_grams == 0 and not out[2].contaminated
+
+
+def test_decontaminate_counts_distinct_hit_grams(spark):
+    # the same contaminated gram repeated in a doc counts once (distinct)
+    bench = _docs(spark, [(100, "x y z")])
+    corpus = _docs(spark, [(1, "x y z q x y z")])
+    row = guard.decontaminate(corpus, bench, n=3).collect()[0]
+    # grams of doc 1: {x y z, y z q, z q x, q x y} -> one hit
+    assert row.n_hit_grams == 1 and row.n_grams == 4
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    bench = _docs(spark, [(100, "a b c d e")])
+    corpus = _docs(spark, [(1, "a b c d e f")])
+    plan = guard.decontaminate(corpus, bench, n=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub
+# ---------------------------------------------------------------------------
+
+def test_pii_scrub_counts_and_redacts(spark):
+    docs = _docs(spark, [
+        (1, "mail bob@example.com or alice.smith@sub.domain.org today"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 port"),
+        (3, "call 555-867-5309 or 555 123 4567 now"),
+        (4, "clean text with no identifiers at all"),
+    ])
+    out = {r.doc_id: r for r in guard.pii_scrub(docs).collect()}
+    assert out[1].n_emails == 2 and out[1].n_ips == 0
+    assert "<EMAIL>" in out[1].scrubbed and "@" not in out[1].scrubbed
+    assert out[2].n_ips == 2 and "192.168.0.1" not in out[2].scrubbed
+    assert out[3].n_phones == 2 and "5309" not in out[3].scrubbed
+    assert out[4].n_emails == out[4].n_ips == out[4].n_phones == 0
+    assert out[4].scrubbed == "clean text with no identifiers at all"
+
+
+def test_pii_scrub_mixed_doc(spark):
+    docs = _docs(spark, [
+        (1, "bob@x.io from 1.2.3.4 dialed 555-000-1111"),
+    ])
+    r = guard.pii_scrub(docs).collect()[0]
+    assert (r.n_emails, r.n_ips, r.n_phones) == (1, 1, 1)
+    assert r.scrubbed == "<EMAIL> from <IP> dialed <PHONE>"
+
+
+def test_pii_scrub_matches_duckdb_semantics(spark):
+    """The oracle uses DuckDB RE2 with the same pattern strings — pin the
+    cross-engine agreement on a corpus that exercises every pattern."""
+    duckdb = pytest.importorskip("duckdb")
+    rows = [
+        (1, "a@b.co meets 999.1.2.3 x 123-456-7890"),
+        (2, "no pii here"),
+        (3, "EDGE: almost@an@email and 1.2.3 and 12-3456-789"),
+    ]
+    docs = _docs(spark, rows)
+    got = {r.doc_id: (r.n_emails, r.n_ips, r.n_phones, r.scrubbed)
+           for r in guard.pii_scrub(docs).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    exp = con.execute(f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{guard.EMAIL_RE}')),
+               len(regexp_extract_all(text, '{guard.IPV4_RE}')),
+               len(regexp_extract_all(text, '{guard.PHONE_RE}')),
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{guard.EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{guard.IPV4_RE}', '<IP>', 'g'),
+                   '{guard.PHONE_RE}', '<PHONE>', 'g')
+        FROM d""").fetchall()
+    for doc_id, *vals in exp:
+        assert got[doc_id] == tuple(vals), doc_id
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+
+def test_repetition_top_grams_and_tiebreak(spark):
+    docs = _docs(spark, [
+        # "b c" x2 and "c b" x1; unigram top is b (3) / c (3) -> count only
+        (1, "a b c b c x"),
+        # tie between bigrams "p q" and "q p" (2 each) -> smallest wins
+        (2, "p q p q p"),
+    ])
+    out = {r.doc_id: r for r in guard.repetition_stats(docs).collect()}
+    assert out[1].top_bigram == "b c" and out[1].top_bigram_cnt == 2
+    assert out[1].top_unigram_cnt == 2  # b twice, c twice
+    assert out[1].n_tokens == 6 and out[1].n_bigrams == 5
+    assert out[2].top_bigram == "p q" and out[2].top_bigram_cnt == 2
+    assert out[2].top_unigram_cnt == 3
+
+
+def test_repetition_degenerate_docs(spark):
+    docs = _docs(spark, [
+        (1, ""),            # empty
+        (2, "solo"),        # one token -> no bigrams
+        (3, "x x x x x x"),  # total repetition
+    ])
+    out = {r.doc_id: r for r in guard.repetition_stats(docs).collect()}
+    assert out[1].top_bigram == "" and out[1].top_bigram_cnt == 0
+    assert out[1].n_tokens == 0 and out[1].n_bigrams == 0
+    assert out[2].top_bigram == "" and out[2].top_unigram_cnt == 1
+    assert out[3].top_bigram == "x x" and out[3].top_bigram_cnt == 5
+    assert out[3].top_unigram_cnt == 6
+
+
+def test_repetition_dup_line_fraction(spark):
+    docs = spark.createDataFrame(
+        [(1, "same line\nsame line\nother\n\n"),
+         (2, "single line only")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in guard.repetition_stats(docs).collect()}
+    # 3 non-empty lines, 2 distinct -> 1/3 duplicated
+    assert out[1].dup_line_frac == pytest.approx(0.3333, abs=1e-4)
+    assert out[2].dup_line_frac == 0.0
+
+
+def test_repetition_no_per_row_quadratic_scan(spark):
+    """The gram counting must go through explode+groupBy (linear in
+    tokens), not an array self-scan — pin the aggregate in the plan."""
+    docs = _docs(spark, [(1, "a b a b")])
+    plan = guard.repetition_stats(docs)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "Generate explode" in plan  # explode path, not transform(filter)
