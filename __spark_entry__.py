@@ -640,6 +640,33 @@ def q_corpus_guard(spark, sf_dir):
     return dec.unionByName(pii).unionByName(rep)
 
 
+def q_shard_pack(spark, sf_dir):
+    """Deterministic token-budget shard packing (sampling.pack_shards):
+    order docs by an md5 permutation, prefix-sum whitespace token counts
+    along it, cut a shard every 1000 tokens.  The distributed two-phase
+    cumsum (per-bucket totals -> driver-scale bucket prefix -> bucketed
+    window) must equal the oracle's single sequential window — the
+    hash pins the exact (shard_id, offset) of every document."""
+    from cloudbrush_spark.operators import sampling
+    docs = _t(spark, sf_dir, "documents")
+    wdf = docs.select(
+        "doc_id", textfn.token_count("text").cast("long").alias("n_tokens"))
+    return sampling.pack_shards(wdf, "n_tokens", budget=1000, buckets=1024)
+
+
+def q_sink_formats(spark, sf_dir):
+    """K1+K2 sink formatting in one tagged union row (merged r7 to free a
+    registry slot for shard_pack; both legs unchanged): k1 = FASTA record
+    strings, k2 = SFA expand emit ids.  Canonical (op, k, v) strings."""
+    k1 = q_k1_fasta_format(spark, sf_dir).select(
+        F.lit("fasta").alias("op"), F.col("value").alias("k"),
+        F.lit("").alias("v"))
+    k2 = q_k2_explode_emit(spark, sf_dir).select(
+        F.lit("sfa_expand").alias("op"), F.col("emit_id").alias("k"),
+        F.col("p_partkey").cast("string").alias("v"))
+    return k1.unionByName(k2)
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation composite (pipeline/curation.py): quality/lang/
     length gate -> exact fingerprint dedup -> MinHash/LSH cluster dedup
@@ -2957,6 +2984,27 @@ _ORACLES["corpus_guard"] = f"""
     SELECT * FROM dec UNION ALL SELECT * FROM pii UNION ALL SELECT * FROM rep
 """
 
+_ORACLES["shard_pack"] = """
+    WITH w AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS wt,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                    i -> (strpos('0123456789abcdef',
+                                 substring(md5('pack|' || doc_id::VARCHAR), i, 1)) - 1)
+                         * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) AS h
+        FROM documents),
+    s AS (
+        SELECT doc_id, CAST(wt AS BIGINT) AS wt,
+               coalesce(sum(wt) OVER (ORDER BY h % 1024, h, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        FROM w)
+    SELECT doc_id, wt,
+           CAST(floor(start / 1000.0) AS BIGINT) AS shard_id,
+           CAST(start % 1000 AS BIGINT) AS "offset"
+    FROM s
+"""
+
 from cloudbrush_spark.oracle_fixtures import SQL_OVERLAP_EDGES  # noqa: E402
 
 _ORACLES["overlap_graph"] = f"""
@@ -2971,6 +3019,13 @@ _ORACLES["k1_fasta_format"] = f"""
            || rtrim(regexp_replace(repeat(seq, 3), '(.{{60}})',
                                    '\\1' || chr(10), 'g'), chr(10)) AS value
     FROM cnd
+"""
+
+_ORACLES["sink_formats"] = f"""
+    SELECT 'fasta' AS op, value AS k, '' AS v FROM ({_ORACLES["k1_fasta_format"]})
+    UNION ALL
+    SELECT 'sfa_expand' AS op, emit_id AS k, CAST(p_partkey AS VARCHAR) AS v
+    FROM ({_ORACLES["k2_explode_emit"]})
 """
 
 
@@ -3001,12 +3056,16 @@ _ORACLES["k1_fasta_format"] = f"""
 #     for simhash_clusters — both still verified)
 #   - s1_fastq_roundtrip/s2_sfa_roundtrip -> source_roundtrips tagged
 #     union (r7; slot freed for corpus_guard — both legs still verified)
+#   - k1_fasta_format/k2_explode_emit -> sink_formats tagged union (r7;
+#     slot freed for shard_pack — both legs still verified)
 # The pruned query functions stay defined above (bench.py and tests use
 # them); they are simply not registered.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 7 (never green yet) ---
     "corpus_guard": q_corpus_guard,              # decontam / pii / repetition
+    "shard_pack": q_shard_pack,                  # token-budget shard packing
     "source_roundtrips": q_source_roundtrips,    # s1 fastq + s2 sfa union
+    "sink_formats": q_sink_formats,              # k1 fasta + k2 sfa union
     "simhash_clusters": q_simhash_clusters,      # linear simhash product
     "text_fp_split": q_text_fp_split,            # winnow + split union (r7)
     # --- new in round 6 ---
@@ -3017,7 +3076,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,          # linear cluster product
     "g5g6_pairmark_merge": q_g5g6_pairmark_merge,
     # --- green in r5 but merged/starved risk: keep early ---
-    "k1_fasta_format": q_k1_fasta_format,
     "c3_pop_bubbles": q_c3_pop_bubbles,
     "c4_low_coverage": q_c4_low_coverage,
     "j4_mate_adjust": q_j4_mate_adjust,
@@ -3051,7 +3109,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c1_tips": q_c1_tips,
     "c2_find_bubbles": q_c2_find_bubbles,
     "c5_astat": q_c5_astat,
-    "k2_explode_emit": q_k2_explode_emit,
     # --- LLM-pipeline dedup/similarity/curation surface ---
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "ngram_jaccard": q_ngram_jaccard,

@@ -12,7 +12,7 @@ split assignment are narrow transformations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -48,3 +48,65 @@ def deterministic_sample(df: DataFrame, id_col: str, fraction: float,
     across runs and engines (unlike df.sample, which depends on
     partitioning)."""
     return df.filter(hash_bucket(id_col, 1_000_000, seed) < int(fraction * 1_000_000))
+
+
+def _md5_long(id_col: str, seed: str) -> Column:
+    """First 8 hex chars of md5(seed|id) as a long in [0, 2^32) — the
+    shared engine-portable order/bucket key."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+            1, 8),
+        16, 10,
+    ).cast("long")
+
+
+def pack_shards(df: DataFrame, weight_col: str, id_col: str = "doc_id",
+                budget: int = 1_000_000, buckets: int = 1024,
+                seed: str = "pack") -> DataFrame:
+    """Pack rows into fixed-weight shards (training-shard assignment):
+    order all rows by a deterministic content-hash permutation, run a
+    prefix sum of ``weight_col`` along that order, and cut a shard
+    boundary every ``budget`` units.
+
+    Output: (id, wt, shard_id, offset) — ``shard_id = floor(start /
+    budget)`` and ``offset = start % budget`` where ``start`` is the
+    total weight of all rows ordered before this one.  A row heavier
+    than the remaining shard space starts in that shard and spills over
+    (greedy semantics — every engine computes the identical assignment
+    because the order is the md5 permutation, not physical row order).
+
+    Scale shape: a global prefix sum WITHOUT a global one-task sort.
+    The md5 order is decomposed as (bucket, h, id) with ``bucket = h %
+    buckets``; per-bucket totals aggregate map-side (``buckets`` rows),
+    their exclusive cumsum runs on that driver-scale frame (the only
+    unpartitioned window — B rows, deliberate), and each row's start is
+    bucket-prefix + within-bucket exclusive cumsum (a window partitioned
+    by bucket).  Size ``buckets`` so a bucket's rows fit one task
+    comfortably (~rows/1e5); the per-bucket sort is the same work a
+    repartitionByRange+sortWithinPartitions shuffle would do, with no
+    skew because the hash is uniform."""
+    h = _md5_long(id_col, seed)
+    wdf = (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("wt"),
+            h.alias("h"))
+        .withColumn("b", (F.col("h") % buckets).cast("int"))
+    )
+    totals = wdf.groupBy("b").agg(F.sum("wt").alias("tot"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.withColumn(
+        "pre", F.coalesce(F.sum("tot").over(wb), F.lit(0)))
+    ww = (Window.partitionBy("b").orderBy("h", id_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    packed = (
+        wdf.join(F.broadcast(prefix.select("b", "pre")), "b")
+        .withColumn("start",
+                    F.col("pre") + F.coalesce(F.sum("wt").over(ww), F.lit(0)))
+    )
+    return packed.select(
+        id_col, "wt",
+        F.floor(F.col("start") / budget).cast("long").alias("shard_id"),
+        (F.col("start") % budget).cast("long").alias("offset"),
+    )
