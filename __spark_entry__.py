@@ -617,7 +617,11 @@ def q_corpus_guard(spark, sf_dir):
     from cloudbrush_spark.operators import sampling
     docs = _t(spark, sf_dir, "documents")
     bench = sampling.deterministic_sample(docs, "doc_id", 0.05, seed="decontam")
-    corpus = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
+    # the corpus is the sample's complement — a pure filter on the same
+    # md5 bucket, NOT an anti-join against the sample (zero shuffle,
+    # zero broadcast; the two predicates partition docs exactly)
+    corpus = docs.filter(
+        sampling.hash_bucket("doc_id", 1_000_000, "decontam") >= 50_000)
     dec = guard.decontaminate(corpus, bench, n=13).select(
         F.lit("decontam").alias("op"), "doc_id",
         F.when(F.col("contaminated"), F.lit("hit"))
