@@ -45,6 +45,7 @@ HEADLINE = [
     # added round 7
     "simhash_clusters",
     "corpus_guard",
+    "shard_pack",
 ]
 
 
