@@ -168,3 +168,78 @@ def test_repetition_no_per_row_quadratic_scan(spark):
     plan = guard.repetition_stats(docs)._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert "Generate explode" in plan  # explode path, not transform(filter)
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): pure-python references for the guard family
+# ---------------------------------------------------------------------------
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "x9", "long", "word", "the"]
+
+
+def _py_tokens(s):
+    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=12),
+    st.integers(min_value=2, max_value=4))
+def test_decontaminate_matches_python_reference(spark, docs_texts, n):
+    """Spark contamination flags equal a brute-force python n-gram
+    intersection for arbitrary small corpora (benchmark = first doc)."""
+    rows = [(i, t) for i, t in enumerate(docs_texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter(F.col("doc_id") == 0)
+    corpus = df.filter(F.col("doc_id") > 0)
+
+    def grams(text):
+        toks = _py_tokens(text)
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_g = grams(rows[0][1])
+    got = {r.doc_id: r for r in
+           guard.decontaminate(corpus, bench, n=n).collect()}
+    for doc_id, text in rows[1:]:
+        g = grams(text)
+        hit = len(g & bench_g)
+        assert got[doc_id].n_hit_grams == hit, (doc_id, text)
+        assert got[doc_id].n_grams == len(g)
+        assert got[doc_id].contaminated == (hit > 0)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=20).map(" ".join),
+    min_size=1, max_size=10))
+def test_repetition_matches_python_reference(spark, docs_texts):
+    rows = [(i, t) for i, t in enumerate(docs_texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in guard.repetition_stats(df).collect()}
+    for doc_id, text in rows:
+        toks = _py_tokens(text)
+        bigs = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_bigrams == max(len(toks) - 1, 0)
+        if toks:
+            assert r.top_unigram_cnt == max(toks.count(t) for t in set(toks))
+        else:
+            assert r.top_unigram_cnt == 0
+        if bigs:
+            best = max(sorted(set(bigs)), key=lambda g: (bigs.count(g), ),
+                       default="")
+            # tie-break: max count, then smallest gram
+            cnt = max(bigs.count(g) for g in set(bigs))
+            cands = sorted(g for g in set(bigs) if bigs.count(g) == cnt)
+            assert r.top_bigram == cands[0] and r.top_bigram_cnt == cnt
+        else:
+            assert r.top_bigram == "" and r.top_bigram_cnt == 0
