@@ -90,7 +90,10 @@ def pack_shards(df: DataFrame, weight_col: str, id_col: str = "doc_id",
     wdf = (
         df.select(
             F.col(id_col),
-            F.col(weight_col).cast("long").alias("wt"),
+            # NULL weight = zero-width row (kept, costs nothing) — an
+            # un-coalesced NULL would silently vanish from the window
+            # sums and desynchronize the assignment from the oracle's
+            F.coalesce(F.col(weight_col).cast("long"), F.lit(0)).alias("wt"),
             h.alias("h"))
         .withColumn("b", (F.col("h") % buckets).cast("int"))
     )

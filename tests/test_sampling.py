@@ -86,3 +86,13 @@ def test_pack_shards_oversized_row_spills(spark):
         heavy = by_start[heavy_idx]
         assert nxt.shard_id * 100 + nxt.offset \
             == heavy.shard_id * 100 + heavy.offset + 2500
+
+
+def test_pack_shards_null_weight_is_zero_width(spark):
+    df = spark.createDataFrame(
+        [(1, 40), (2, None), (3, 40), (4, 40)], "doc_id long, n_tokens long")
+    out = sampling.pack_shards(df, "n_tokens", budget=100, buckets=4)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[2].wt == 0                       # kept, zero width
+    assert len(rows) == 4
+    assert sum(r.wt for r in rows.values()) == 120
