@@ -629,7 +629,30 @@ def q_corpus_guard(spark, sf_dir):
         F.col("n_hit_grams").alias("v1"),
         F.col("n_grams").alias("v2"),
         F.lit(0).cast("long").alias("v3"))
-    pii = guard.pii_scrub(docs).select(
+    # the synthetic corpus contains no PII, so a raw-text pii leg would be
+    # vacuously all-zero (scrub = identity).  Plant deterministic PII
+    # derived from doc_id (every third doc gets an email, every fifth an
+    # IP, every seventh a phone) — the oracle derives the identical text,
+    # so the counts and the scrubbed-output md5 carry real signal.
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" host 10.0."),
+                            (F.col("doc_id") % 256).cast("string"),
+                            F.lit(".1"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" tel 555-01"),
+                            F.lpad((F.col("doc_id") % 10).cast("string"), 1, "0"),
+                            F.lit("-"),
+                            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+                   ).otherwise(F.lit("")),
+        ).alias("text"))
+    pii = guard.pii_scrub(planted).select(
         F.lit("pii").alias("op"), "doc_id",
         F.md5("scrubbed").alias("k"),
         F.col("n_emails").alias("v1"),
@@ -2958,6 +2981,20 @@ _ORACLES["corpus_guard"] = f"""
                CAST(coalesce(n.n, 0) AS BIGINT) AS v2,
                CAST(0 AS BIGINT) AS v3
         FROM corpus c LEFT JOIN hits h USING (doc_id) LEFT JOIN ngr n USING (doc_id)),
+    planted AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact u' || doc_id::VARCHAR || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' tel 555-01' || (doc_id % 10)::VARCHAR || '-'
+                            || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                       ELSE '' END AS text
+        FROM documents),
     pii AS (
         SELECT 'pii' AS op, doc_id,
                md5(regexp_replace(regexp_replace(regexp_replace(text,
@@ -2967,7 +3004,7 @@ _ORACLES["corpus_guard"] = f"""
                CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS v1,
                CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS v2,
                CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS v3
-        FROM documents),
+        FROM planted),
     uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
     ucnt AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
     utop AS (SELECT doc_id, max(c) AS uc FROM ucnt GROUP BY 1),
