@@ -131,3 +131,40 @@ def test_vector_lsh_cap_broadcasts_and_avoids_nested_loop(spark):
     assert plans.has_broadcast_join(hcand)
     assert "BroadcastNestedLoopJoin" not in hplan
     assert "CartesianProduct" not in hplan
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    """PII scrub must stay a pure narrow projection — zero exchanges."""
+    from cloudbrush_spark.operators import guard
+    docs = spark.createDataFrame([(1, "a@b.co x")], "doc_id long, text string")
+    assert plans.shuffle_count(guard.pii_scrub(docs)) == 0
+
+
+def test_decontaminate_corpus_side_has_single_aggregation_shuffle(spark):
+    """The corpus side of decontamination joins the benchmark grams by
+    BROADCAST (never a shuffled join) — the only exchanges are the per-doc
+    hit aggregate (plus the final left join back to the doc universe)."""
+    from cloudbrush_spark.operators import guard
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(4)], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    q = guard.decontaminate(docs, bench, n=5)
+    assert plans.has_broadcast_join(q)
+    plan = plans.explain_str(q)
+    # no sort-merge join anywhere on the gram-matching path
+    assert "SortMergeJoin" not in plan or "gh" not in plan.split("SortMergeJoin")[1][:200]
+
+
+def test_pack_shards_no_global_single_partition_sort_on_rows(spark):
+    """pack_shards' only SinglePartition window must be over the
+    bucket-totals frame (buckets rows), never the row-level data: the
+    row-level window is partitioned by bucket."""
+    from cloudbrush_spark.operators import sampling
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 30 + 1).alias("n_tokens"))
+    q = sampling.pack_shards(df, "n_tokens", budget=100, buckets=16)
+    plan = plans.explain_str(q)
+    # the bucket-prefix frame reaches the row side through a broadcast
+    assert plans.has_broadcast_join(q)
+    # row-level cumsum window is hash-partitioned by bucket
+    assert "hashpartitioning(b" in plan
