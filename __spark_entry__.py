@@ -1039,7 +1039,14 @@ def q_text_fp_split(spark, sf_dir):
         F.col("fp").cast("string").alias("v"))
     s = q_hash_split(spark, sf_dir).select(
         F.lit("split").alias("op"), "doc_id", F.col("split").alias("v"))
-    return w.unionByName(s)
+    # r7: domain-mixture leg — deterministic per-source retention
+    # (sampling.mixture_sample): keep all of src0-src9, 30% of src10-src19
+    from cloudbrush_spark.operators import sampling
+    docs = _t(spark, sf_dir, "documents")
+    weights = {f"src{i}": (1.0 if i < 10 else 0.3) for i in range(20)}
+    m = sampling.mixture_sample(docs, weights).select(
+        F.lit("mixture").alias("op"), "doc_id", F.col("source").alias("v"))
+    return w.unionByName(s).unionByName(m)
 
 
 def q_emb_near_dup(spark, sf_dir):
@@ -2283,6 +2290,17 @@ _ORACLES["text_fp_split"] = f"""
     UNION ALL
     SELECT 'split' AS op, doc_id, split AS v
     FROM ({_split_case_sql("documents")})
+    UNION ALL
+    SELECT 'mixture' AS op, doc_id, source AS v
+    FROM (
+        SELECT doc_id, source,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                    i -> (strpos('0123456789abcdef',
+                                 substring(md5('mixture|' || doc_id::VARCHAR), i, 1)) - 1)
+                         * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 1000000 AS b
+        FROM documents)
+    WHERE b < CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                   THEN 1000000 ELSE 300000 END
 """
 
 # cluster-mode SimHash: brute-force Hamming pairs over DISTINCT signatures

@@ -45,7 +45,7 @@ PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
-                  n: int = 13) -> DataFrame:
+                  n: int = 13, tokens_col: str | None = None) -> DataFrame:
     """Flag corpus documents that share any word ``n``-gram with the
     benchmark set (contamination by eval-set overlap).
 
@@ -61,11 +61,18 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     become likely (birthday bound); at realistic benchmark sizes the
     false-hit probability is < 1e-6, and a false hit only *over*-flags —
     it never lets contamination through.
+
+    ``tokens_col`` names a pre-materialized token-array column on the
+    CORPUS side (for pipelines that already tokenized, e.g. curation's
+    gate); the benchmark side always tokenizes its own ``text_col``.
     """
-    grams = F.array_distinct(text.word_shingles(text.tokens(text_col), n))
+    bench_grams = F.array_distinct(
+        text.word_shingles(text.tokens(text_col), n))
+    grams = (F.array_distinct(text.word_shingles(F.col(tokens_col), n))
+             if tokens_col is not None else bench_grams)
     bench_g = (
         benchmark
-        .select(F.explode(grams).alias("g"))
+        .select(F.explode(bench_grams).alias("g"))
         .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )

@@ -50,6 +50,27 @@ def deterministic_sample(df: DataFrame, id_col: str, fraction: float,
     return df.filter(hash_bucket(id_col, 1_000_000, seed) < int(fraction * 1_000_000))
 
 
+def mixture_sample(df: DataFrame, weights: dict[str, float],
+                   source_col: str = "source", id_col: str = "doc_id",
+                   seed: str = "mixture") -> DataFrame:
+    """Domain-reweighted (mixture) sampling: keep each row with its
+    source's retention fraction, chosen by content hash — the
+    down-sampling half of training-mixture construction (e.g. keep 100%
+    of a curated domain, 30% of a crawl domain).  Sources absent from
+    ``weights`` are dropped (weight 0).
+
+    Deterministic and engine-portable like the other md5 samplers:
+    re-runs, repartitions and other engines keep the identical subset.
+    Pure filter expression — zero shuffle, codegen'd CASE over the
+    source column."""
+    b = hash_bucket(id_col, 1_000_000, seed)
+    thr: Column = F.lit(0)
+    for src, w in sorted(weights.items()):
+        thr = F.when(F.col(source_col) == src,
+                     F.lit(int(w * 1_000_000))).otherwise(thr)
+    return df.filter(b < thr)
+
+
 def _md5_long(id_col: str, seed: str) -> Column:
     """First 8 hex chars of md5(seed|id) as a long in [0, 2^32) — the
     shared engine-portable order/bucket key."""

@@ -41,7 +41,9 @@ def curate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
            shingle_n: int = 3, num_hashes: int = 16, bands: int = 4,
            rows_per_band: int = 4, jaccard_threshold: float = 0.5,
            train: float = 0.9, val: float = 0.05,
-           seed: str = "split") -> DataFrame:
+           seed: str = "split",
+           benchmark: DataFrame | None = None,
+           decontam_n: int = 13) -> DataFrame:
     """Curated-corpus manifest: one row per surviving document with its
     split assignment and headline features.
 
@@ -68,6 +70,19 @@ def curate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     kept = feats.filter(
         (F.col("quality") >= quality_min) & (F.col("lang_pred") == lang)
         & F.col("ws_tokens").between(min_tokens, max_tokens))
+
+    # optional benchmark decontamination (operators/guard.py): drop gated
+    # docs sharing a decontam_n-gram with the held-out eval set.  Runs on
+    # the THREADED token arrays (no re-tokenization); the contaminated id
+    # set is small, so the anti-join broadcasts under AQE.
+    if benchmark is not None:
+        from cloudbrush_spark.operators import guard
+        contaminated = (
+            guard.decontaminate(kept, benchmark, id_col=id_col,
+                                text_col=text_col, n=decontam_n,
+                                tokens_col="__toks")
+            .filter("contaminated").select(id_col))
+        kept = kept.join(contaminated, id_col, "left_anti")
 
     # exact dedup: min-id survivor per normalized fingerprint (the same
     # survivor contract as dedup.fingerprint_dedup, computed from the

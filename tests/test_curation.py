@@ -70,3 +70,19 @@ def test_mass_near_dup_cluster_over_lsh_cap_is_deduplicated(spark):
     # variants must be gone.  Under overcap='drop' (the pre-fix
     # behavior) EVERY bucket is over cap and all 60 survive.
     assert len(kept) <= 4
+
+
+def test_curate_with_benchmark_decontamination(spark):
+    """A gated doc sharing a decontam_n-gram with the benchmark is dropped
+    before dedup; the unrelated keeper survives."""
+    docs = _docs(spark)
+    bench = spark.createDataFrame(
+        [(100, GOOD)], "doc_id long, text string")  # eval set contains doc 1's text
+    out = curation.curate(docs, benchmark=bench, decontam_n=8)
+    kept = {r.doc_id for r in out.collect()}
+    # docs 1/2/3 all share GOOD's 8-grams with the benchmark -> gone;
+    # GOOD2 (doc 4) survives the whole pipeline
+    assert kept == {4}
+    # without the benchmark the normal result includes the cluster rep
+    base = {r.doc_id for r in curation.curate(docs).collect()}
+    assert base == {1, 4}

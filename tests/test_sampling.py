@@ -96,3 +96,20 @@ def test_pack_shards_null_weight_is_zero_width(spark):
     assert rows[2].wt == 0                       # kept, zero width
     assert len(rows) == 4
     assert sum(r.wt for r in rows.values()) == 120
+
+
+def test_mixture_sample_per_source_fractions(spark):
+    df = spark.range(0, 30000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"))
+    out = sampling.mixture_sample(df, {"src0": 1.0, "src1": 0.3})
+    counts = {r.source: r.cnt for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts["src0"] == 10000                  # weight 1.0 keeps all
+    assert abs(counts["src1"] / 10000 - 0.3) < 0.02
+    assert "src2" not in counts                     # unlisted source dropped
+    # deterministic under repartition
+    again = sampling.mixture_sample(df.repartition(13), {"src0": 1.0, "src1": 0.3})
+    assert again.count() == out.count()
+    sym = out.select("doc_id").exceptAll(again.select("doc_id")).count()
+    assert sym == 0
