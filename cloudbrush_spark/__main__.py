@@ -84,6 +84,12 @@ def _build_parser() -> argparse.ArgumentParser:
                          "gated out")
     ap.add_argument("-files_per_split", type=int, default=16,
                     help="curation: output parquet files per split")
+    ap.add_argument("-benchmark", default=None, metavar="PARQUET",
+                    help="curation: held-out eval set parquet with "
+                         "(doc_id, text); gated docs sharing a "
+                         "-decontam_n word n-gram with it are dropped")
+    ap.add_argument("-decontam_n", type=int, default=13,
+                    help="curation: decontamination n-gram size")
     return ap
 
 
@@ -135,9 +141,12 @@ def main(argv: list[str] | None = None) -> int:
         from cloudbrush_spark.pipeline.curation import curate
         from cloudbrush_spark.sources.corpus import publish_corpus
         docs = spark.read.parquet(args.curate)
+        bench = (spark.read.parquet(args.benchmark)
+                 if args.benchmark else None)
         manifest = curate(
             docs, quality_min=args.quality_min, lang=args.lang,
-            min_tokens=args.min_tokens, max_tokens=args.max_tokens)
+            min_tokens=args.min_tokens, max_tokens=args.max_tokens,
+            benchmark=bench, decontam_n=args.decontam_n)
         # manifest lands beside the corpus: the audit record of what was
         # kept and why (features + split), re-joinable by doc_id
         manifest.write.mode("overwrite").parquet(

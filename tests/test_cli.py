@@ -73,3 +73,28 @@ def test_cli_curate_publishes_corpus(tmp_path, spark, capsys):
     import pytest
     with pytest.raises(SystemExit):
         main(["-curate", src])
+
+
+def test_cli_curate_with_benchmark_decontaminates(tmp_path, spark, capsys):
+    from pyspark.sql import functions as F
+    base = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "river every morning for a drink of cold clear water ")
+    other = ("a completely different tale about the sea and the ships that "
+             "sail in it for trade and glory with cargo of spice and silk "
+             "carried to the southern ports by the wind ")
+    docs = spark.createDataFrame(
+        [(0, base + "zero"), (1, base + "one"), (2, other + "two")],
+        "doc_id long, text string")
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    bpath = str(tmp_path / "bench.parquet")
+    bench.write.parquet(bpath)
+    out = str(tmp_path / "published")
+
+    rc = main(["-curate", src, "-out", out, "-files_per_split", "1",
+               "-benchmark", bpath, "-decontam_n", "8"])
+    assert rc == 0
+    manifest = spark.read.parquet(os.path.join(out, "manifest.parquet"))
+    kept = {r.doc_id for r in manifest.collect()}
+    assert kept == {2}  # the two benchmark-overlapping docs are dropped
