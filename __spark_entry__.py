@@ -1039,13 +1039,18 @@ def q_text_fp_split(spark, sf_dir):
         F.col("fp").cast("string").alias("v"))
     s = q_hash_split(spark, sf_dir).select(
         F.lit("split").alias("op"), "doc_id", F.col("split").alias("v"))
-    # r7: domain-mixture leg — deterministic per-source retention
-    # (sampling.mixture_sample): keep all of src0-src9, 30% of src10-src19
+    # r7: domain-mixture leg — deterministic per-source re-weighting
+    # (sampling.mixture_resample): 2.5x upsample src0-src4 (every row
+    # twice + a deterministic 50% third copy), keep src5-src9, 30% of
+    # src10-src19.  v carries source#copy so the duplicated rows are
+    # distinct and the oracle pins the exact copy multiset.
     from cloudbrush_spark.operators import sampling
     docs = _t(spark, sf_dir, "documents")
-    weights = {f"src{i}": (1.0 if i < 10 else 0.3) for i in range(20)}
-    m = sampling.mixture_sample(docs, weights).select(
-        F.lit("mixture").alias("op"), "doc_id", F.col("source").alias("v"))
+    weights = {f"src{i}": (2.5 if i < 5 else 1.0 if i < 10 else 0.3)
+               for i in range(20)}
+    m = sampling.mixture_resample(docs, weights).select(
+        F.lit("mixture").alias("op"), "doc_id",
+        F.concat("source", F.lit("#"), F.col("copy").cast("string")).alias("v"))
     return w.unionByName(s).unionByName(m)
 
 
@@ -2291,16 +2296,21 @@ _ORACLES["text_fp_split"] = f"""
     SELECT 'split' AS op, doc_id, split AS v
     FROM ({_split_case_sql("documents")})
     UNION ALL
-    SELECT 'mixture' AS op, doc_id, source AS v
+    SELECT 'mixture' AS op, doc_id, source || '#' || i::VARCHAR AS v
     FROM (
         SELECT doc_id, source,
-               CAST(list_sum(list_transform(generate_series(1, 8),
-                    i -> (strpos('0123456789abcdef',
-                                 substring(md5('mixture|' || doc_id::VARCHAR), i, 1)) - 1)
-                         * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 1000000 AS b
-        FROM documents)
-    WHERE b < CASE WHEN CAST(substr(source, 4) AS INT) < 10
-                   THEN 1000000 ELSE 300000 END
+               CASE WHEN CAST(substr(source, 4) AS INT) < 5
+                    THEN 2 + CASE WHEN b < 500000 THEN 1 ELSE 0 END
+                    WHEN CAST(substr(source, 4) AS INT) < 10 THEN 1
+                    ELSE CASE WHEN b < 300000 THEN 1 ELSE 0 END END AS n
+        FROM (
+            SELECT doc_id, source,
+                   CAST(list_sum(list_transform(generate_series(1, 8),
+                        i -> (strpos('0123456789abcdef',
+                                     substring(md5('mixture|' || doc_id::VARCHAR), i, 1)) - 1)
+                             * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 1000000 AS b
+            FROM documents)),
+    LATERAL (SELECT unnest(generate_series(1, n)) AS i)
 """
 
 # cluster-mode SimHash: brute-force Hamming pairs over DISTINCT signatures

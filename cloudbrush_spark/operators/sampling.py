@@ -71,6 +71,38 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
     return df.filter(b < thr)
 
 
+def mixture_resample(df: DataFrame, weights: dict[str, float],
+                     source_col: str = "source", id_col: str = "doc_id",
+                     seed: str = "mixture") -> DataFrame:
+    """Mixture construction with UP-sampling: emit each row
+    ``floor(w) + (hash < frac(w))`` times, where ``w`` is its source's
+    weight — so ``w = 2.5`` duplicates every row twice and gives a
+    deterministic 50% of rows a third copy, and ``w = 0.3`` reduces to
+    the ``mixture_sample`` down-sampling filter.  Adds a ``copy`` column
+    (1..n) so downstream shuffles/dedup can tell the copies apart.
+
+    The fractional coin is the same md5 bucket as every sampler here:
+    deterministic, engine-portable, stable under repartitioning.  Scale
+    shape: one filter + one bounded ``explode(sequence(...))`` — narrow,
+    zero shuffle; output size is exactly sum(w_s * n_s) in expectation
+    with deterministic realization."""
+    b = hash_bucket(id_col, 1_000_000, seed)
+    copies: Column = F.lit(0)
+    for src, w in sorted(weights.items()):
+        n_full = int(w)
+        frac = int(round((w - n_full) * 1_000_000))
+        copies = F.when(
+            F.col(source_col) == src,
+            F.lit(n_full) + F.when(b < frac, F.lit(1)).otherwise(F.lit(0)),
+        ).otherwise(copies)
+    return (
+        df.withColumn("__n", copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
+    )
+
+
 def _md5_long(id_col: str, seed: str) -> Column:
     """First 8 hex chars of md5(seed|id) as a long in [0, 2^32) — the
     shared engine-portable order/bucket key."""

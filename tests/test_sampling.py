@@ -113,3 +113,29 @@ def test_mixture_sample_per_source_fractions(spark):
     assert again.count() == out.count()
     sym = out.select("doc_id").exceptAll(again.select("doc_id")).count()
     assert sym == 0
+
+
+def test_mixture_resample_upsamples_deterministically(spark):
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 2).cast("string")).alias("source"))
+    out = sampling.mixture_resample(df, {"src0": 2.5, "src1": 0.3})
+    counts = {r.source: r.cnt for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # src0: 10000 rows -> ~25000 copies; src1: ~3000 survivors, one copy
+    assert abs(counts["src0"] / 10000 - 2.5) < 0.05
+    assert abs(counts["src1"] / 10000 - 0.3) < 0.02
+    # every src0 row appears at least twice; copy indices are 1..n
+    per = {r.doc_id: r.n for r in
+           out.filter("source = 'src0'").groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(per) == 10000 and set(per.values()) <= {2, 3}
+    mx = out.agg(F.min("copy").alias("a"), F.max("copy").alias("b")).collect()[0]
+    assert mx.a == 1 and mx.b == 3
+    # reduction: w <= 1 resample == mixture_sample filter (plus copy=1)
+    a = sampling.mixture_sample(df, {"src1": 0.3}).select("doc_id")
+    bres = sampling.mixture_resample(df, {"src1": 0.3}).select("doc_id")
+    assert a.exceptAll(bres).count() == 0 and bres.exceptAll(a).count() == 0
+    # determinism under repartition
+    again = sampling.mixture_resample(df.repartition(11), {"src0": 2.5, "src1": 0.3})
+    assert again.count() == out.count()
