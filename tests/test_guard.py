@@ -243,3 +243,11 @@ def test_repetition_matches_python_reference(spark, docs_texts):
             assert r.top_bigram == cands[0] and r.top_bigram_cnt == cnt
         else:
             assert r.top_bigram == "" and r.top_bigram_cnt == 0
+
+
+def test_decontaminate_empty_benchmark_flags_nothing(spark):
+    bench = _docs(spark, []) if False else _docs(
+        spark, [(100, "")])  # benchmark doc with no grams
+    corpus = _docs(spark, [(1, "a b c d e f")])
+    out = guard.decontaminate(corpus, bench, n=3).collect()
+    assert len(out) == 1 and not out[0].contaminated

@@ -139,3 +139,23 @@ def test_mixture_resample_upsamples_deterministically(spark):
     # determinism under repartition
     again = sampling.mixture_resample(df.repartition(11), {"src0": 2.5, "src1": 0.3})
     assert again.count() == out.count()
+
+
+def test_pack_shards_single_bucket_and_tiny_budget(spark):
+    """buckets=1 degenerates to the sequential window; budget smaller
+    than every weight still assigns one start per row."""
+    df = spark.createDataFrame(
+        [(i, 50) for i in range(10)], "doc_id long, n_tokens long")
+    out = sampling.pack_shards(df, "n_tokens", budget=10, buckets=1).collect()
+    assert len(out) == 10
+    starts = sorted(r.shard_id * 10 + r.offset for r in out)
+    assert starts == [i * 50 for i in range(10)]
+
+
+def test_mixture_resample_zero_and_integer_weights(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, source string")
+    out = sampling.mixture_resample(df, {"a": 0.0, "b": 2.0})
+    rows = sorted((r.doc_id, r.copy) for r in out.collect())
+    # weight 0 drops; integer weight 2 -> exactly two copies; unlisted drops
+    assert rows == [(2, 1), (2, 2)]
