@@ -128,3 +128,41 @@ def stream_dedup(events: DataFrame, keys: list[str] | None = None,
     if within:
         return wm.dropDuplicatesWithinWatermark(keys)
     return wm.dropDuplicates(keys)
+
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def read_document_stream(spark: SparkSession, path: str,
+                         schema: str = DOC_SCHEMA,
+                         max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source document stream — continuous corpus ingestion (new
+    parquet drops -> new micro-batch)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_curation_gate(docs: DataFrame, *, quality_min: float = 0.5,
+                         lang: str = "en", min_tokens: int = 10,
+                         max_tokens: int = 1000) -> DataFrame:
+    """Streaming twin of curation's gate stage: quality x language x
+    token-count verdict per document, applied as documents ARRIVE.
+
+    The gate is pure column expressions (stateless), so the streaming
+    form is the batch projection verbatim — no watermark, no state, every
+    micro-batch independent.  Near-dup stages stay batch (cluster dedup
+    needs the corpus-wide pair graph); production shape is gate + exact
+    `stream_dedup` on a fingerprint column in-stream, near-dup dedup in
+    periodic batch over the gated sink."""
+    from cloudbrush_spark.operators import textops
+    from cloudbrush_spark.functions import text as textfn
+    q = textops.quality_col("text")
+    l = textops.lang_pred_col("text")  # noqa: E741
+    wc = textfn.token_count("text").cast("long")
+    return docs.select(
+        "doc_id", q.alias("quality"), l.alias("lang_pred"),
+        wc.alias("ws_tokens"),
+        ((q >= quality_min) & (l == lang)
+         & wc.between(min_tokens, max_tokens)).alias("keep"))

@@ -120,3 +120,30 @@ def test_exact_gap_tie_merges_in_both_forms(spark, tmp_path):
     stream_groups = sorted((r.session_start, r.session_end, r.n_events)
                            for r in out.collect())
     assert stream_groups == batch_groups
+
+
+def test_stream_curation_gate_equals_batch_gate(spark, tmp_path):
+    """The streaming gate must emit the batch gate's exact verdicts —
+    run the docs fixture through a file-source stream (availableNow) and
+    compare row-for-row with q_curation_filter."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as em
+    from cloudbrush_spark.streaming.windows import (
+        read_document_stream, stream_curation_gate)
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    src = str(tmp_path / "docs_stream")
+    em._t(spark, sf, "documents").select("doc_id", "text") \
+        .repartition(3).write.parquet(src)
+
+    gated = stream_curation_gate(read_document_stream(spark, src,
+                                                      max_files_per_trigger=1))
+    out = _run_stream(spark, gated, "stream_gate", output_mode="append")
+    batch = em.q_curation_filter(spark, sf).select(
+        "doc_id", "quality", "lang_pred", "ws_tokens", "keep")
+    assert out.count() == batch.count() > 0
+    diff = out.exceptAll(batch).count() + batch.exceptAll(out).count()
+    assert diff == 0
