@@ -168,3 +168,13 @@ def test_pack_shards_no_global_single_partition_sort_on_rows(spark):
     assert plans.has_broadcast_join(q)
     # row-level cumsum window is hash-partitioned by bucket
     assert "hashpartitioning(b" in plan
+
+
+def test_mixture_resample_is_narrow(spark):
+    """Mixture construction (filter + bounded explode) must add no
+    exchange — reweighting a 100 TB corpus is a single linear pass."""
+    from cloudbrush_spark.operators import sampling
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, source string")
+    q = sampling.mixture_resample(df, {"a": 2.5, "b": 0.3})
+    assert plans.shuffle_count(q) == 0
