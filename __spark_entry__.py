@@ -3069,7 +3069,7 @@ _ORACLES["shard_pack"] = """
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
         FROM w)
     SELECT doc_id, wt,
-           CAST(floor(start / 1000.0) AS BIGINT) AS shard_id,
+           CAST(start // 1000 AS BIGINT) AS shard_id,
            CAST(start % 1000 AS BIGINT) AS "offset"
     FROM s
 """

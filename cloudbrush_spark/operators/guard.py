@@ -76,15 +76,21 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
         .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )
+    # the corpus side carries the gram THROUGH the hash join so the hit
+    # count is over distinct grams, not distinct 64-bit hashes — an
+    # intra-doc hash collision would otherwise undercount n_hit_grams
+    # relative to a gram-exact audit (the contaminated flag itself can
+    # only over-fire either way).  Cost: the gram string survives only on
+    # the post-join hit rows, which are tiny
     corpus_g = (
         docs
         .select(F.col(id_col), F.explode(grams).alias("g"))
-        .select(id_col, F.xxhash64("g").alias("gh"))
+        .select(id_col, "g", F.xxhash64("g").alias("gh"))
     )
     hits = (
         corpus_g.join(F.broadcast(bench_g), "gh")
         .groupBy(id_col)
-        .agg(F.count_distinct("gh").alias("n_hit_grams"))
+        .agg(F.count_distinct("g").alias("n_hit_grams"))
     )
     base = docs.select(
         F.col(id_col), F.size(grams).cast("long").alias("n_grams"))

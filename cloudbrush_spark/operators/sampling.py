@@ -66,8 +66,12 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
     b = hash_bucket(id_col, 1_000_000, seed)
     thr: Column = F.lit(0)
     for src, w in sorted(weights.items()):
+        # round, not truncate: mixture_resample rounds its fractional
+        # threshold, so w=0.3 must gate on the SAME bucket boundary here
+        # (int(0.3*1e6) truncates to 299999 and the two samplers would
+        # disagree on exactly the boundary hash bucket)
         thr = F.when(F.col(source_col) == src,
-                     F.lit(int(w * 1_000_000))).otherwise(thr)
+                     F.lit(int(round(w * 1_000_000)))).otherwise(thr)
     return df.filter(b < thr)
 
 
@@ -163,6 +167,10 @@ def pack_shards(df: DataFrame, weight_col: str, id_col: str = "doc_id",
     )
     return packed.select(
         id_col, "wt",
-        F.floor(F.col("start") / budget).cast("long").alias("shard_id"),
+        # integer division (DIV), never long/int -> double: floor(x / b)
+        # loses exactness once cumulative weight passes 2^53 (~9e15
+        # tokens — inside the 100 TB design envelope) and would silently
+        # mis-assign shards there
+        F.expr(f"start div {int(budget)}").cast("long").alias("shard_id"),
         (F.col("start") % budget).cast("long").alias("offset"),
     )

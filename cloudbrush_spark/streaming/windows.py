@@ -28,7 +28,10 @@ def read_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source event stream (new files appear -> new micro-batch)."""
     reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        if max_files_per_trigger < 1:
+            raise ValueError(
+                f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}")
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path)
 
@@ -139,7 +142,10 @@ def read_document_stream(spark: SparkSession, path: str,
     """File-source document stream — continuous corpus ingestion (new
     parquet drops -> new micro-batch)."""
     reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        if max_files_per_trigger < 1:
+            raise ValueError(
+                f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}")
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path)
 
