@@ -43,6 +43,41 @@ def _stage_cut(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+# Over-cap bucket lists are usually tiny (bound: members * bands /
+# bucket_cap), so the default plan collects them driver-side.  Past this
+# many rows that collect becomes its own cliff (1e9 vectors x 16 tables /
+# 1k cap ~ 16M driver rows) and the list stays distributed instead.
+OVERCAP_COLLECT_MAX = 100_000
+
+
+def _cap_list_frame(big_lazy: DataFrame, schema: str,
+                    collect_max: int | None = None) -> DataFrame | None:
+    """Materialize an over-cap bucket-key list for its multiple downstream
+    uses (anti-join, hot-member semi-join, emptiness branch).
+
+    Common case: collect driver-side and re-emit as a literal frame — the
+    list is provably small, a lazy plan would re-run the bucket aggregate
+    per use, and knowing emptiness driver-side skips the whole level-2
+    plumbing (several jobs) on the no-hot-bucket corpus.  Returns ``None``
+    for empty.
+
+    Past ``collect_max`` rows (default ``OVERCAP_COLLECT_MAX``, resolved
+    at call time so tests can lower it) the driver collect is the cliff,
+    so the SAME list is kept distributed as a checkpointed frame: every
+    downstream join keeps its shape (the ``F.broadcast`` hints now ship
+    the persisted frame — still only a few bytes per bucket key), and the
+    aggregate still runs exactly once.
+    """
+    if collect_max is None:
+        collect_max = OVERCAP_COLLECT_MAX
+    rows = big_lazy.limit(collect_max + 1).collect()
+    if not rows:
+        return None
+    if len(rows) <= collect_max:
+        return big_lazy.sparkSession.createDataFrame(rows, schema)
+    return _stage_cut(big_lazy)
+
+
 def dedup_reads(reads: DataFrame, id_col: str = "read_id", seq_col: str = "seq",
                 k: int = 21) -> DataFrame:
     """P1+P2 in one shot: canonical-key exact dedup of DNA reads.
@@ -526,15 +561,13 @@ def _hamming_pairs_from_cached(sig: DataFrame, id_col: str, nchunks: int,
             for c in range(nchunks)
         ])).alias("ch"),
     ).select("sim_hi", "sim_lo", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
-    # the over-cap bucket list is PROVABLY tiny (at most
-    # n_distinct_sigs * nchunks / bucket_cap rows survive the filter), so
-    # collect it once and re-emit as a literal frame: as a lazy plan it
-    # would re-run the full chunk aggregate for each of its three uses
-    # (anti-join, hot-member semi-join, emptiness branch)
-    big_rows = (chunks.groupBy("c", "v").count()
-                .filter(F.col("count") > bucket_cap).select("c", "v").collect())
-    spark = sig.sparkSession
-    big = spark.createDataFrame(big_rows, "c int, v long") if big_rows else None
+    # the over-cap bucket list is bounded by n_distinct_sigs * nchunks /
+    # bucket_cap rows; _cap_list_frame collects it once below the driver
+    # threshold and keeps it distributed past it
+    big = _cap_list_frame(
+        chunks.groupBy("c", "v").count()
+        .filter(F.col("count") > bucket_cap).select("c", "v"),
+        "c int, v long")
     capped = chunks if big is None else \
         chunks.join(F.broadcast(big), ["c", "v"], "left_anti")
 

@@ -211,23 +211,20 @@ def _capped_rep_pairs(groups: DataFrame, dim: int, planes: int, seed: int,
     <= max_bucket members, so candidates <= tables * n * max_bucket / 2
     + n star rows — linear in n with the cap constant.
     """
-    from cloudbrush_spark.operators.dedup import _stage_cut
+    from cloudbrush_spark.operators.dedup import _cap_list_frame, _stage_cut
     b = lsh_bucket(groups, dim, planes, seed, id_col="rep", vec_col="__vec",
                    tables=tables)
     b1 = _stage_cut(b.select("rep", "tbl", "bucket"))
-    # the over-cap bucket list is PROVABLY tiny (at most
-    # n * tables / max_bucket rows survive the filter), so collect it once
-    # and re-emit as a literal frame — the same pattern as the SimHash cap
-    # (dedup._hamming_pairs_from_cached): as a lazy plan it would re-run
-    # the bucket aggregate for each of its uses, and knowing emptiness
-    # driver-side skips the whole level-2 plumbing (several jobs) on the
-    # common no-hot-bucket corpus
-    big_rows = (b1.groupBy("tbl", "bucket").count()
-                .filter(F.col("count") > max_bucket)
-                .select("tbl", "bucket").collect())
-    spark = groups.sparkSession
-    big = (spark.createDataFrame(big_rows, "tbl int, bucket long")
-           if big_rows else None)
+    # over-cap bucket list, bounded by n * tables / max_bucket rows — the
+    # same cap pattern as the SimHash side (dedup._hamming_pairs_from_
+    # cached): collected driver-side below the OVERCAP_COLLECT_MAX
+    # threshold (knowing emptiness skips the level-2 plumbing on the
+    # common no-hot-bucket corpus), kept distributed past it
+    big = _cap_list_frame(
+        b1.groupBy("tbl", "bucket").count()
+        .filter(F.col("count") > max_bucket)
+        .select("tbl", "bucket"),
+        "tbl int, bucket long")
     small = b1 if big is None else \
         b1.join(F.broadcast(big), ["tbl", "bucket"], "left_anti")
     pairs = _bucket_pair_join(small, ["tbl", "bucket"])

@@ -71,3 +71,31 @@ def test_unforced_matches_brute_force(spark):
     sigs = _mk_hot_chunk_sigs(seed=3, n=40, n_paired=10, max_hamming=7,
                               chunk_width=8)
     assert _spark_pairs(spark, sigs, 7, bucket_cap=1000) == _brute(sigs, 7)
+
+
+def test_thousands_of_hot_buckets_distributed_cap_list(spark, monkeypatch):
+    """Over-cap guard: when the over-cap bucket list itself is too large
+    to collect (thousands of hot buckets vs a lowered driver threshold),
+    the cap list stays distributed — and the pair output is IDENTICAL to
+    the collect-path plan."""
+    rnd = random.Random(17)
+    # 700 random 64-bit sigs: each of the 8 chunks has 256 possible 8-bit
+    # values, so expected bucket occupancy ~2.7 — with bucket_cap=1
+    # essentially every occupied (c, v) bucket is over cap
+    sigs = [rnd.getrandbits(64) for _ in range(700)]
+    hot = (
+        spark.createDataFrame(
+            [(i, s >> 32, s & 0xFFFFFFFF) for i, s in enumerate(sigs)],
+            "id long, sim_hi long, sim_lo long")
+        .select(F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"),
+                     F.shiftright("sim_hi" if c < 4 else "sim_lo",
+                                  (c % 4) * 8).bitwiseAND(F.lit(0xFF))
+                     .alias("v")) for c in range(8)])).alias("ch"))
+        .groupBy("ch.c", "ch.v").count().filter(F.col("count") > 1).count())
+    assert hot > 1500  # the fixture really produces thousands of hot buckets
+
+    collected = _spark_pairs(spark, sigs, 7, bucket_cap=1)
+    monkeypatch.setattr(dedup, "OVERCAP_COLLECT_MAX", 100)
+    distributed = _spark_pairs(spark, sigs, 7, bucket_cap=1)
+    assert distributed == collected

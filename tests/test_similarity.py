@@ -135,6 +135,32 @@ def test_capped_rep_pairs_hot_bucket_linear(spark):
     assert drop.count() <= 2 * 300 * 20
 
 
+def test_capped_rep_pairs_distributed_cap_list(spark, monkeypatch):
+    """Vector-side over-cap guard: with the driver collect threshold
+    lowered below the hot-bucket count, the cap list stays distributed and
+    the candidate set is identical to the collect-path plan (both modes)."""
+    import random as pyrandom
+
+    from cloudbrush_spark.operators import dedup as dedup_mod
+    rng = pyrandom.Random(11)
+    rows = [(i, [10.0 + rng.gauss(0, 0.01), 20.0 + rng.gauss(0, 0.01),
+                 30.0 + rng.gauss(0, 0.01), 40.0 + rng.gauss(0, 0.01)])
+            for i in range(300)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, groups = similarity._collapse(vecs, "vec_id", "embedding")
+
+    def pairs(star):
+        got = similarity._capped_rep_pairs(groups, dim=4, planes=4, seed=7,
+                                           tables=2, max_bucket=20,
+                                           star_overcap=star).collect()
+        return {(r.a, r.b) for r in got}
+
+    want_star, want_drop = pairs(True), pairs(False)
+    monkeypatch.setattr(dedup_mod, "OVERCAP_COLLECT_MAX", 0)
+    assert pairs(True) == want_star
+    assert pairs(False) == want_drop
+
+
 def test_ivf_centroid_sample_is_order_independent(spark):
     """The k-means sample is hash-ordered, not first-N: on a corpus SORTED
     by cluster, a first-N sample of size << corpus would train every
