@@ -695,37 +695,42 @@ def q_sink_formats(spark, sf_dir):
 
 
 def q_curation_pipeline(spark, sf_dir):
-    """End-to-end curation composite (pipeline/curation.py): quality/lang/
-    length gate -> exact fingerprint dedup -> MinHash/LSH cluster dedup
-    (keep each cluster's representative) -> deterministic md5 split ->
-    PUBLISH through the corpus sink (sources/corpus.publish_corpus) into a
-    scratch dir.  The returned rows are rebuilt from the READ-BACK parquet,
-    so the sink's manifest join, split-partitioned write and content
-    fidelity sit on the driver's hash: a lost/duplicated row breaks the
-    row count, a wrong split assignment breaks the value hash, and
-    ``text_ok`` compares the read-back text md5 against the source md5
-    row-by-row (the oracle emits the trivially-true twin — the
-    ann_contracts invariant pattern).  At sf0.01: 500 docs -> 453 gated ->
-    431 curated -> published and read back."""
+    """FULL RELEASE composite (pipeline/release.py, r8) — the document
+    analogue of the reference's single -reads -> -asm driver chain
+    (src/Brush/BrushAssembler.java:829-893): quality/lang/length gate ->
+    exact fingerprint dedup -> MinHash/LSH cluster dedup -> deterministic
+    md5 split (= the r7 curation manifest) -> DOMAIN-MIXTURE resampling
+    (2.5x src0-4 / 1.0x src5-9 / 0.3x src10-19, copy column) ->
+    token-budget SHARD PACKING (1000-token shards over doc_id#copy
+    identities, bucketed two-phase cumsum) -> PUBLISH through the corpus
+    sink into a scratch dir.  The returned rows are rebuilt from the
+    READ-BACK parquet joined to the release manifest, so the sink's
+    manifest join, split-partitioned write, per-copy duplication, shard
+    assignment and content fidelity all sit on the driver's hash:
+    a lost/duplicated copy breaks the row count, a wrong split/shard
+    breaks the value hash, and ``text_ok`` compares the read-back text
+    md5 against the source md5 row-by-row (the oracle emits the
+    trivially-true twin — the ann_contracts invariant pattern)."""
     import tempfile
 
-    from cloudbrush_spark.pipeline import curation
+    from cloudbrush_spark.pipeline.release import release as run_release
     from cloudbrush_spark.sources import corpus
     docs = _t(spark, sf_dir, "documents")
-    # the manifest feeds the publish write AND the feature join on the
-    # read-back — cut once (4k rows at sf0.1) so the whole gate/dedup/CC
-    # composite does not execute twice
-    manifest = dedup._stage_cut(curation.curate(docs))
+    weights = {f"src{i}": (2.5 if i < 5 else 1.0 if i < 10 else 0.3)
+               for i in range(20)}
     path = os.path.join(
         tempfile.gettempdir(),
-        "cb_publish_" + os.path.basename(os.path.normpath(sf_dir)))
-    corpus.publish_corpus(docs, manifest, path, files_per_split=4)
-    back = corpus.read_corpus(spark, path)
+        "cb_release_" + os.path.basename(os.path.normpath(sf_dir)))
+    rel = run_release(spark, docs, path, mixture_weights=weights,
+                      budget=1000, files_per_split=4)
+    back = corpus.read_corpus(spark, os.path.join(path, "corpus"))
     src_md5 = docs.select("doc_id", F.md5("text").alias("__src_md5"))
     return (
         back.join(src_md5, "doc_id")
-        .join(manifest.select("doc_id", "ws_tokens", "quality"), "doc_id")
-        .select("doc_id", "split", "ws_tokens", "quality",
+        .join(rel.select("doc_id", "copy", "ws_tokens", "quality"),
+              ["doc_id", "copy"])
+        .select("doc_id", "copy", "split", "shard_id", "offset",
+                "ws_tokens", "quality",
                 (F.md5("text") == F.col("__src_md5")).alias("text_ok"))
     )
 
@@ -2428,9 +2433,53 @@ _ORACLES["curation_pipeline"] = f"""
     ),
     labels AS (SELECT member, min(lab) AS cluster_rep FROM reach GROUP BY member),
     reps AS (SELECT member AS doc_id FROM labels WHERE member = cluster_rep),
-    splits AS ({_split_case_sql("reps")})
-    SELECT s.doc_id, s.split, cf.ws_tokens, cf.quality, TRUE AS text_ok
-    FROM splits s JOIN cf ON cf.doc_id = s.doc_id
+    splits AS ({_split_case_sql("reps")}),
+    man AS (
+        SELECT s.doc_id, s.split, cf.ws_tokens, cf.quality
+        FROM splits s JOIN cf ON cf.doc_id = s.doc_id),
+    -- r8 full release: domain-mixture resampling over the curated
+    -- survivors (same weights/seed as the text_fp_split mixture leg)
+    mixn AS (
+        SELECT m.doc_id, m.split, m.ws_tokens, m.quality,
+               CASE WHEN CAST(substr(d.source, 4) AS INT) < 5
+                    THEN 2 + CASE WHEN
+                        CAST(list_sum(list_transform(generate_series(1, 8),
+                             i -> (strpos('0123456789abcdef',
+                                   substring(md5('mixture|' || m.doc_id::VARCHAR), i, 1)) - 1)
+                                  * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)
+                        % 1000000 < 500000 THEN 1 ELSE 0 END
+                    WHEN CAST(substr(d.source, 4) AS INT) < 10 THEN 1
+                    ELSE CASE WHEN
+                        CAST(list_sum(list_transform(generate_series(1, 8),
+                             i -> (strpos('0123456789abcdef',
+                                   substring(md5('mixture|' || m.doc_id::VARCHAR), i, 1)) - 1)
+                                  * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)
+                        % 1000000 < 300000 THEN 1 ELSE 0 END END AS n
+        FROM man m JOIN documents d ON d.doc_id = m.doc_id),
+    mix AS (
+        SELECT doc_id, split, ws_tokens, quality, i AS "copy",
+               doc_id::VARCHAR || '#' || i::VARCHAR AS rel_id
+        FROM mixn, LATERAL (SELECT unnest(generate_series(1, n)) AS i)),
+    -- token-budget shard packing over doc_id#copy identities: the
+    -- sequential single-window twin of the bucketed two-phase cumsum
+    relh AS (
+        SELECT *,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                    i -> (strpos('0123456789abcdef',
+                                 substring(md5('pack|' || rel_id), i, 1)) - 1)
+                         * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) AS h
+        FROM mix),
+    packed AS (
+        SELECT doc_id, "copy", split, ws_tokens, quality,
+               coalesce(sum(ws_tokens) OVER (ORDER BY h % 1024, h, rel_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start
+        FROM relh)
+    SELECT doc_id, "copy", split,
+           CAST(start // 1000 AS BIGINT) AS shard_id,
+           CAST(start % 1000 AS BIGINT) AS "offset",
+           ws_tokens, quality, TRUE AS text_ok
+    FROM packed
 """
 
 # Batch event-time windowing union: the tumbling-window and sessionize

@@ -90,6 +90,18 @@ def _build_parser() -> argparse.ArgumentParser:
                          "-decontam_n word n-gram with it are dropped")
     ap.add_argument("-decontam_n", type=int, default=13,
                     help="curation: decontamination n-gram size")
+    # full-release flags: either one upgrades -curate to the resumable
+    # curate -> mixture -> shard-pack -> publish chain
+    # (pipeline/release.py), the analogue of the reference's single
+    # -reads -> -asm driver chain; -ckpt makes the chain restartable
+    ap.add_argument("-mixture", default=None, metavar="JSON",
+                    help="release: domain-mixture weights as a JSON object "
+                         "{source: weight}; w>1 up-samples (copy column), "
+                         "w<1 down-samples deterministically")
+    ap.add_argument("-budget", type=int, default=None, metavar="TOKENS",
+                    help="release: shard token budget — packs published "
+                         "rows into fixed-weight shards (shard_id/offset "
+                         "columns)")
     return ap
 
 
@@ -143,6 +155,25 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.curate)
         bench = (spark.read.parquet(args.benchmark)
                  if args.benchmark else None)
+        if args.mixture is not None or args.budget is not None:
+            from cloudbrush_spark.pipeline.release import ReleasePipeline
+            weights = json.loads(args.mixture) if args.mixture else None
+            pipe = ReleasePipeline(spark, checkpoint_dir=args.ckpt,
+                                   verbose=True)
+            rel = pipe.run(
+                docs, args.out, mixture_weights=weights, budget=args.budget,
+                files_per_split=args.files_per_split, benchmark=bench,
+                quality_min=args.quality_min, lang=args.lang,
+                min_tokens=args.min_tokens, max_tokens=args.max_tokens,
+                decontam_n=args.decontam_n)
+            counts = {r.split: r.n for r in rel.groupBy("split")
+                      .agg(F.count(F.lit(1)).alias("n")).collect()}
+            n_shards = rel.agg(F.count_distinct("shard_id").alias("n")) \
+                .collect()[0].n
+            print("released:", json.dumps(
+                {"splits": counts, "shards": n_shards,
+                 "stages": pipe.counters}, sort_keys=True))
+            return 0
         manifest = curate(
             docs, quality_min=args.quality_min, lang=args.lang,
             min_tokens=args.min_tokens, max_tokens=args.max_tokens,

@@ -1,0 +1,177 @@
+"""Full corpus-release composite: curate -> mixture -> shard-pack ->
+publish, as ONE resumable pipeline.
+
+This is the document analogue of the reference's single driver chain —
+one invocation runs preprocess through convertFasta with stage gating and
+restartable partial runs (src/Brush/BrushAssembler.java:829-893,
+runStage/checkDone :132-155).  Here the chain is:
+
+1. **curate** (``pipeline/curation.curate``) — gate -> exact dedup ->
+   near-dup cluster dedup -> split manifest (optionally benchmark-
+   decontaminated).
+2. **mixture** (``operators/sampling.mixture_resample``) — domain
+   re-weighting over the curated survivors: down-sample boilerplate
+   domains, up-sample curated ones (``copy`` column keys the duplicates).
+3. **pack** (``operators/sampling.pack_shards``) — deterministic
+   token-budget shard assignment over the mixture rows; identity is
+   ``doc_id#copy`` so up-sampled copies pack as independent rows.
+4. **publish** (``sources/corpus.publish_corpus``) — split-partitioned
+   parquet with bounded balanced files, each row carrying its (copy,
+   shard_id, offset).
+
+Resumability mirrors ``pipeline/assembler.Assembler._stage``: with
+``checkpoint_dir`` set, each stage persists its output parquet plus a
+``_DONE`` marker and a finished stage is LOADED, not recomputed, on the
+next run — what makes a multi-day 100 TB release restartable after a
+mid-pipeline failure.
+
+Scale shape: every stage is an already-audited operator; the composite
+adds no new shuffle pattern.  The mixture stage is narrow (filter +
+bounded explode); pack is the bucketed two-phase cumsum (no global
+one-task sort); the only new join is release-manifest -> corpus inside
+the publish sink (broadcastable after heavy curation, AQE-splittable
+otherwise).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudbrush_spark.operators import sampling
+from cloudbrush_spark.pipeline import curation
+from cloudbrush_spark.sources import corpus as corpus_sink
+
+
+class ReleasePipeline:
+    """Stage-checkpointed driver for :func:`release` — instantiate once
+    per run; ``counters`` records which stages loaded from checkpoint
+    (``loaded_<stage>``) vs computed (``ran_<stage>``)."""
+
+    def __init__(self, spark: SparkSession,
+                 checkpoint_dir: str | None = None,
+                 verbose: bool = False):
+        self.spark = spark
+        self.checkpoint_dir = checkpoint_dir
+        self.verbose = verbose
+        self.counters: dict[str, int] = {}
+
+    def _log(self, msg: str) -> None:
+        if self.verbose:
+            import time
+            print(f"[release {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+    def _stage(self, name: str, fn) -> DataFrame:
+        """Run ``fn`` or load its persisted result — the reference's
+        runStage/checkDone machinery keyed by completion markers."""
+        if not self.checkpoint_dir:
+            # no durable checkpoint: still CUT each stage (in-memory
+            # materialization) — every stage output fans out into at
+            # least two consumers, and a lazy plan would re-execute the
+            # whole upstream chain (the regex-heavy curate DAG) per use
+            from cloudbrush_spark.operators.dedup import _stage_cut
+            self.counters[f"ran_{name}"] = 1
+            return _stage_cut(fn())
+        base = os.path.join(self.checkpoint_dir, name)
+        marker = os.path.join(base, "_DONE")
+        data = os.path.join(base, "data")
+        if os.path.exists(marker):
+            self.counters[f"loaded_{name}"] = 1
+            self._log(f"stage {name}: loaded from checkpoint")
+            return self.spark.read.parquet(data)
+        out = fn()
+        out.write.mode("overwrite").parquet(data)
+        with open(marker, "w") as fh:
+            fh.write("done")
+        self.counters[f"ran_{name}"] = 1
+        self._log(f"stage {name}: computed and checkpointed")
+        return self.spark.read.parquet(data)
+
+    def run(self, docs: DataFrame, out_path: str, *,
+            id_col: str = "doc_id", text_col: str = "text",
+            source_col: str = "source",
+            mixture_weights: dict[str, float] | None = None,
+            mixture_seed: str = "mixture",
+            budget: int | None = None, shard_buckets: int = 1024,
+            pack_seed: str = "pack",
+            files_per_split: int = 16,
+            benchmark: DataFrame | None = None,
+            **curate_kw) -> DataFrame:
+        """Run the full release; returns the RELEASE MANIFEST — one row
+        per published row: (id, copy, split, shard_id, offset, ws_tokens,
+        quality).  Also written to ``out_path/release_manifest.parquet``;
+        the corpus itself lands split-partitioned at ``out_path/corpus``.
+
+        ``mixture_weights=None`` keeps every curated survivor once
+        (copy=1); ``budget=None`` skips shard packing (shard_id=0,
+        offset=0 — one unbounded shard)."""
+        manifest = self._stage(
+            "curate",
+            lambda: curation.curate(docs, id_col=id_col, text_col=text_col,
+                                    benchmark=benchmark, **curate_kw))
+
+        def _mixture() -> DataFrame:
+            if mixture_weights is None:
+                return manifest.withColumn("copy", F.lit(1))
+            # weights key on the corpus's source/domain column: join it
+            # onto the manifest (survivors only — mixture runs on the
+            # CURATED corpus, matching how a release re-balances domains
+            # after cleaning, not before)
+            src = docs.select(id_col, source_col)
+            return (
+                sampling.mixture_resample(
+                    manifest.join(src, id_col),
+                    mixture_weights, source_col=source_col,
+                    id_col=id_col, seed=mixture_seed)
+                .select(id_col, "split", "ws_tokens", "quality", "copy"))
+
+        mixture = self._stage("mixture", _mixture)
+
+        def _pack() -> DataFrame:
+            if budget is None:
+                return mixture.select(
+                    id_col, "copy",
+                    F.lit(0).cast("long").alias("shard_id"),
+                    F.lit(0).cast("long").alias("offset"))
+            # identity for packing is doc_id#copy: an up-sampled copy is
+            # an independent training row and must pack independently
+            rel = mixture.select(
+                F.concat(F.col(id_col).cast("string"), F.lit("#"),
+                         F.col("copy").cast("string")).alias("rel_id"),
+                id_col, "copy", F.col("ws_tokens"))
+            packed = sampling.pack_shards(
+                rel, "ws_tokens", id_col="rel_id", budget=budget,
+                buckets=shard_buckets, seed=pack_seed)
+            return (
+                packed.join(rel.select("rel_id", id_col, "copy"), "rel_id")
+                .select(id_col, "copy", "shard_id", "offset"))
+
+        shards = self._stage("pack", _pack)
+
+        rel_manifest = (
+            mixture.join(shards, [id_col, "copy"])
+            .select(id_col, "copy", "split", "shard_id", "offset",
+                    "ws_tokens", "quality"))
+
+        def _publish() -> DataFrame:
+            corpus_sink.publish_corpus(
+                docs, rel_manifest, os.path.join(out_path, "corpus"),
+                id_col=id_col, files_per_split=files_per_split,
+                carry_cols=("copy", "shard_id", "offset"))
+            rel_manifest.write.mode("overwrite").parquet(
+                os.path.join(out_path, "release_manifest.parquet"))
+            return self.spark.read.parquet(
+                os.path.join(out_path, "release_manifest.parquet"))
+
+        return self._stage("publish", _publish)
+
+
+def release(spark: SparkSession, docs: DataFrame, out_path: str,
+            checkpoint_dir: str | None = None, verbose: bool = False,
+            **kw) -> DataFrame:
+    """Functional wrapper over :class:`ReleasePipeline` — see
+    :meth:`ReleasePipeline.run` for the stage chain and keyword surface."""
+    return ReleasePipeline(spark, checkpoint_dir=checkpoint_dir,
+                           verbose=verbose).run(docs, out_path, **kw)

@@ -45,17 +45,22 @@ def publish_corpus(docs: DataFrame, manifest: DataFrame, path: str,
                    n_splits: int = 3,
                    max_records_per_file: int = 5_000_000,
                    broadcast_manifest: bool = False,
-                   compression: str = "zstd") -> None:
+                   compression: str = "zstd",
+                   carry_cols: tuple[str, ...] = ()) -> None:
     """Join the curation manifest back to the raw corpus and write the
     published training set at ``path`` partitioned by split.
 
     If ``docs`` already carries a ``split_col`` column (a stale
     assignment from an earlier pipeline), it is dropped: the manifest's
     assignment is authoritative, and keeping both would make the join
-    output ambiguous."""
+    output ambiguous.
+
+    ``carry_cols`` names extra manifest columns copied onto the published
+    rows (e.g. the release pipeline's copy/shard_id/offset) — a manifest
+    id may then map to SEVERAL published rows (one per up-sampled copy)."""
     if split_col in docs.columns:
         docs = docs.drop(split_col)
-    m = manifest.select(id_col, split_col)
+    m = manifest.select(id_col, split_col, *carry_cols)
     if broadcast_manifest:
         m = F.broadcast(m)
     out = docs.join(m, id_col)

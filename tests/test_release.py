@@ -1,0 +1,112 @@
+"""Full release composite (pipeline/release.py): curate -> mixture ->
+shard-pack -> publish as one resumable chain — stage semantics,
+checkpoint/resume (the reference's runStage/checkDone contract,
+src/Brush/BrushAssembler.java:132-155), and published-corpus fidelity."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from cloudbrush_spark.pipeline.release import ReleasePipeline, release
+from tests.test_curation import GOOD, GOOD2
+
+# deterministic quality filler: enough distinct words, low repetition
+FILLER = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+          "lambda mu nu xi omicron pi rho sigma tau upsilon")
+
+
+def _docs(spark, n=40):
+    rows = []
+    for i in range(n):
+        base = GOOD if i % 2 == 0 else GOOD2
+        rows.append((i, f"{base} {FILLER} unique token number {i} ends here",
+                     "webcrawl" if i < 20 else "curated"))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_release_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "rel")
+    rel = release(spark, _docs(spark), out,
+                  mixture_weights={"curated": 2.0, "webcrawl": 0.5},
+                  budget=100, max_tokens=2000)
+    rows = rel.collect()
+    assert rows
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.doc_id, []).append(r)
+    # mixture: curated docs appear exactly twice (w=2.0), webcrawl docs
+    # at most once (w=0.5 down-samples deterministically)
+    for doc_id, rs in by_id.items():
+        copies = sorted(r.copy for r in rs)
+        if doc_id >= 20:
+            assert copies == [1, 2]
+        else:
+            assert copies == [1]
+    # pack: offsets stay inside the budget; shard ids contiguous from 0
+    shard_ids = {r.shard_id for r in rows}
+    assert all(0 <= r.offset < 100 for r in rows)
+    assert shard_ids == set(range(max(shard_ids) + 1))
+    # publish: read-back corpus rows match the manifest 1:1 (copy-level)
+    # and text round-trips
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert corpus.count() == len(rows)
+    src_md5 = _docs(spark).select("doc_id", F.md5("text").alias("m"))
+    bad = (corpus.join(src_md5, "doc_id")
+           .filter(F.md5("text") != F.col("m")).count())
+    assert bad == 0
+    assert {"copy", "shard_id", "offset", "split"} <= set(corpus.columns)
+
+
+def test_release_defaults_single_copy_single_shard(spark, tmp_path):
+    rel = release(spark, _docs(spark, 10), str(tmp_path / "rel"),
+                  max_tokens=2000)
+    rows = rel.collect()
+    assert rows and all(r.copy == 1 for r in rows)
+    assert all(r.shard_id == 0 and r.offset == 0 for r in rows)
+
+
+def test_release_checkpoint_resume(spark, tmp_path):
+    docs = _docs(spark)
+    out1, ck = str(tmp_path / "o1"), str(tmp_path / "ck")
+    kw = dict(mixture_weights={"curated": 2.0, "webcrawl": 0.5},
+              budget=100, max_tokens=2000)
+    p1 = ReleasePipeline(spark, checkpoint_dir=ck)
+    first = {(r.doc_id, r.copy, r.split, r.shard_id, r.offset)
+             for r in p1.run(docs, out1, **kw).collect()}
+    assert p1.counters == {"ran_curate": 1, "ran_mixture": 1,
+                           "ran_pack": 1, "ran_publish": 1}
+
+    # resume: every stage loads, nothing recomputes, output identical
+    p2 = ReleasePipeline(spark, checkpoint_dir=ck)
+    again = {(r.doc_id, r.copy, r.split, r.shard_id, r.offset)
+             for r in p2.run(docs, out1, **kw).collect()}
+    assert again == first
+    assert p2.counters == {"loaded_curate": 1, "loaded_mixture": 1,
+                           "loaded_pack": 1, "loaded_publish": 1}
+
+    # partial resume: invalidate the pack stage -> curate/mixture load,
+    # pack and publish recompute, output still identical
+    os.remove(os.path.join(ck, "pack", "_DONE"))
+    os.remove(os.path.join(ck, "publish", "_DONE"))
+    p3 = ReleasePipeline(spark, checkpoint_dir=ck)
+    third = {(r.doc_id, r.copy, r.split, r.shard_id, r.offset)
+             for r in p3.run(docs, str(tmp_path / "o3"), **kw).collect()}
+    assert third == first
+    assert p3.counters == {"loaded_curate": 1, "loaded_mixture": 1,
+                           "ran_pack": 1, "ran_publish": 1}
+
+
+def test_release_cli(tmp_path, spark, capsys):
+    from cloudbrush_spark.__main__ import main
+    src = str(tmp_path / "docs.parquet")
+    _docs(spark).write.parquet(src)
+    out = str(tmp_path / "out")
+    rc = main(["-curate", src, "-out", out, "-files_per_split", "1",
+               "-max_tokens", "2000",
+               "-mixture", '{"curated": 2.0, "webcrawl": 0.5}',
+               "-budget", "100", "-ckpt", str(tmp_path / "ck")])
+    assert rc == 0
+    assert "released:" in capsys.readouterr().out
+    rel = spark.read.parquet(os.path.join(out, "release_manifest.parquet"))
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert rel.count() == corpus.count() > 0
