@@ -606,9 +606,15 @@ def q_corpus_guard(spark, sf_dir):
       doc is joined against the benchmark's n-gram set through an
       8-byte-hash broadcast.  k = hit/clean, v1 = distinct overlapping
       grams, v2 = distinct grams.
-    - ``pii``: email/IPv4/phone counts (v1/v2/v3) plus k = md5 of the
+    - ``pii``: email/IPv4/US-phone counts (v1/v2/v3) plus k = md5 of the
       scrubbed text — the identity-on-clean-text twin makes the oracle
-      verify the actual replacement output, not just the counts.
+      verify the actual replacement output, not just the counts.  The
+      scrub chain now includes Luhn-validated card redaction (<ID>) and
+      international phones, so k covers those replacements too.
+    - ``pii_ids`` (r8): the checksummed-ID class — v1 = card-shaped
+      candidates, v2 = Luhn-VALID cards (the planted %13 invalid shape
+      must stay out of v2 and out of the scrub), v3 = international
+      phone count.
     - ``rep``: Gopher-style repetition — k = most frequent word bigram
       (smallest-wins tie-break both engines), v1 = its count, v2 = top
       unigram count, v3 = token count.
@@ -632,8 +638,11 @@ def q_corpus_guard(spark, sf_dir):
     # the synthetic corpus contains no PII, so a raw-text pii leg would be
     # vacuously all-zero (scrub = identity).  Plant deterministic PII
     # derived from doc_id (every third doc gets an email, every fifth an
-    # IP, every seventh a phone) — the oracle derives the identical text,
-    # so the counts and the scrubbed-output md5 carry real signal.
+    # IP, every seventh a US phone, every fourth a Luhn-VALID payment
+    # card — separator varies by doc_id%8 — every 13th a Luhn-INVALID
+    # card shape that must survive the scrub, every 11th an international
+    # phone) — the oracle derives the identical text, so the counts, the
+    # checksum verdicts and the scrubbed-output md5 all carry signal.
     planted = docs.select(
         "doc_id",
         F.concat(
@@ -651,20 +660,40 @@ def q_corpus_guard(spark, sf_dir):
                             F.lit("-"),
                             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
                    ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.when(F.col("doc_id") % 8 == 0,
+                          F.lit(" card 4111 1111 1111 1111 ok"))
+                   .otherwise(F.lit(" card 4111-1111-1111-1111 ok"))
+                   ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit(" ref 4111 1111 1111 1112 no")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.lit(" call +44 20 7946 "),
+                            F.lpad((F.col("doc_id") % 10000).cast("string"),
+                                   4, "0"))).otherwise(F.lit("")),
         ).alias("text"))
-    pii = guard.pii_scrub(planted).select(
+    scrub = guard.pii_scrub(planted)
+    pii = scrub.select(
         F.lit("pii").alias("op"), "doc_id",
         F.md5("scrubbed").alias("k"),
         F.col("n_emails").alias("v1"),
         F.col("n_ips").alias("v2"),
         F.col("n_phones").alias("v3"))
+    # r8 second pii row: the checksummed-ID class (card candidates vs
+    # Luhn-valid redactions) + international phone count
+    pii_ids = scrub.select(
+        F.lit("pii_ids").alias("op"), "doc_id",
+        F.lit("").alias("k"),
+        F.col("n_card_candidates").alias("v1"),
+        F.col("n_card_ids").alias("v2"),
+        F.col("n_intl_phones").alias("v3"))
     rep = guard.repetition_stats(docs).select(
         F.lit("rep").alias("op"), "doc_id",
         F.col("top_bigram").alias("k"),
         F.col("top_bigram_cnt").alias("v1"),
         F.col("top_unigram_cnt").alias("v2"),
         F.col("n_tokens").alias("v3"))
-    return dec.unionByName(pii).unionByName(rep)
+    return dec.unionByName(pii).unionByName(pii_ids).unionByName(rep)
 
 
 def q_shard_pack(spark, sf_dir):
@@ -3034,7 +3063,20 @@ _ORACLES["source_roundtrips"] = f"""
 # own constants (identical semantics under Java regex and RE2 — pinned by
 # tests/test_guard.py::test_pii_scrub_matches_duckdb_semantics).
 from cloudbrush_spark.operators.guard import (  # noqa: E402
-    EMAIL_RE, IPV4_RE, PHONE_RE)
+    CARD_RE, EMAIL_RE, INTL_PHONE_RE, IPV4_RE, PHONE_RE)
+
+
+def _luhn_sql(expr: str) -> str:
+    """DuckDB twin of guard.luhn_valid: mod-10 checksum over the digits
+    of ``expr`` as a list fold — same shape as the Spark aggregate."""
+    d = f"regexp_replace({expr}, '[^0-9]', '', 'g')"
+    dig = f"CAST(substring({d}, i, 1) AS INT)"
+    return f"""(length({d}) > 0 AND
+        list_sum(list_transform(generate_series(1, length({d})),
+          i -> CASE WHEN (length({d}) - i) % 2 = 1
+               THEN CASE WHEN 2 * {dig} > 9
+                    THEN 2 * {dig} - 9 ELSE 2 * {dig} END
+               ELSE {dig} END)) % 10 = 0)"""
 
 _ORACLES["corpus_guard"] = f"""
     WITH toks AS (SELECT doc_id, {_TOKS_NE} AS t FROM documents),
@@ -3070,17 +3112,51 @@ _ORACLES["corpus_guard"] = f"""
                || CASE WHEN doc_id % 7 = 0
                        THEN ' tel 555-01' || (doc_id % 10)::VARCHAR || '-'
                             || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN CASE WHEN doc_id % 8 = 0
+                            THEN ' card 4111 1111 1111 1111 ok'
+                            ELSE ' card 4111-1111-1111-1111 ok' END
+                       ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN ' ref 4111 1111 1111 1112 no' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' call +44 20 7946 '
+                            || lpad((doc_id % 10000)::VARCHAR, 4, '0')
                        ELSE '' END AS text
         FROM documents),
+    -- pii scrub chain: email -> IP -> Luhn-valid card fold -> intl
+    -- phone -> US phone, each stage over the previous stage's output
+    -- (the exact order guard.pii_scrub applies)
+    pscrub AS (
+        SELECT doc_id, text,
+               regexp_replace(regexp_replace(text,
+                   '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{IPV4_RE}', '<IP>', 'g') AS t2
+        FROM planted),
+    pcard AS (
+        SELECT doc_id, text,
+               list_reduce(
+                   list_prepend(t2,
+                       list_filter(regexp_extract_all(t2, '{CARD_RE}'),
+                                   m -> {_luhn_sql('m')})),
+                   (acc, x) -> replace(acc, x, '<ID>')) AS t3
+        FROM pscrub),
     pii AS (
         SELECT 'pii' AS op, doc_id,
-               md5(regexp_replace(regexp_replace(regexp_replace(text,
-                   '{EMAIL_RE}', '<EMAIL>', 'g'),
-                   '{IPV4_RE}', '<IP>', 'g'),
+               md5(regexp_replace(regexp_replace(t3,
+                   '{INTL_PHONE_RE}', '<PHONE>', 'g'),
                    '{PHONE_RE}', '<PHONE>', 'g')) AS k,
                CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS v1,
                CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS v2,
                CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS v3
+        FROM pcard),
+    pii_ids AS (
+        SELECT 'pii_ids' AS op, doc_id, '' AS k,
+               CAST(len(regexp_extract_all(text, '{CARD_RE}')) AS BIGINT) AS v1,
+               CAST(len(list_filter(regexp_extract_all(text, '{CARD_RE}'),
+                                    m -> {_luhn_sql('m')})) AS BIGINT) AS v2,
+               CAST(len(regexp_extract_all(text, '{INTL_PHONE_RE}')) AS BIGINT) AS v3
         FROM planted),
     uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
     ucnt AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
@@ -3099,7 +3175,8 @@ _ORACLES["corpus_guard"] = f"""
                CAST(coalesce(ut.uc, 0) AS BIGINT) AS v2,
                CAST(len(tk.t) AS BIGINT) AS v3
         FROM toks tk LEFT JOIN btop bt USING (doc_id) LEFT JOIN utop ut USING (doc_id))
-    SELECT * FROM dec UNION ALL SELECT * FROM pii UNION ALL SELECT * FROM rep
+    SELECT * FROM dec UNION ALL SELECT * FROM pii
+    UNION ALL SELECT * FROM pii_ids UNION ALL SELECT * FROM rep
 """
 
 _ORACLES["shard_pack"] = """

@@ -12,8 +12,9 @@ checks every corpus release runs:
 - ``decontaminate``: flag corpus documents sharing a word n-gram with a
   held-out benchmark/eval set (the GPT-3/Llama-style 13-gram overlap
   rule).
-- ``pii_scrub``: count and redact emails / IPv4 addresses / phone
-  numbers with engine-portable regexes.
+- ``pii_scrub``: count and redact emails / IPv4 addresses / US and
+  international phone numbers / Luhn-validated payment-card numbers
+  with engine-portable regexes (+ an expression-level mod-10 checksum).
 - ``repetition_stats``: most-frequent unigram/bigram mass and duplicate-
   line fraction (Gopher-style repetition filters).
 
@@ -41,6 +42,39 @@ from cloudbrush_spark.functions import text
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+# +CC then 2-5 separator-delimited digit groups: covers "+44 20 7946
+# 0958", "+33 1 42 68 53 00", "+1-800-555-0100".  The leading '+' keeps
+# it disjoint from IPV4_RE and PHONE_RE (scrub order handles the rest).
+INTL_PHONE_RE = r"\+\d{1,3}([-. ]\d{1,4}){2,5}\b"
+# 16-digit payment-card shapes (4x4 separated or bare run); candidates
+# are only counted/redacted when the Luhn checksum validates — the
+# checksummed ID class that separates real PANs from arbitrary digits.
+CARD_RE = r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b|\b\d{16}\b"
+
+
+def luhn_valid(s: Column) -> Column:
+    """True iff the digits of ``s`` pass the Luhn mod-10 checksum.
+
+    Pure expression (aggregate over a digit sequence — codegen'd, no
+    UDF); the DuckDB twin is the same fold via list_transform/list_sum,
+    so the validation is engine-portable like the regexes.
+    """
+    d = F.regexp_replace(s, "[^0-9]", "")
+    n = F.length(d)
+
+    def digit(i: Column) -> Column:
+        return d.substr(i, F.lit(1)).cast("int")
+
+    def term(acc: Column, i: Column) -> Column:
+        dg = digit(i)
+        doubled = dg * 2
+        return acc + F.when(
+            (n - i) % 2 == 1,
+            F.when(doubled > 9, doubled - 9).otherwise(doubled),
+        ).otherwise(dg)
+
+    return (n > 0) & (
+        F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term) % 10 == 0)
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
@@ -107,28 +141,48 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 
 def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
-    """Count and redact emails, IPv4 addresses and phone numbers.
+    """Count and redact emails, IPv4 addresses, payment-card numbers
+    (Luhn-validated) and phone numbers (US and international shapes).
 
-    Output: (id, n_emails, n_ips, n_phones, scrubbed) where ``scrubbed``
-    is the text with matches replaced by ``<EMAIL>`` / ``<IP>`` /
-    ``<PHONE>`` placeholders.  Counts are measured on the ORIGINAL text;
-    replacement applies email -> IP -> phone in that order (the patterns
-    are mutually exclusive on digits-with-separators shapes, so order
-    only matters for pathological overlaps).
+    Output: (id, n_emails, n_ips, n_phones, n_intl_phones,
+    n_card_candidates, n_card_ids, scrubbed).  ``n_card_candidates``
+    counts card-SHAPED matches; ``n_card_ids`` only those passing the
+    Luhn mod-10 checksum, and only those are redacted — a 16-digit
+    invoice number with a failing checksum is left alone.  ``scrubbed``
+    replaces matches with ``<EMAIL>`` / ``<IP>`` / ``<ID>`` / ``<PHONE>``
+    in the order email -> IP -> card -> intl phone -> US phone (each
+    stage matching against the previous stage's output, so a redacted
+    span is never re-matched; the patterns are mutually exclusive on
+    digits-with-separators shapes, so order only matters for
+    pathological overlaps).  Counts are measured on the ORIGINAL text.
 
-    Pure column expressions — codegen'd, zero shuffle, linear scan.
+    Pure column expressions (the card redaction is a fold over the
+    Luhn-valid match list — a higher-order function, still no UDF) —
+    zero shuffle, linear scan.
     """
     col = F.col(text_col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(col, EMAIL_RE, "<EMAIL>"),
-            IPV4_RE, "<IP>"),
-        PHONE_RE, "<PHONE>")
+    t1 = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    # conditional redaction: regexp_replace cannot test a checksum, so
+    # extract card-shaped matches, keep the Luhn-valid ones, and fold
+    # replace() over that (tiny, usually empty) list
+    valid_cards = F.filter(
+        F.regexp_extract_all(t2, F.lit(CARD_RE), F.lit(0)), luhn_valid)
+    t3 = F.aggregate(valid_cards, t2,
+                     lambda acc, m: F.replace(acc, m, F.lit("<ID>")))
+    t4 = F.regexp_replace(t3, INTL_PHONE_RE, "<PHONE>")
+    scrubbed = F.regexp_replace(t4, PHONE_RE, "<PHONE>")
+    card_matches = F.regexp_extract_all(col, F.lit(CARD_RE), F.lit(0))
     return docs.select(
         F.col(id_col),
         F.regexp_count(col, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
         F.regexp_count(col, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
         F.regexp_count(col, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(col, F.lit(INTL_PHONE_RE)).cast("long")
+        .alias("n_intl_phones"),
+        F.size(card_matches).cast("long").alias("n_card_candidates"),
+        F.size(F.filter(card_matches, luhn_valid)).cast("long")
+        .alias("n_card_ids"),
         scrubbed.alias("scrubbed"),
     )
 

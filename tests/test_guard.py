@@ -117,6 +117,120 @@ def test_pii_scrub_matches_duckdb_semantics(spark):
         assert got[doc_id] == tuple(vals), doc_id
 
 
+def test_pii_scrub_cards_and_intl_phones(spark):
+    docs = _docs(spark, [
+        (1, "pay 4111 1111 1111 1111 now"),               # Luhn-valid
+        (2, "invoice 4111 1111 1111 1112 ref"),           # fails Luhn
+        (3, "call +44 20 7946 0958 or +1-800-555-0100"),  # intl x2
+        (4, "bare 4111111111111111 run"),                 # valid, no sep
+        (5, "mixed +33 1 42 68 53 00 fin"),
+        (6, "dashed 5500-0000-0000-0004 mc"),             # Luhn-valid
+    ])
+    out = {r.doc_id: r for r in guard.pii_scrub(docs).collect()}
+    assert out[1].n_card_candidates == out[1].n_card_ids == 1
+    assert out[1].scrubbed == "pay <ID> now"
+    # invalid checksum: counted as candidate, NOT redacted
+    assert (out[2].n_card_candidates, out[2].n_card_ids) == (1, 0)
+    assert out[2].scrubbed == "invoice 4111 1111 1111 1112 ref"
+    assert out[3].n_intl_phones == 2
+    assert out[3].scrubbed == "call <PHONE> or <PHONE>"
+    assert out[4].n_card_ids == 1 and out[4].scrubbed == "bare <ID> run"
+    assert out[5].n_intl_phones == 1 and "<PHONE>" in out[5].scrubbed
+    assert out[6].n_card_ids == 1 and out[6].scrubbed == "dashed <ID> mc"
+
+
+def test_pii_extended_matches_duckdb_semantics(spark):
+    """Cross-engine pin for the r8 patterns: Luhn fold, card redaction
+    and intl phones must agree between Spark (Java regex + aggregate) and
+    DuckDB (RE2 + list fold) — the oracle's exact expression shapes."""
+    duckdb = pytest.importorskip("duckdb")
+    rows = [
+        (1, "a 4111 1111 1111 1111 b +49 30 901820 c 5.5.5.5"),
+        (2, "edge 0000 0000 0000 0000 zero"),       # Luhn-valid (all zero)
+        (3, "run 1234567890123456 and 4111-1111-1111-1111"),
+        (4, "+1 555 0100 short and +123456789 nosep"),
+        (5, "overlap x@y.io 4111 1111 1111 1111 +44 20 7946 0958"),
+    ]
+    docs = _docs(spark, rows)
+    got = {r.doc_id: (r.n_intl_phones, r.n_card_candidates, r.n_card_ids,
+                      r.scrubbed)
+           for r in guard.pii_scrub(docs).collect()}
+    luhn = """(length(regexp_replace({0}, '[^0-9]', '', 'g')) > 0 AND
+        list_sum(list_transform(
+          generate_series(1, length(regexp_replace({0}, '[^0-9]', '', 'g'))),
+          i -> CASE WHEN (length(regexp_replace({0}, '[^0-9]', '', 'g')) - i) % 2 = 1
+               THEN CASE WHEN 2*CAST(substring(regexp_replace({0}, '[^0-9]', '', 'g'), i, 1) AS INT) > 9
+                    THEN 2*CAST(substring(regexp_replace({0}, '[^0-9]', '', 'g'), i, 1) AS INT) - 9
+                    ELSE 2*CAST(substring(regexp_replace({0}, '[^0-9]', '', 'g'), i, 1) AS INT) END
+               ELSE CAST(substring(regexp_replace({0}, '[^0-9]', '', 'g'), i, 1) AS INT) END)) % 10 = 0)"""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    exp = con.execute(f"""
+        WITH s AS (
+          SELECT doc_id, text,
+            regexp_replace(regexp_replace(text, '{guard.EMAIL_RE}', '<EMAIL>', 'g'),
+                           '{guard.IPV4_RE}', '<IP>', 'g') AS t2
+          FROM d),
+        c AS (
+          SELECT doc_id, text,
+            list_reduce(
+              list_prepend(t2, list_filter(regexp_extract_all(t2, '{guard.CARD_RE}'),
+                                           m -> {luhn.format('m')})),
+              (acc, x) -> replace(acc, x, '<ID>')) AS t3
+          FROM s)
+        SELECT doc_id,
+          len(regexp_extract_all(text, '{guard.INTL_PHONE_RE}')),
+          len(regexp_extract_all(text, '{guard.CARD_RE}')),
+          len(list_filter(regexp_extract_all(text, '{guard.CARD_RE}'),
+                          m -> {luhn.format('m')})),
+          regexp_replace(regexp_replace(t3, '{guard.INTL_PHONE_RE}', '<PHONE>', 'g'),
+                         '{guard.PHONE_RE}', '<PHONE>', 'g')
+        FROM c""").fetchall()
+    for doc_id, *vals in exp:
+        assert got[doc_id] == tuple(vals), (doc_id, got[doc_id], vals)
+
+
+def _py_luhn(s):
+    ds = [int(c) for c in s if c.isdigit()]
+    if not ds:
+        return False
+    total = 0
+    for i, d in enumerate(reversed(ds)):
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def test_luhn_valid_matches_python_reference(spark):
+    """Expression-level Luhn vs the textbook python fold, over valid and
+    corrupted card numbers (every single-digit corruption of a valid PAN
+    must flip the verdict — the property Luhn guarantees)."""
+    import random
+    rnd = random.Random(8)
+    cands = []
+    for _ in range(30):
+        body = [rnd.randrange(10) for _ in range(15)]
+        # compute the check digit that makes it valid
+        for chk in range(10):
+            if _py_luhn("".join(map(str, body + [chk]))):
+                break
+        pan = "".join(map(str, body + [chk]))
+        cands.append(pan)
+        pos = rnd.randrange(16)
+        bad = pan[:pos] + str((int(pan[pos]) + rnd.randrange(1, 10)) % 10) + pan[pos + 1:]
+        cands.append(bad)
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cands)],
+                               "i long, s string")
+    got = {r.i: r.ok for r in df.select(
+        "i", guard.luhn_valid(F.col("s")).alias("ok")).collect()}
+    for i, c in enumerate(cands):
+        assert got[i] == _py_luhn(c), c
+
+
 # ---------------------------------------------------------------------------
 # repetition_stats
 # ---------------------------------------------------------------------------
