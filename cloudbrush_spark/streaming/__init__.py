@@ -7,7 +7,10 @@ bounding state.
 """
 
 from cloudbrush_spark.streaming.windows import (  # noqa: F401
+    read_document_stream,
     read_event_stream,
+    stream_curate,
+    stream_curation_gate,
     stream_dedup,
     stream_running_counts,
     stream_sessionize,

@@ -160,8 +160,8 @@ def stream_curation_gate(docs: DataFrame, *, quality_min: float = 0.5,
     form is the batch projection verbatim — no watermark, no state, every
     micro-batch independent.  Near-dup stages stay batch (cluster dedup
     needs the corpus-wide pair graph); production shape is gate + exact
-    `stream_dedup` on a fingerprint column in-stream, near-dup dedup in
-    periodic batch over the gated sink."""
+    ``stream_curate`` dedup on the fingerprint in-stream, near-dup dedup
+    in periodic batch over the gated sink."""
     from cloudbrush_spark.operators import textops
     from cloudbrush_spark.functions import text as textfn
     q = textops.quality_col("text")
@@ -172,3 +172,42 @@ def stream_curation_gate(docs: DataFrame, *, quality_min: float = 0.5,
         wc.alias("ws_tokens"),
         ((q >= quality_min) & (l == lang)
          & wc.between(min_tokens, max_tokens)).alias("keep"))
+
+
+DOC_TS_SCHEMA = "doc_id long, text string, ts timestamp"
+
+
+def stream_curate(docs: DataFrame, *, quality_min: float = 0.5,
+                  lang: str = "en", min_tokens: int = 10,
+                  max_tokens: int = 1000, ts_col: str = "ts",
+                  watermark: str = "10 minutes") -> DataFrame:
+    """Streaming gate + EXACT DEDUP: the streaming form of ``curate``'s
+    first two stages (quality/lang/length gate -> normalized-fingerprint
+    exact dedup), applied as documents arrive.
+
+    Survivor filter (``keep``) runs first, then
+    ``dropDuplicatesWithinWatermark`` on the content fingerprint: state
+    for a fingerprint is held only until the watermark passes its arrival
+    time, so state is BOUNDED — the only exact-dedup form that survives
+    an unbounded corpus stream (a duplicate arriving after its original's
+    state expired is re-emitted; at-least-once dedup, same contract as
+    ``stream_dedup``).  The near-dup cluster stage stays batch over the
+    deduped sink (it needs the corpus-wide pair graph).
+
+    Output: one row per first-arrival of each kept fingerprint —
+    (doc_id, ts, fp, quality, ws_tokens).
+    """
+    from cloudbrush_spark.functions import text as textfn
+    from cloudbrush_spark.operators import textops
+    q = textops.quality_col("text")
+    l = textops.lang_pred_col("text")  # noqa: E741
+    wc = textfn.token_count("text").cast("long")
+    gated = docs.select(
+        "doc_id", F.col(ts_col).alias(ts_col),
+        textfn.fingerprint("text").alias("fp"),
+        q.alias("quality"), wc.alias("ws_tokens"),
+        ((q >= quality_min) & (l == lang)
+         & wc.between(min_tokens, max_tokens)).alias("keep"),
+    ).filter("keep").drop("keep")
+    return (gated.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["fp"]))

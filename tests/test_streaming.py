@@ -147,3 +147,57 @@ def test_stream_curation_gate_equals_batch_gate(spark, tmp_path):
     assert out.count() == batch.count() > 0
     diff = out.exceptAll(batch).count() + batch.exceptAll(out).count()
     assert diff == 0
+
+
+def test_stream_curate_gate_plus_dedup_equals_batch(spark, tmp_path):
+    """stream_curate (gate -> dropDuplicatesWithinWatermark on the
+    fingerprint) must keep exactly one survivor per batch-gate-surviving
+    fingerprint: same fp set, one row per fp, every survivor a member of
+    that fp's batch group.  Which member survives is arrival-order
+    dependent (first arrival), so the pin is set-level, not id-level."""
+    from cloudbrush_spark.functions import text as textfn
+    from cloudbrush_spark.operators import textops
+    from cloudbrush_spark.streaming.windows import (
+        DOC_TS_SCHEMA, read_document_stream, stream_curate)
+
+    base = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "river for a drink of cold clear water in the morning light")
+    rows = []
+    for i in range(30):
+        # three exact-duplicate families (normalized: case/punct differ)
+        fam = i % 3
+        txt = f"{base} family {fam} marker"
+        if i % 2:
+            txt = txt.upper() + "!!"
+        rows.append((i, txt, _ts(9, i)))
+    rows.append((90, "too short", _ts(9, 50)))              # gated out
+    df = spark.createDataFrame(rows, DOC_TS_SCHEMA)
+    src = str(tmp_path / "docs_ts")
+    df.repartition(3).write.parquet(src)
+
+    # watermark covers the whole fixture's time range: duplicates beyond
+    # the watermark re-emit BY CONTRACT (at-least-once, bounded state),
+    # so exact batch equivalence needs the window to span the data
+    out = _run_stream(
+        spark,
+        stream_curate(read_document_stream(spark, src, schema=DOC_TS_SCHEMA,
+                                           max_files_per_trigger=1),
+                      watermark="2 hours"),
+        "stream_curate", output_mode="append")
+    got = out.collect()
+
+    batch = spark.read.parquet(src)
+    q = textops.quality_col("text")
+    l = textops.lang_pred_col("text")  # noqa: E741
+    wc = textfn.token_count("text").cast("long")
+    kept = (batch.select("doc_id", textfn.fingerprint("text").alias("fp"),
+                         q.alias("quality"), l.alias("lp"), wc.alias("wt"))
+            .filter((F.col("quality") >= 0.5) & (F.col("lp") == "en")
+                    & F.col("wt").between(10, 1000)))
+    fp_members = {}
+    for r in kept.collect():
+        fp_members.setdefault(r.fp, set()).add(r.doc_id)
+    assert len(fp_members) == 3            # the three duplicate families
+    assert len(got) == 3                   # one survivor per fingerprint
+    for r in got:
+        assert r.doc_id in fp_members[r.fp]
