@@ -1235,6 +1235,29 @@ def q_ann_contracts(spark, sf_dir):
             .unionByName(r_embc))
 
 
+def q_probe_emb_near_dup(spark, sf_dir):
+    """Scale-probe leg (NOT in ``queries()`` — used only by
+    scripts/scale_probe.py): the LSH star-mode near-dup pair path ALONE,
+    without the O(n^2) brute-force twin that lives inside the
+    ``ann_contracts`` correctness row (infeasible at 200k vectors).
+    Star over-cap mode is the 100 TB configuration — over-cap buckets
+    emit rep-anchored edges instead of all pairs."""
+    emb = _emb(spark, sf_dir)
+    return similarity.embedding_near_dup(
+        emb, dim=64, threshold=0.42, planes=4, seed=42, tables=16,
+        overcap="star")
+
+
+def q_probe_emb_clusters(spark, sf_dir):
+    """Scale-probe leg (NOT in ``queries()``): the embedding_clusters
+    LSH->connected-components product alone, same params as the
+    ``ann_contracts`` 'emb_clusters' row (which additionally recomputes
+    the exact cluster count brute-force for the correctness check)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.embedding_clusters(emb, dim=64, threshold=0.42,
+                                         planes=4, seed=42, tables=16)
+
+
 def q_relational_extras(spark, sf_dir):
     """SURVEY §2.8 relational extensions in ONE hash-checked union — as-of
     join, bounded range join, ROLLUP, grouped top-k, EXCEPT DISTINCT —

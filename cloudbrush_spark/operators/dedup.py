@@ -545,11 +545,24 @@ def _hamming_pairs_from_cached(sig: DataFrame, id_col: str, nchunks: int,
                                width: int, mask: int, max_hamming: int,
                                bucket_cap: int) -> DataFrame:
     half = nchunks // 2
+    sc = sig.sparkSession.sparkContext
+    # parallelism for the pair-expansion stages.  The banded join is an
+    # EXPLOSIVE operator: a few MB of banded signatures in, up to
+    # cap^2/2 candidate rows per bucket out — so AQE's input-byte-based
+    # partition coalescing is exactly wrong for it (profiled at x10: the
+    # whole expansion coalesced onto 2 tasks, 123s of a 146s query).
+    # Explicit repartition(n, keys) is exempt from AQE coalescing, which
+    # is what pins the expansion width below.
+    npart = max(sc.defaultParallelism,
+                int(sig.sparkSession.conf.get("spark.sql.shuffle.partitions")))
     # one materialized distinct: every downstream branch (cap aggregate,
     # both pair-join sides, the hot-member explode) re-derives from
     # ``chunks`` — without the cut each re-derivation replays the
-    # distinct's shuffle
-    dsig = _stage_cut(sig.select("sim_hi", "sim_lo").distinct())
+    # distinct's shuffle.  Round-robin repartition BEFORE the cut so the
+    # checkpointed blocks (the fan-out root of every downstream stage)
+    # carry full parallelism instead of AQE's byte-sized 1-2 partitions.
+    dsig = _stage_cut(sig.select("sim_hi", "sim_lo").distinct()
+                      .repartition(npart))
     chunks = dsig.select(
         "sim_hi", "sim_lo",
         F.explode(F.array(*[
