@@ -552,9 +552,18 @@ def _hamming_pairs_from_cached(sig: DataFrame, id_col: str, nchunks: int,
     # partition coalescing is exactly wrong for it (profiled at x10: the
     # whole expansion coalesced onto 2 tasks, 123s of a 146s query).
     # Explicit repartition(n, keys) is exempt from AQE coalescing, which
-    # is what pins the expansion width below.
-    npart = max(sc.defaultParallelism,
-                int(sig.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    # is what pins the expansion width below.  Width is sized to the
+    # SIGNATURE COUNT (cached upstream by both callers, so the count is
+    # a no-op job), not blindly to the core count: pinning 32-wide
+    # blocks under a 5k-signature sf0.1 input re-adds ~1s of pure
+    # task-launch overhead across the ~10 downstream stages that fan
+    # out from the cut — the narrow plan AQE picked there was right.
+    # ~1500 signatures per partition reproduces the measured-good x10
+    # width (50k sigs / 32 cores) and shrinks to a handful of tasks on
+    # test-scale inputs; the cap keeps task counts bounded at 1B rows.
+    npart_max = max(sc.defaultParallelism,
+                    int(sig.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    npart = max(1, min(npart_max, -(-sig.count() // 1500)))
     # one materialized distinct: every downstream branch (cap aggregate,
     # both pair-join sides, the hot-member explode) re-derives from
     # ``chunks`` — without the cut each re-derivation replays the
