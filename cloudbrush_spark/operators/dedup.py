@@ -706,8 +706,12 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
     smaller than the corpus itself), never the full id universe; the
     singleton majority joins the result once, label = own id, after the
     fixpoint.  Per round, one equi-join of the (bounded) edge list
-    against labels plus one min-aggregate — both plain hash shuffles on
-    the id, map-side-combinable.  Each round also POINTER-JUMPS (every
+    against the CHANGED-LABEL FRONTIER (delta iteration — an unchanged
+    node's message was already min-folded by its neighbors when it last
+    changed, so dropping it is lossless; the frontier collapses within
+    2-3 rounds on quasi-clique near-dup graphs and the join turns into
+    an exact-counted broadcast) plus one min-aggregate — map-side
+    combinable hash shuffles when they shuffle at all.  Each round also POINTER-JUMPS (every
     node additionally adopts its current label's label — the doubling
     step of Kiveris et al., "Connected Components in MapReduce"), so
     rounds = O(log diameter), not diameter: near-dup clusters are dense
@@ -722,22 +726,45 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
     contraction loop; the driver-side loop holds only a changed-row
     probe, never data.
     """
-    edges = pairs.select("a", "b")
-    sym = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # cut BEFORE the loop: the edge list is re-joined every round, and an
     # un-checkpointed ``pairs`` input (this package's pair operators end
     # in _stage_cut, but arbitrary caller-built pair frames don't) would
-    # otherwise replay its whole upstream plan once per iteration
-    sym = _stage_cut(sym)
+    # otherwise replay its whole upstream plan once per iteration.  Cut
+    # the DIRECTED edges and derive the symmetrized form lazily: the
+    # union of two column-swapped projections is a map-side no-op each
+    # round, while checkpointing ``sym`` itself would materialize 2×
+    # |pairs| rows (profiled at x100: 1,168 core-seconds — 19% of the
+    # whole query — spent writing the 103M-row symmetrized copy).
+    edges = _stage_cut(pairs.select("a", "b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     nodes = sym.select(F.col("a").alias("member")).distinct()
     labels = _stage_cut(nodes.withColumn("label", F.col("member")))
+    # DELTA ITERATION: only a node whose label CHANGED last round can
+    # deliver new information — an unchanged node's message is the same
+    # one its neighbors min-folded when it last changed (labels are
+    # monotone non-increasing and ``cand`` always carries the current
+    # state, so dropping duplicate messages is exactly lossless).  The
+    # edge join therefore runs against the CHANGED frontier, not the
+    # full label table: near-dup graphs converge from the quasi-clique
+    # core outward, so within 2-3 rounds the frontier is tiny, AQE picks
+    # a broadcast join, and the per-round cost falls from a full
+    # edge-list shuffle (profiled at x100: ~1 GB × ~8 rounds) to a scan.
+    # The frontier is the SAME join the convergence check already paid
+    # for — materialized once per round and reused.
+    delta = labels  # round 0: every node is fresh
+    n_delta = None  # unknown; known exactly from round 1 on
     converged = False
     for it in range(max_iter):
-        msgs = (
-            sym.join(labels.select(F.col("member").alias("a"), "label"), "a")
-            .select(F.col("b").alias("member"), "label")
-        )
+        send = delta.select(F.col("member").alias("a"), "label")
+        if n_delta is not None and n_delta <= 2_000_000:
+            # the frontier is checkpointed and counted, so the broadcast
+            # decision is exact rather than left to AQE's runtime
+            # SMJ->BHJ conversion (which can materialize the edge-list
+            # exchange before the small side's size is known); ≤2M
+            # (member, label) rows is well under executor memory
+            send = F.broadcast(send)
+        msgs = sym.join(send, "a").select(F.col("b").alias("member"), "label")
         cand = labels.unionByName(msgs)
         if it > 0:
             # pointer jump: adopt the label of one's label (labels only
@@ -754,11 +781,14 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
             cand = cand.unionByName(jump)
         new = cand.groupBy("member").agg(F.min("label").alias("label"))
         new = _stage_cut(new)
-        converged = (
-            new.alias("n").join(labels.alias("o"), "member")
+        delta = _stage_cut(
+            new.alias("n")
+            .join(labels.alias("o"), "member")
             .filter(F.col("n.label") != F.col("o.label"))
-            .isEmpty()
+            .select("member", F.col("n.label").alias("label"))
         )
+        n_delta = delta.count()
+        converged = n_delta == 0
         labels = new
         if converged:
             break
