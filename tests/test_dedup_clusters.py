@@ -34,6 +34,20 @@ def test_long_chain_converges_within_budget(spark):
     assert all(r.cluster_rep == 0 and r.n == n for r in out)
 
 
+def test_lollipop_mixed_frontier(spark):
+    # a clique that converges in round 1 welded to a long tail that keeps
+    # propagating for many rounds: exercises delta iteration's claim that
+    # converged-region nodes need not resend — if dropping their messages
+    # lost information, tail nodes joining late would miss the clique's
+    # min label and split the component
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    tail = [(4 + k, 5 + k) for k in range(60)]   # 4-5-6-...-64
+    pairs = _pairs(spark, clique + tail)
+    out = dedup.dedup_clusters(pairs).collect()
+    assert len(out) == 65
+    assert all(r.cluster_rep == 0 and r.n == 65 for r in out)
+
+
 def test_no_items_returns_paired_nodes_only(spark):
     pairs = _pairs(spark, [(4, 2)])
     out = {(r.cluster_rep, r.member, r.n)
