@@ -693,7 +693,24 @@ def q_corpus_guard(spark, sf_dir):
         F.col("top_bigram_cnt").alias("v1"),
         F.col("top_unigram_cnt").alias("v2"),
         F.col("n_tokens").alias("v3"))
-    return dec.unionByName(pii).unionByName(pii_ids).unionByName(rep)
+    # r8 fourth leg — SEMANTIC decontamination (guard.semantic_
+    # decontaminate): embedding-cosine proximity to a deterministic
+    # benchmark slice (vec_id % 97) catches the paraphrase/translation
+    # contamination the 13-gram rule misses.  v1 integerizes the max
+    # benchmark cosine (x10000, rounded) so the cross-engine hash never
+    # rides on raw double bits; benchmark members flag themselves at
+    # exactly 10000.
+    emb = _emb(spark, sf_dir)
+    sem = guard.semantic_decontaminate(
+        emb, emb.filter(F.col("vec_id") % 97 == 0), threshold=0.95).select(
+        F.lit("semdecon").alias("op"), F.col("vec_id").alias("doc_id"),
+        F.when(F.col("contaminated"), F.lit("hit"))
+         .otherwise(F.lit("clean")).alias("k"),
+        F.round(F.col("bench_cosine") * 10000).cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+        F.lit(0).cast("long").alias("v3"))
+    return (dec.unionByName(pii).unionByName(pii_ids).unionByName(rep)
+            .unionByName(sem))
 
 
 def q_shard_pack(spark, sf_dir):
@@ -3197,9 +3214,23 @@ _ORACLES["corpus_guard"] = f"""
                CAST(coalesce(bt.c, 0) AS BIGINT) AS v1,
                CAST(coalesce(ut.uc, 0) AS BIGINT) AS v2,
                CAST(len(tk.t) AS BIGINT) AS v3
-        FROM toks tk LEFT JOIN btop bt USING (doc_id) LEFT JOIN utop ut USING (doc_id))
+        FROM toks tk LEFT JOIN btop bt USING (doc_id) LEFT JOIN utop ut USING (doc_id)),
+    bvec AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+    sem0 AS (
+        SELECT e.vec_id,
+               max(list_dot_product(e.embedding, b.embedding)
+                   / (sqrt(list_dot_product(e.embedding, e.embedding))
+                      * sqrt(list_dot_product(b.embedding, b.embedding)))) AS mx
+        FROM embeddings e CROSS JOIN bvec b GROUP BY e.vec_id),
+    sem AS (
+        SELECT 'semdecon' AS op, e.vec_id AS doc_id,
+               CASE WHEN coalesce(s.mx, -1.0) >= 0.95 THEN 'hit' ELSE 'clean' END AS k,
+               CAST(round(coalesce(s.mx, -1.0) * 10000, 0) AS BIGINT) AS v1,
+               CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3
+        FROM embeddings e LEFT JOIN sem0 s USING (vec_id))
     SELECT * FROM dec UNION ALL SELECT * FROM pii
     UNION ALL SELECT * FROM pii_ids UNION ALL SELECT * FROM rep
+    UNION ALL SELECT * FROM sem
 """
 
 _ORACLES["shard_pack"] = """

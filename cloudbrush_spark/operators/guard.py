@@ -17,6 +17,9 @@ checks every corpus release runs:
   with engine-portable regexes (+ an expression-level mod-10 checksum).
 - ``repetition_stats``: most-frequent unigram/bigram mass and duplicate-
   line fraction (Gopher-style repetition filters).
+- ``semantic_decontaminate``: embedding-cosine proximity to the
+  benchmark set — the contamination class (paraphrases, translations,
+  reformatted eval items) the exact n-gram rule cannot see.
 
 Scale shape: decontaminate is explode -> broadcast-semi-join -> per-doc
 count (the benchmark gram set is tiny relative to the corpus — a few
@@ -251,3 +254,74 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
             "n_tokens", "n_bigrams", "dup_line_frac",
         )
     )
+
+
+def semantic_decontaminate(vectors: DataFrame, benchmark: DataFrame,
+                           threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           max_benchmark: int = 1_000_000) -> DataFrame:
+    """Flag corpus documents whose EMBEDDING is near a benchmark/eval-set
+    embedding — contamination the 13-gram rule misses (paraphrases,
+    translations, format-shuffled eval items).
+
+    Output: one row per ``vectors`` row — (id, bench_cosine,
+    contaminated) where ``bench_cosine`` is the max cosine against any
+    benchmark vector (-1.0 when the benchmark is empty) and
+    ``contaminated`` = bench_cosine >= threshold.
+
+    Scale shape: benchmark suites are SMALL by construction (eval sets
+    are thousands to low millions of rows, never corpus-sized — enforced
+    by ``max_benchmark``), so the benchmark matrix is collected once,
+    L2-normalized, and broadcast; the corpus side is ONE narrow
+    Arrow-batched ``mapInPandas`` pass computing a per-batch matmul
+    (numpy BLAS — the vectorized fast path, never per-row Python) with
+    zero shuffle and zero join.  An n-corpus x m-benchmark pair join
+    would emit n*m rows (1e9 docs x 1e4 eval items = 1e13) — the matmul
+    streams the same arithmetic through C = batch @ B.T without ever
+    materializing pairs.  The analogue of ``decontaminate``'s broadcast
+    gram set, lifted to the embedding space.
+    """
+    import numpy as np
+
+    n_bench = benchmark.count()
+    if n_bench > max_benchmark:
+        raise ValueError(
+            f"benchmark has {n_bench} vectors (> max_benchmark="
+            f"{max_benchmark}); semantic decontamination broadcasts the "
+            "benchmark matrix — a corpus-sized 'benchmark' needs the "
+            "near-dup pair machinery (similarity.embedding_near_dup), "
+            "not a decontamination pass")
+    rows = benchmark.select(vec_col).collect()
+    if rows:
+        bm = np.array([r[0] for r in rows], dtype=np.float64)
+        norms = np.linalg.norm(bm, axis=1)
+        norms[norms == 0.0] = 1.0
+        bm = bm / norms[:, None]
+    else:
+        bm = np.zeros((0, 1), dtype=np.float64)
+    bc = vectors.sparkSession.sparkContext.broadcast(bm)
+    thr = float(threshold)
+    out_schema = f"{id_col} long, bench_cosine double, contaminated boolean"
+
+    def score(batches):
+        import pandas as pd
+        b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if b.shape[0] == 0:
+                mx = np.full(len(pdf), -1.0)
+            else:
+                c = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf[vec_col]])
+                cn = np.linalg.norm(c, axis=1)
+                cn[cn == 0.0] = 1.0
+                mx = ((c / cn[:, None]) @ b.T).max(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "bench_cosine": mx,
+                "contaminated": mx >= thr,
+            })
+
+    return vectors.select(id_col, vec_col).mapInPandas(score, out_schema)

@@ -365,3 +365,55 @@ def test_decontaminate_empty_benchmark_flags_nothing(spark):
     corpus = _docs(spark, [(1, "a b c d e f")])
     out = guard.decontaminate(corpus, bench, n=3).collect()
     assert len(out) == 1 and not out[0].contaminated
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_decontaminate_flags_near_and_exact(spark):
+    # benchmark vector [1,0,0]; corpus has an exact copy (cos 1.0), a
+    # near-paraphrase direction (cos ~0.98), and an orthogonal doc
+    import math
+    near = [math.cos(0.2), math.sin(0.2), 0.0]
+    corpus = _vecs(spark, [(1, [1.0, 0.0, 0.0]),
+                           (2, near),
+                           (3, [0.0, 0.0, 1.0])])
+    bench = _vecs(spark, [(100, [1.0, 0.0, 0.0])])
+    got = {r.vec_id: r for r in
+           guard.semantic_decontaminate(corpus, bench, threshold=0.95).collect()}
+    assert got[1].contaminated and abs(got[1].bench_cosine - 1.0) < 1e-9
+    assert got[2].contaminated and abs(got[2].bench_cosine - math.cos(0.2)) < 1e-6
+    assert not got[3].contaminated and abs(got[3].bench_cosine) < 1e-9
+
+
+def test_semantic_decontaminate_max_over_benchmark(spark):
+    # max cosine across SEVERAL benchmark vectors, not just the first
+    corpus = _vecs(spark, [(1, [0.0, 1.0])])
+    bench = _vecs(spark, [(100, [1.0, 0.0]), (101, [0.0, 2.0])])
+    r = guard.semantic_decontaminate(corpus, bench, threshold=0.95).collect()[0]
+    assert r.contaminated and abs(r.bench_cosine - 1.0) < 1e-9
+
+
+def test_semantic_decontaminate_empty_benchmark(spark):
+    corpus = _vecs(spark, [(1, [1.0, 0.0])])
+    r = guard.semantic_decontaminate(
+        corpus, _vecs(spark, []), threshold=0.95).collect()[0]
+    assert r.bench_cosine == -1.0 and not r.contaminated
+
+
+def test_semantic_decontaminate_zero_norm_vectors(spark):
+    # zero vectors on either side must not divide by zero; a zero corpus
+    # vector has cosine 0 to everything
+    corpus = _vecs(spark, [(1, [0.0, 0.0])])
+    bench = _vecs(spark, [(100, [1.0, 0.0]), (101, [0.0, 0.0])])
+    r = guard.semantic_decontaminate(corpus, bench, threshold=0.95).collect()[0]
+    assert abs(r.bench_cosine) < 1e-9 and not r.contaminated
+
+
+def test_semantic_decontaminate_rejects_corpus_sized_benchmark(spark):
+    import pytest as _pytest
+    corpus = _vecs(spark, [(1, [1.0])])
+    bench = _vecs(spark, [(i, [1.0]) for i in range(5)])
+    with _pytest.raises(ValueError, match="max_benchmark"):
+        guard.semantic_decontaminate(corpus, bench, max_benchmark=3)
