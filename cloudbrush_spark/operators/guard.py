@@ -143,7 +143,8 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 
 
 def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Count and redact emails, IPv4 addresses, payment-card numbers
     (Luhn-validated) and phone numbers (US and international shapes).
 
@@ -158,6 +159,10 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
     span is never re-matched; the patterns are mutually exclusive on
     digits-with-separators shapes, so order only matters for
     pathological overlaps).  Counts are measured on the ORIGINAL text.
+    ``keep_cols`` names input columns carried through unchanged
+    (appended after ``scrubbed``) — lets stateless compositions like
+    ``streaming.stream_guard`` stay one projection instead of a
+    self-join (which on a streaming frame would be stream-stream).
 
     Pure column expressions (the card redaction is a fold over the
     Luhn-valid match list — a higher-order function, still no UDF) —
@@ -187,6 +192,7 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
         F.size(F.filter(card_matches, luhn_valid)).cast("long")
         .alias("n_card_ids"),
         scrubbed.alias("scrubbed"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

@@ -211,3 +211,72 @@ def stream_curate(docs: DataFrame, *, quality_min: float = 0.5,
     ).filter("keep").drop("keep")
     return (gated.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["fp"]))
+
+
+def stream_guard(docs: DataFrame, benchmark: DataFrame | None = None,
+                 n: int = 13, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 max_benchmark_grams: int = 50_000_000) -> DataFrame:
+    """Streaming release-hygiene gate: PII scrub + optional benchmark
+    decontamination, applied as documents ARRIVE.
+
+    Both checks are STATELESS, so every micro-batch is independent — no
+    watermark, no state store:
+
+    - the PII scrub (``guard.pii_scrub``) is pure column expressions and
+      streams verbatim;
+    - decontamination cannot use the batch form's explode -> join ->
+      groupBy (a streaming aggregation would hold per-doc state); the
+      ``benchmark`` side is STATIC by definition, so its distinct gram
+      set is collected once and broadcast (the streaming analogue of
+      ``guard.decontaminate``'s 8-byte-hash broadcast — bounded by
+      ``max_benchmark_grams``), the doc's distinct gram array is built
+      with the same stateless zip-shingle expressions as batch, and an
+      Arrow-batched pandas UDF does vectorized set-membership counting.
+      Counts are over distinct grams — identical to the batch
+      ``n_hit_grams``/``n_grams`` contract.
+
+    Output: one row per arriving doc — the ``pii_scrub`` columns plus
+    (n_hit_grams, n_grams, contaminated) when ``benchmark`` is given.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from cloudbrush_spark.functions import text as textfn
+    from cloudbrush_spark.operators import guard
+
+    if benchmark is None:
+        return guard.pii_scrub(docs, id_col=id_col, text_col=text_col)
+    bench_rows = (
+        benchmark
+        .select(F.explode(F.array_distinct(
+            textfn.word_shingles(textfn.tokens(text_col), n))).alias("g"))
+        .distinct()
+    )
+    cnt = bench_rows.count()
+    if cnt > max_benchmark_grams:
+        raise ValueError(
+            f"benchmark has {cnt} distinct {n}-grams "
+            f"(> max_benchmark_grams={max_benchmark_grams}); a gram set "
+            "that size should go through the batch decontaminate join")
+    bench_set = frozenset(r.g for r in bench_rows.collect())
+    bc = docs.sparkSession.sparkContext.broadcast(bench_set)
+
+    @pandas_udf("long")
+    def n_hits(grams):
+        import pandas as pd
+        bs = bc.value
+        return pd.Series([int(sum(g in bs for g in arr)) for arr in grams])
+
+    # ONE projection: gram counts ride through pii_scrub as keep_cols —
+    # a join of two projections of the same streaming frame would be a
+    # stream-stream join (state + watermark for nothing)
+    grams_col = F.array_distinct(
+        textfn.word_shingles(textfn.tokens(text_col), n))
+    enriched = docs.select(
+        "*",
+        F.size(grams_col).cast("long").alias("n_grams"),
+        n_hits(grams_col).alias("n_hit_grams"))
+    return guard.pii_scrub(
+        enriched, id_col=id_col, text_col=text_col,
+        keep_cols=("n_grams", "n_hit_grams")).select(
+        "*", (F.col("n_hit_grams") > 0).alias("contaminated"))

@@ -201,3 +201,68 @@ def test_stream_curate_gate_plus_dedup_equals_batch(spark, tmp_path):
     assert len(got) == 3                   # one survivor per fingerprint
     for r in got:
         assert r.doc_id in fp_members[r.fp]
+
+
+def test_stream_guard_equals_batch_guard(spark, tmp_path):
+    """stream_guard (PII scrub + broadcast-gram-set decontamination) is
+    stateless, so availableNow streaming output must EXACTLY equal the
+    batch guard composition — same scrubbed text, same PII counts, same
+    distinct-gram hit counts — row for row."""
+    from cloudbrush_spark.operators import guard
+    from cloudbrush_spark.streaming.windows import (
+        DOC_SCHEMA, read_document_stream)
+    from cloudbrush_spark.streaming import stream_guard
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clean = "one two three four five six seven eight nine ten eleven"
+    rows = [
+        (1, f"{base} mail me at a@b.io today"),      # contaminated + email
+        (2, f"{clean} totally unrelated document"),  # clean
+        (3, base),                                   # exact benchmark overlap
+        (4, "tiny"),                                 # fewer tokens than n
+        (5, f"server 10.1.2.3 and card 4111 1111 1111 1111 {clean}"),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    src = str(tmp_path / "docs_guard")
+    df.repartition(2).write.parquet(src)
+    bench = spark.createDataFrame([(100, base)], DOC_SCHEMA)
+
+    out = _run_stream(
+        spark,
+        stream_guard(read_document_stream(spark, src, schema=DOC_SCHEMA,
+                                          max_files_per_trigger=1),
+                     benchmark=bench, n=10),
+        "stream_guard_t", output_mode="append")
+    got = {r.doc_id: r for r in out.collect()}
+
+    batch_docs = spark.read.parquet(src)
+    scrub = {r.doc_id: r for r in guard.pii_scrub(batch_docs).collect()}
+    dec = {r.doc_id: r for r in
+           guard.decontaminate(batch_docs, bench, n=10).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    for i, r in got.items():
+        assert r.scrubbed == scrub[i].scrubbed
+        assert (r.n_emails, r.n_ips, r.n_card_ids) == \
+            (scrub[i].n_emails, scrub[i].n_ips, scrub[i].n_card_ids)
+        assert r.n_grams == dec[i].n_grams
+        assert r.n_hit_grams == dec[i].n_hit_grams
+        assert r.contaminated == dec[i].contaminated
+    assert got[3].contaminated and not got[2].contaminated
+    assert got[4].n_grams == 0
+
+
+def test_stream_guard_without_benchmark_is_pure_scrub(spark, tmp_path):
+    from cloudbrush_spark.operators import guard
+    from cloudbrush_spark.streaming.windows import (
+        DOC_SCHEMA, read_document_stream)
+    from cloudbrush_spark.streaming import stream_guard
+
+    df = spark.createDataFrame(
+        [(1, "ping 8.8.8.8 and mail x@y.zz")], DOC_SCHEMA)
+    src = str(tmp_path / "docs_guard2")
+    df.write.parquet(src)
+    out = _run_stream(
+        spark, stream_guard(read_document_stream(spark, src, schema=DOC_SCHEMA)),
+        "stream_guard_t2", output_mode="append").collect()
+    batch = guard.pii_scrub(spark.read.parquet(src)).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in batch]
