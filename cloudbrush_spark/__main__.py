@@ -90,6 +90,16 @@ def _build_parser() -> argparse.ArgumentParser:
                          "-decontam_n word n-gram with it are dropped")
     ap.add_argument("-decontam_n", type=int, default=13,
                     help="curation: decontamination n-gram size")
+    ap.add_argument("-bench_embeddings", default=None, metavar="PARQUET",
+                    help="curation: benchmark embeddings parquet (vec_id, "
+                         "embedding); with -embeddings, gated docs within "
+                         "-semantic_threshold cosine of any benchmark "
+                         "vector are dropped (semantic decontamination)")
+    ap.add_argument("-embeddings", default=None, metavar="PARQUET",
+                    help="curation: corpus embeddings parquet keyed by the "
+                         "document id (vec_id column)")
+    ap.add_argument("-semantic_threshold", type=float, default=0.95,
+                    help="curation: semantic decontamination cosine cutoff")
     # full-release flags: either one upgrades -curate to the resumable
     # curate -> mixture -> shard-pack -> publish chain
     # (pipeline/release.py), the analogue of the reference's single
@@ -155,6 +165,15 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.curate)
         bench = (spark.read.parquet(args.benchmark)
                  if args.benchmark else None)
+        if bool(args.bench_embeddings) != bool(args.embeddings):
+            raise SystemExit(
+                "-bench_embeddings and -embeddings must be given together")
+        sem_kw = {}
+        if args.bench_embeddings:
+            sem_kw = dict(
+                benchmark_vectors=spark.read.parquet(args.bench_embeddings),
+                corpus_vectors=spark.read.parquet(args.embeddings),
+                semantic_threshold=args.semantic_threshold)
         if args.mixture is not None or args.budget is not None:
             from cloudbrush_spark.pipeline.release import ReleasePipeline
             weights = json.loads(args.mixture) if args.mixture else None
@@ -165,7 +184,7 @@ def main(argv: list[str] | None = None) -> int:
                 files_per_split=args.files_per_split, benchmark=bench,
                 quality_min=args.quality_min, lang=args.lang,
                 min_tokens=args.min_tokens, max_tokens=args.max_tokens,
-                decontam_n=args.decontam_n)
+                decontam_n=args.decontam_n, **sem_kw)
             counts = {r.split: r.n for r in rel.groupBy("split")
                       .agg(F.count(F.lit(1)).alias("n")).collect()}
             n_shards = rel.agg(F.count_distinct("shard_id").alias("n")) \
@@ -177,7 +196,7 @@ def main(argv: list[str] | None = None) -> int:
         manifest = curate(
             docs, quality_min=args.quality_min, lang=args.lang,
             min_tokens=args.min_tokens, max_tokens=args.max_tokens,
-            benchmark=bench, decontam_n=args.decontam_n)
+            benchmark=bench, decontam_n=args.decontam_n, **sem_kw)
         # manifest lands beside the corpus: the audit record of what was
         # kept and why (features + split), re-joinable by doc_id
         manifest.write.mode("overwrite").parquet(

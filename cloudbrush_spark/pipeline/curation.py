@@ -43,7 +43,11 @@ def curate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
            train: float = 0.9, val: float = 0.05,
            seed: str = "split",
            benchmark: DataFrame | None = None,
-           decontam_n: int = 13) -> DataFrame:
+           decontam_n: int = 13,
+           benchmark_vectors: DataFrame | None = None,
+           corpus_vectors: DataFrame | None = None,
+           semantic_threshold: float = 0.95,
+           vec_id_col: str = "vec_id") -> DataFrame:
     """Curated-corpus manifest: one row per surviving document with its
     split assignment and headline features.
 
@@ -83,6 +87,26 @@ def curate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                                 tokens_col="__toks")
             .filter("contaminated").select(id_col))
         kept = kept.join(contaminated, id_col, "left_anti")
+
+    # optional SEMANTIC decontamination (guard.semantic_decontaminate):
+    # drop docs whose embedding sits within semantic_threshold cosine of
+    # any benchmark embedding — the paraphrase/translation contamination
+    # the n-gram rule misses.  ``corpus_vectors`` maps the same document
+    # ids to embeddings (vec_id_col names its id column); the flagged id
+    # set is tiny, so the anti-join broadcasts under AQE.
+    if benchmark_vectors is not None:
+        from cloudbrush_spark.operators import guard
+        if corpus_vectors is None:
+            raise ValueError(
+                "benchmark_vectors given without corpus_vectors — semantic "
+                "decontamination needs the corpus side's embeddings")
+        sem = (
+            guard.semantic_decontaminate(
+                corpus_vectors, benchmark_vectors,
+                threshold=semantic_threshold, id_col=vec_id_col)
+            .filter("contaminated")
+            .select(F.col(vec_id_col).alias(id_col)))
+        kept = kept.join(sem, id_col, "left_anti")
 
     # exact dedup: min-id survivor per normalized fingerprint (the same
     # survivor contract as dedup.fingerprint_dedup, computed from the

@@ -98,3 +98,38 @@ def test_cli_curate_with_benchmark_decontaminates(tmp_path, spark, capsys):
     manifest = spark.read.parquet(os.path.join(out, "manifest.parquet"))
     kept = {r.doc_id for r in manifest.collect()}
     assert kept == {2}  # the two benchmark-overlapping docs are dropped
+
+
+def test_cli_curate_with_semantic_decontamination(tmp_path, spark, capsys):
+    from pyspark.sql import functions as F
+    base = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "river every morning for a drink of cold clear water ")
+    other = ("a completely different tale about the sea and the ships that "
+             "sail in it for trade and glory with cargo of spice and silk "
+             "carried to the southern ports by the wind ")
+    docs = spark.createDataFrame(
+        [(0, base + "zero"), (1, other + "one")], "doc_id long, text string")
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    # doc 0's embedding rides the benchmark direction; doc 1 orthogonal
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    vpath = str(tmp_path / "vecs.parquet")
+    vecs.write.parquet(vpath)
+    bvec = spark.createDataFrame(
+        [(900, [3.0, 0.0])], "vec_id long, embedding array<float>")
+    bpath = str(tmp_path / "bvecs.parquet")
+    bvec.write.parquet(bpath)
+    out = str(tmp_path / "published")
+
+    rc = main(["-curate", src, "-out", out, "-files_per_split", "1",
+               "-embeddings", vpath, "-bench_embeddings", bpath])
+    assert rc == 0
+    manifest = spark.read.parquet(os.path.join(out, "manifest.parquet"))
+    assert {r.doc_id for r in manifest.collect()} == {1}
+
+    # one flag without the other is a usage error
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["-curate", src, "-out", out, "-embeddings", vpath])

@@ -86,3 +86,35 @@ def test_curate_with_benchmark_decontamination(spark):
     # without the benchmark the normal result includes the cluster rep
     base = {r.doc_id for r in curation.curate(docs).collect()}
     assert base == {1, 4}
+
+
+def test_curate_with_semantic_decontamination(spark):
+    """A gated doc whose embedding is near a benchmark embedding is
+    dropped before dedup (paraphrase contamination the n-gram rule
+    misses); vectors for docs the gate already dropped are irrelevant."""
+    docs = _docs(spark)
+    # doc 4's embedding sits on the benchmark direction; doc 1's is
+    # orthogonal.  Ids key on doc_id (vec_id_col names the column).
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 1.0, 0.0]), (4, [1.0, 0.0, 0.0])],
+        "doc_id long, embedding array<float>")
+    bench_vecs = spark.createDataFrame(
+        [(900, [2.0, 0.0, 0.0])], "doc_id long, embedding array<float>")
+    out = curation.curate(docs, benchmark_vectors=bench_vecs,
+                          corpus_vectors=vecs, vec_id_col="doc_id")
+    assert {r.doc_id for r in out.collect()} == {1}
+    # both guards compose: the n-gram benchmark kills 1/2/3, the
+    # semantic benchmark kills 4 -> empty release
+    bench = spark.createDataFrame([(100, GOOD)], "doc_id long, text string")
+    both = curation.curate(docs, benchmark=bench, decontam_n=8,
+                           benchmark_vectors=bench_vecs,
+                           corpus_vectors=vecs, vec_id_col="doc_id")
+    assert both.count() == 0
+
+
+def test_curate_semantic_requires_corpus_vectors(spark):
+    import pytest as _pytest
+    bench_vecs = spark.createDataFrame(
+        [(900, [1.0])], "doc_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="corpus_vectors"):
+        curation.curate(_docs(spark), benchmark_vectors=bench_vecs)
