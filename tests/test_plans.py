@@ -140,6 +140,23 @@ def test_pii_scrub_is_shuffle_free(spark):
     assert plans.shuffle_count(guard.pii_scrub(docs)) == 0
 
 
+def test_semantic_decontaminate_is_shuffle_free(spark):
+    """Semantic decontamination must be one narrow Arrow pass — the
+    benchmark matrix travels as a broadcast VARIABLE (not a join), so the
+    plan has zero exchanges and zero joins of any kind."""
+    from cloudbrush_spark.operators import guard
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    bench = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    q = guard.semantic_decontaminate(vecs, bench)
+    assert plans.shuffle_count(q) == 0
+    plan = plans.explain_str(q)
+    assert "Join" not in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
 def test_decontaminate_corpus_side_has_single_aggregation_shuffle(spark):
     """The corpus side of decontamination joins the benchmark grams by
     BROADCAST (never a shuffled join) — the only exchanges are the per-doc
