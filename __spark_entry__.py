@@ -890,15 +890,150 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4-shaped priority check: orders from one quarter with at
+    least one LATE lineitem (l_shipdate > o_orderdate stands in for the
+    reference benchmark's commit/receipt columns, absent here), counted
+    per priority.  The EXISTS subquery plans as a LEFT SEMI join — the
+    shape q1/q3/q5/q6 never exercise.  At scale the semi-join shuffles
+    both sides on the order key and never materializes match
+    multiplicity, so a 7-lineitem order costs the same as a 1-lineitem
+    order."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01")))
+    late = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(late, (orders.o_orderkey == late.l_orderkey)
+                    & (late.l_shipdate > orders.o_orderdate), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13-shaped customer order-count distribution: LEFT OUTER
+    join customer->filtered orders (priority exclusion stands in for the
+    benchmark's comment-pattern filter), per-customer count, then the
+    count-of-counts histogram.  Exercises outer-join null semantics
+    (count(col) skips the nulls unmatched customers produce) plus a
+    two-level aggregation whose second groupBy key is tiny."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    ords = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderpriority") != "1-URGENT") \
+        .select("o_custkey", "o_orderkey")
+    per = (cust.join(ords, cust.c_custkey == ords.o_custkey, "left_outer")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("c_count")))
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16-shaped supplier-count-per-part-class: distinct suppliers
+    per (brand, type, size) over the lineitem fact (standing in for the
+    absent partsupp table), EXCLUDING a blacklisted supplier set
+    (negative account balance stands in for the benchmark's complaints
+    filter) via a broadcast LEFT ANTI join.  countDistinct plans as the
+    two-phase partial-distinct aggregate; the part dimension broadcasts."""
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0) \
+        .select("s_suppkey")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & (F.col("p_size") < 30)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17-shaped small-quantity revenue: lineitems whose quantity
+    is below 20% of their part's average quantity.  The correlated AVG
+    subquery is re-expressed DIVISION-FREE (5*qty*cnt < sum_qty, exact
+    decimal arithmetic) so both engines compare identical integers —
+    avg() in double would make the boundary rows engine-dependent.  The
+    per-part aggregate is bounded by the part dimension, so AQE
+    broadcasts it back onto the fact scan (no second fact shuffle)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"))
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.col("qty") * F.lit(5) * F.col("cnt_qty") < F.col("sum_qty"))
+        .agg(F.sum("price").cast("double").alias("sum_price"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18-shaped large-volume orders: orders whose total lineitem
+    quantity exceeds 350 (a HAVING aggregate subquery), joined back to
+    orders+customer.  The qualifying set is tiny by construction, so
+    after AQE the join back to the fact tables is a broadcast of the
+    aggregate survivors — the 'aggregate, then enrich the outliers'
+    shape."""
+    big = (_t(spark, sf_dir, "lineitem")
+           .groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+           .filter(F.col("sum_qty") > 350))
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey",
+                F.col("o_totalprice").alias("totalprice"),
+                F.col("sum_qty").cast("double").alias("sum_qty"))
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22-shaped lapsed high-balance customers: balance above the
+    positive-balance average (scalar aggregate subquery, re-expressed
+    division-free: bal*n > sum over exact decimals) AND no order since
+    2001-01-01 (NOT EXISTS -> LEFT ANTI join), grouped per nation.  The
+    1-row scalar aggregate broadcasts; the anti-join shuffles on the
+    customer key."""
+    customer = _t(spark, sf_dir, "customer")
+    dec_bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(dec_bal).cast("decimal(38,2)").alias("pos_sum"),
+        F.count(F.lit(1)).alias("pos_n"))
+    recent = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01")) \
+        .select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(pos))
+        .filter(dec_bal * F.col("pos_n") > F.col("pos_sum"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.sum(dec_bal).cast("double").alias("totacctbal"))
+    )
+
+
 def q_tpch_suite(spark, sf_dir):
-    """TPC-H-shaped SQL surface (q1 aggregate, q3 join+top-k, q5 6-table
-    join, q6 pushdown filter-agg) in ONE hash-checked tagged union — the
+    """TPC-H-shaped SQL surface in ONE hash-checked tagged union — the
     ``relational_extras`` pattern, restoring driver verification for
     q3/q5/q6 which round 5 pruned from the 50-capped registry (a result
-    regression in any of the four now flips this row).  Shared schema
-    (op, k1, v1..v3 double, v4 long); unused measures pinned to 0 so both
-    engines hash identical cells.  The single-query forms above remain
-    the bench/test surface."""
+    regression in any leg now flips this row).  Round 8 widens the union
+    from four to ten legs so every relational plan shape is driver
+    verified: q1 aggregate, q3 join+top-k, q4 EXISTS semi-join, q5
+    6-table join, q6 pushdown filter-agg, q13 outer-join distribution,
+    q16 anti-join + count-distinct, q17 division-free correlated
+    average, q18 HAVING-subquery enrichment, q22 scalar-subquery +
+    anti-join.  Shared schema (op, k1, v1..v3 double, v4 long); unused
+    measures pinned to 0 so both engines hash identical cells.  The
+    single-query forms above remain the bench/test surface."""
     z = F.lit(0.0).alias  # noqa: E731
     q1 = q_tpch_q1(spark, sf_dir).select(
         F.lit("q1").alias("op"),
@@ -918,7 +1053,36 @@ def q_tpch_suite(spark, sf_dir):
         F.lit("q6").alias("op"), F.lit("").alias("k1"),
         F.col("revenue").alias("v1"), z("v2"), z("v3"),
         F.col("n_rows").cast("long").alias("v4"))
-    return q1.unionByName(q3).unionByName(q5).unionByName(q6)
+    zl = F.lit(0).cast("long").alias  # noqa: E731
+    q4 = q_tpch_q4(spark, sf_dir).select(
+        F.lit("q4").alias("op"), F.col("o_orderpriority").alias("k1"),
+        z("v1"), z("v2"), z("v3"),
+        F.col("order_count").cast("long").alias("v4"))
+    q13 = q_tpch_q13(spark, sf_dir).select(
+        F.lit("q13").alias("op"), F.col("c_count").cast("string").alias("k1"),
+        z("v1"), z("v2"), z("v3"),
+        F.col("custdist").cast("long").alias("v4"))
+    q16 = q_tpch_q16(spark, sf_dir).select(
+        F.lit("q16").alias("op"),
+        F.concat_ws("|", "p_brand", "p_type", "p_size").alias("k1"),
+        z("v1"), z("v2"), z("v3"),
+        F.col("supplier_cnt").cast("long").alias("v4"))
+    q17 = q_tpch_q17(spark, sf_dir).select(
+        F.lit("q17").alias("op"), F.lit("").alias("k1"),
+        F.col("sum_price").alias("v1"), z("v2"), z("v3"),
+        F.col("n_rows").cast("long").alias("v4"))
+    q18 = q_tpch_q18(spark, sf_dir).select(
+        F.lit("q18").alias("op"),
+        F.concat_ws("|", "c_name", "o_orderkey").alias("k1"),
+        F.col("totalprice").alias("v1"), F.col("sum_qty").alias("v2"),
+        z("v3"), zl("v4"))
+    q22 = q_tpch_q22(spark, sf_dir).select(
+        F.lit("q22").alias("op"), F.col("c_nationkey").cast("string").alias("k1"),
+        F.col("totacctbal").alias("v1"), z("v2"), z("v3"),
+        F.col("numcust").cast("long").alias("v4"))
+    return (q1.unionByName(q3).unionByName(q5).unionByName(q6)
+            .unionByName(q4).unionByName(q13).unionByName(q16)
+            .unionByName(q17).unionByName(q18).unionByName(q22))
 
 
 def q_ann_topk(spark, sf_dir):
@@ -2945,8 +3109,11 @@ _ORACLES["relational_extras"] = """
 # slices on the internal micros), so it shares the batch oracle.
 _ORACLES["stream_tumbling_window"] = _ORACLES["tumbling_window"]
 
-# Tagged union of the four TPC-H-shaped queries (see q_tpch_suite): the
-# per-query oracles above, canonicalized to the shared measure schema.
+# Tagged union of the TPC-H-shaped queries (see q_tpch_suite): the
+# per-query oracles, canonicalized to the shared measure schema.  The r8
+# legs (q4/q13/q16/q17/q18/q22) keep every boundary comparison in exact
+# decimal/integer arithmetic (division-free avg re-expressions) so the
+# cross-engine hash cannot drift on rounding.
 _ORACLES["tpch_suite"] = """
     SELECT 'q1' AS op, l_returnflag || '|' || l_linestatus AS k1,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v1,
@@ -2992,6 +3159,70 @@ _ORACLES["tpch_suite"] = """
       AND l_shipdate < TIMESTAMP '1997-01-01'
       AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
+    UNION ALL
+    SELECT 'q4', o_orderpriority, 0.0, 0.0, 0.0, count(*)
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'q13', CAST(c_count AS VARCHAR), 0.0, 0.0, 0.0, count(*)
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+                   WHERE o_orderpriority <> '1-URGENT') o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY 1)
+    GROUP BY c_count
+    UNION ALL
+    SELECT 'q16',
+           p_brand || '|' || p_type || '|' || CAST(p_size AS VARCHAR),
+           0.0, 0.0, 0.0, count(DISTINCT l_suppkey)
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size < 30
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    UNION ALL
+    SELECT 'q17', '',
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+           0.0, 0.0, count(*)
+    FROM lineitem l
+    JOIN (SELECT l_partkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                 count(*) AS cnt_qty
+          FROM lineitem GROUP BY 1) pq
+      ON l.l_partkey = pq.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pq.cnt_qty < pq.sum_qty
+    UNION ALL
+    SELECT 'q18', c_name || '|' || CAST(o_orderkey AS VARCHAR),
+           o_totalprice, CAST(sum_qty AS DOUBLE), 0.0, CAST(0 AS BIGINT)
+    FROM orders
+    JOIN (SELECT l_orderkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+          FROM lineitem GROUP BY 1
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 350) b
+      ON o_orderkey = b.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'q22', CAST(c.c_nationkey AS VARCHAR),
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE),
+           0.0, 0.0, count(*)
+    FROM customer c,
+         (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS pos_sum,
+                 count(*) AS pos_n
+          FROM customer WHERE c_acctbal > 0) pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.pos_n > pos.pos_sum
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY c.c_nationkey
 """
 
 # Batch recomputation of the three streaming forms (see

@@ -195,3 +195,19 @@ def test_mixture_resample_is_narrow(spark):
         [(1, "a"), (2, "b")], "doc_id long, source string")
     q = sampling.mixture_resample(df, {"a": 2.5, "b": 0.3})
     assert plans.shuffle_count(q) == 0
+
+
+def test_tpch_semi_and_anti_legs_plan_as_semi_anti_joins(spark):
+    """The r8 TPC-H legs must keep their set-operation shapes: q4's
+    EXISTS plans as a LEFT SEMI join (match multiplicity never
+    materialized), q16's supplier blacklist and q22's NOT EXISTS plan as
+    LEFT ANTI joins — never inner-join + distinct, which would shuffle
+    the full match fan-out at 100 TB."""
+    import __spark_entry__ as entry
+    q4 = plans.explain_str(entry.q_tpch_q4(spark, SF))
+    assert "LeftSemi" in q4
+    q16 = plans.explain_str(entry.q_tpch_q16(spark, SF))
+    assert "LeftAnti" in q16 and plans.has_broadcast_join(
+        entry.q_tpch_q16(spark, SF))
+    q22 = plans.explain_str(entry.q_tpch_q22(spark, SF))
+    assert "LeftAnti" in q22
