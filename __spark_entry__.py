@@ -1441,7 +1441,9 @@ def q_probe_emb_clusters(spark, sf_dir):
 
 def q_relational_extras(spark, sf_dir):
     """SURVEY §2.8 relational extensions in ONE hash-checked union — as-of
-    join, bounded range join, ROLLUP, grouped top-k, EXCEPT DISTINCT —
+    join, bounded range join, ROLLUP, grouped top-k, EXCEPT DISTINCT,
+    and (r8) INTERSECT DISTINCT plus the analytic window-function family
+    (row_number / running sum / rank / lag, see q_window_suite) —
     tagged by ``op`` and canonicalized to a shared
     (op, k1, k2, v1, v2) schema (keys as strings, money as exact integer
     cents, -1/0 sentinels instead of NULLs so both engines' null
@@ -1472,8 +1474,22 @@ def q_relational_extras(spark, sf_dir):
         F.lit("except").alias("op"), s("o_custkey").alias("k1"),
         F.lit("").alias("k2"), F.lit(-1).cast("long").alias("v1"),
         F.lit(0).cast("long").alias("v2"))
+    uni = q_intersect_ops(spark, sf_dir).select(
+        F.lit("intersect").alias("op"), s("o_custkey").alias("k1"),
+        F.lit("").alias("k2"), F.lit(-1).cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"))
+    winq = q_window_suite(spark, sf_dir)
+    win = winq.select(
+        F.lit("win_run").alias("op"), s("o_custkey").alias("k1"),
+        s("o_orderkey").alias("k2"), F.col("run_cents").alias("v1"),
+        F.col("rn").cast("long").alias("v2"))
+    lag = winq.select(
+        F.lit("win_lag").alias("op"), s("o_custkey").alias("k1"),
+        s("o_orderkey").alias("k2"), F.col("gap_days").alias("v1"),
+        F.col("val_rank").cast("long").alias("v2"))
     return asof.unionByName(rng).unionByName(rol) \
-        .unionByName(top).unionByName(exc)
+        .unionByName(top).unionByName(exc).unionByName(uni) \
+        .unionByName(win).unionByName(lag)
 
 
 def q_g1_pwm_consensus(spark, sf_dir):
@@ -1617,6 +1633,52 @@ def q_set_ops(spark, sf_dir):
     all_c = orders.select("o_custkey")
     f_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return all_c.subtract(f_c)
+
+
+def q_intersect_ops(spark, sf_dir):
+    """Set operation (INTERSECT DISTINCT): customers active in BOTH 2000
+    and 2001 — the companion to q_set_ops' EXCEPT, completing the set-op
+    family.  Plans as a LeftSemi over distinct keys, one shuffle per
+    side."""
+    orders = _t(spark, sf_dir, "orders")
+    y2000 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01"))).select("o_custkey")
+    y2001 = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01")).select("o_custkey")
+    return y2000.intersect(y2001)
+
+
+def q_window_suite(spark, sf_dir):
+    """Analytic window functions over each customer's order history
+    (custkey % 7 == 0 slice): row_number + running total (exact cents,
+    explicit ROWS frame so both engines agree even though the
+    (date, orderkey) sort key is unique), rank by order value, and the
+    LAG day-gap to the previous order (-1 sentinel for the first).
+    One hash shuffle on the partition key; per-key sorts are bounded by
+    a customer's order count — the partitioned-window shape that holds
+    at any corpus size (never a global ORDER BY)."""
+    from pyspark.sql import Window
+    orders = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_custkey") % 7 == 0) \
+        .select("o_custkey", "o_orderkey", "o_orderdate",
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long").alias("cents"))
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # rank() over cents alone (no tiebreak): ties share a rank in both
+    # engines, so the output is deterministic and the leg exercises true
+    # rank semantics rather than degenerating into row_number
+    byval = Window.partitionBy("o_custkey").orderBy(F.col("cents").desc())
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(seq).alias("rn"),
+        F.sum("cents").over(run).alias("run_cents"),
+        F.rank().over(byval).alias("val_rank"),
+        F.coalesce(
+            F.datediff(F.col("o_orderdate"),
+                       F.lag("o_orderdate").over(seq)),
+            F.lit(-1)).cast("long").alias("gap_days"))
 
 
 def _blob_fixture(spark, sf_dir):
@@ -3103,6 +3165,38 @@ _ORACLES["relational_extras"] = """
     FROM (SELECT o_custkey FROM orders
           EXCEPT
           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT 'intersect', CAST(o_custkey AS VARCHAR), '', CAST(-1 AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM (SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+            AND o_orderdate < TIMESTAMP '2001-01-01'
+          INTERSECT
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+    UNION ALL
+    SELECT 'win_run', CAST(o_custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR),
+           run_cents, CAST(rn AS BIGINT)
+    FROM (SELECT o_custkey, o_orderkey,
+                 row_number() OVER w AS rn,
+                 sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS run_cents
+          FROM orders WHERE o_custkey % 7 = 0
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey))
+    UNION ALL
+    SELECT 'win_lag', CAST(o_custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR),
+           CAST(coalesce(gap_days, -1) AS BIGINT), CAST(val_rank AS BIGINT)
+    FROM (SELECT o_custkey, o_orderkey,
+                 date_diff('day',
+                           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                  ORDER BY o_orderdate, o_orderkey),
+                           o_orderdate) AS gap_days,
+                 rank() OVER (PARTITION BY o_custkey
+                              ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DESC)
+                     AS val_rank
+          FROM orders WHERE o_custkey % 7 = 0)
 """
 
 # The true-streaming twin computes the identical hourly windows (F.window
