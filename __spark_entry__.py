@@ -618,6 +618,10 @@ def q_corpus_guard(spark, sf_dir):
     - ``rep``: Gopher-style repetition — k = most frequent word bigram
       (smallest-wins tie-break both engines), v1 = its count, v2 = top
       unigram count, v3 = token count.
+    - ``boiler`` (r8): cross-document repeated-line removal
+      (guard.boilerplate_scrub) over planted boilerplate lines — k =
+      md5 of the reassembled clean text, v1 = line count, v2 = lines
+      removed.
     """
     from cloudbrush_spark.operators import guard
     from cloudbrush_spark.operators import sampling
@@ -709,8 +713,41 @@ def q_corpus_guard(spark, sf_dir):
         F.round(F.col("bench_cosine") * 10000).cast("long").alias("v1"),
         F.lit(0).cast("long").alias("v2"),
         F.lit(0).cast("long").alias("v3"))
+    # r8 sixth leg — cross-document boilerplate removal
+    # (guard.boilerplate_scrub, the C4/RefinedWeb repeated-line rule).
+    # The corpus has no newlines, so plant deterministic lines: every
+    # 6th doc gets one of three shared newsletter/cookie/licence lines
+    # (rotating on doc_id % 18 — each repeats ~n/18 times, so line_df
+    # far exceeds max_df=1 and ALL copies must vanish), every 15th doc
+    # a shared second line, and every 10th doc a UNIQUE 'ref <doc_id>'
+    # line that must SURVIVE (the df=1 negative control).  k = md5 of
+    # the reassembled clean text, so the hash pins the exact removal
+    # set and line order, not just the counts.
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 18 == 0,
+                   F.lit("\nsubscribe to our newsletter for updates"))
+            .when(F.col("doc_id") % 18 == 6,
+                  F.lit("\nthis site uses cookies to improve your experience"))
+            .when(F.col("doc_id") % 18 == 12,
+                  F.lit("\ncontent licensed under creative commons"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 15 == 0,
+                   F.lit("\nall rights reserved")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 10 == 0,
+                   F.concat(F.lit("\nref "), F.col("doc_id").cast("string")))
+            .otherwise(F.lit("")),
+        ).alias("text"))
+    boil = guard.boilerplate_scrub(lined).select(
+        F.lit("boiler").alias("op"), "doc_id",
+        F.md5("clean_text").alias("k"),
+        F.col("n_lines").alias("v1"),
+        F.col("n_removed").alias("v2"),
+        F.lit(0).cast("long").alias("v3"))
     return (dec.unionByName(pii).unionByName(pii_ids).unionByName(rep)
-            .unionByName(sem))
+            .unionByName(sem).unionByName(boil))
 
 
 def q_shard_pack(spark, sf_dir):
@@ -3552,10 +3589,56 @@ _ORACLES["corpus_guard"] = f"""
                CASE WHEN coalesce(s.mx, -1.0) >= 0.95 THEN 'hit' ELSE 'clean' END AS k,
                CAST(round(coalesce(s.mx, -1.0) * 10000, 0) AS BIGINT) AS v1,
                CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3
-        FROM embeddings e LEFT JOIN sem0 s USING (vec_id))
+        FROM embeddings e LEFT JOIN sem0 s USING (vec_id)),
+    -- boiler: planted repeated lines (see q_corpus_guard), line-level
+    -- corpus dedup — remove EVERY occurrence of a line whose corpus-wide
+    -- count exceeds 1, reassemble in original order
+    blined AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 18 = 0
+                       THEN chr(10) || 'subscribe to our newsletter for updates'
+                       WHEN doc_id % 18 = 6
+                       THEN chr(10) || 'this site uses cookies to improve your experience'
+                       WHEN doc_id % 18 = 12
+                       THEN chr(10) || 'content licensed under creative commons'
+                       ELSE '' END
+               || CASE WHEN doc_id % 15 = 0
+                       THEN chr(10) || 'all rights reserved' ELSE '' END
+               || CASE WHEN doc_id % 10 = 0
+                       THEN chr(10) || 'ref ' || doc_id::VARCHAR ELSE '' END
+               AS text
+        FROM documents),
+    blines AS (
+        SELECT doc_id, i AS pos, ln
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM blined),
+             LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i),
+             LATERAL (SELECT parts[i] AS ln)
+        WHERE trim(ln) <> ''),
+    bdf AS (SELECT ln, count(*) AS line_df FROM blines GROUP BY 1),
+    bkept AS (
+        SELECT l.doc_id, l.pos, l.ln, (d.line_df > 1) AS boiler
+        FROM blines l JOIN bdf d USING (ln)),
+    bdoc AS (
+        SELECT doc_id,
+               array_to_string(list_transform(
+                   list_sort(list_filter(
+                       list(struct_pack(pos := pos, ln := ln, boiler := boiler)),
+                       s -> NOT s.boiler)),
+                   s -> s.ln), chr(10)) AS clean_text,
+               count(*) AS n_lines,
+               sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS n_removed
+        FROM bkept GROUP BY 1),
+    boiler AS (
+        SELECT 'boiler' AS op, d.doc_id,
+               md5(coalesce(b.clean_text, '')) AS k,
+               CAST(coalesce(b.n_lines, 0) AS BIGINT) AS v1,
+               CAST(coalesce(b.n_removed, 0) AS BIGINT) AS v2,
+               CAST(0 AS BIGINT) AS v3
+        FROM documents d LEFT JOIN bdoc b USING (doc_id))
     SELECT * FROM dec UNION ALL SELECT * FROM pii
     UNION ALL SELECT * FROM pii_ids UNION ALL SELECT * FROM rep
-    UNION ALL SELECT * FROM sem
+    UNION ALL SELECT * FROM sem UNION ALL SELECT * FROM boiler
 """
 
 _ORACLES["shard_pack"] = """

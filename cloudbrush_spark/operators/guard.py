@@ -20,6 +20,9 @@ checks every corpus release runs:
 - ``semantic_decontaminate``: embedding-cosine proximity to the
   benchmark set — the contamination class (paraphrases, translations,
   reformatted eval items) the exact n-gram rule cannot see.
+- ``boilerplate_scrub``: cross-document repeated-line removal (the
+  C4/RefinedWeb rule) — boilerplate that repeats verbatim across pages
+  and survives document-level dedup.
 
 Scale shape: decontaminate is explode -> broadcast-semi-join -> per-doc
 count (the benchmark gram set is tiny relative to the corpus — a few
@@ -258,6 +261,67 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
             F.coalesce("top_bigram_cnt", F.lit(0)).cast("long").alias("top_bigram_cnt"),
             F.coalesce("top_unigram_cnt", F.lit(0)).cast("long").alias("top_unigram_cnt"),
             "n_tokens", "n_bigrams", "dup_line_frac",
+        )
+    )
+
+
+def boilerplate_scrub(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_df: int = 1) -> DataFrame:
+    """Cross-document repeated-LINE removal (the C4/RefinedWeb
+    boilerplate rule): drop every line whose corpus-wide occurrence
+    count exceeds ``max_df`` — navigation chrome, cookie banners,
+    newsletter prompts and licence footers repeat verbatim across pages
+    and survive document-level dedup because the documents CONTAINING
+    them differ.
+
+    Output: one row per input doc — (id, clean_text, n_lines,
+    n_removed).  Lines are newline-split segments with non-blank
+    content; blank segments are dropped on both sides of the count.
+    ALL occurrences of an over-threshold line are removed (no
+    keep-first: keep-first needs a global document order, which is
+    partition-dependent — all-occurrence removal is deterministic under
+    any partitioning and is what a reproducible release wants).  Docs
+    whose every line is boilerplate come back with ``clean_text = ''``.
+
+    Scale shape: posexplode (linear in lines) -> groupBy(line) count
+    (one shuffle, uniform unless the corpus is ALL boilerplate) -> join
+    the counts back on the same key (the exchange is reusable — same
+    partitioning) -> per-doc ordered reassembly (groupBy(id), bounded
+    by a doc's own line count).  No driver-side collect and no global
+    order anywhere.  At extreme scale the count/join key can be
+    xxhash64(line) to slim the shuffle (the decontaminate trick, 8-byte
+    keys instead of line strings); kept exact-string here so the DuckDB
+    twin verifies the precise removal set."""
+    lines = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n"))
+             .alias("pos", "line"))
+        .filter(F.trim("line") != "")
+    )
+    cnt = lines.groupBy("line").agg(F.count(F.lit(1)).alias("line_df"))
+    kept = (
+        lines.join(cnt, "line")
+        .select(id_col, "pos", "line",
+                (F.col("line_df") > max_df).alias("boiler"))
+    )
+    per_doc = kept.groupBy(id_col).agg(
+        F.concat_ws("\n", F.transform(
+            F.array_sort(F.filter(
+                F.collect_list(F.struct("pos", "line", "boiler")),
+                lambda s: ~s["boiler"])),
+            lambda s: s["line"])).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("boiler").cast("long")).cast("long").alias("n_removed"),
+    )
+    base = docs.select(F.col(id_col))
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
         )
     )
 

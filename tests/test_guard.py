@@ -417,3 +417,66 @@ def test_semantic_decontaminate_rejects_corpus_sized_benchmark(spark):
     bench = _vecs(spark, [(i, [1.0]) for i in range(5)])
     with _pytest.raises(ValueError, match="max_benchmark"):
         guard.semantic_decontaminate(corpus, bench, max_benchmark=3)
+
+
+def _docs(spark, rows):
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_boilerplate_scrub_removes_all_copies_keeps_unique(spark):
+    docs = _docs(spark, [
+        (1, "unique alpha\nsubscribe now\nunique beta"),
+        (2, "subscribe now\nother text"),
+        (3, "lone document"),
+    ])
+    got = {r.doc_id: r for r in guard.boilerplate_scrub(docs).collect()}
+    # 'subscribe now' occurs in two docs -> every copy removed
+    assert got[1].clean_text == "unique alpha\nunique beta"
+    assert got[1].n_lines == 3 and got[1].n_removed == 1
+    assert got[2].clean_text == "other text"
+    assert got[3].clean_text == "lone document" and got[3].n_removed == 0
+
+
+def test_boilerplate_scrub_intra_doc_repeat_counts_occurrences(spark):
+    # the threshold is on total OCCURRENCES, not distinct docs: a line
+    # repeated twice inside one doc is corpus-boilerplate too
+    docs = _docs(spark, [(1, "echo line\nmiddle\necho line")])
+    r = guard.boilerplate_scrub(docs).collect()[0]
+    assert r.clean_text == "middle" and r.n_removed == 2
+
+
+def test_boilerplate_scrub_all_boiler_doc_and_blank_lines(spark):
+    docs = _docs(spark, [
+        (1, "same\n\n  \nsame"),   # blanks dropped, both copies removed
+        (2, ""),                    # no non-blank lines at all
+    ])
+    got = {r.doc_id: r for r in guard.boilerplate_scrub(docs).collect()}
+    assert got[1].clean_text == "" and got[1].n_lines == 2
+    assert got[1].n_removed == 2
+    assert got[2].clean_text == "" and got[2].n_lines == 0
+
+
+def test_boilerplate_scrub_max_df_threshold(spark):
+    # max_df=2 tolerates a line appearing twice; the third strike kills it
+    docs = _docs(spark, [
+        (1, "twice\nkeep1"), (2, "twice\nkeep2"),
+        (3, "thrice\na"), (4, "thrice\nb"), (5, "thrice\nc"),
+    ])
+    got = {r.doc_id: r.clean_text
+           for r in guard.boilerplate_scrub(docs, max_df=2).collect()}
+    assert got[1] == "twice\nkeep1" and got[2] == "twice\nkeep2"
+    assert got[3] == "a" and got[4] == "b" and got[5] == "c"
+
+
+def test_boilerplate_scrub_preserves_line_order(spark):
+    docs = _docs(spark, [
+        (1, "z last first\nshared\na then this"),
+        (2, "shared"),
+    ])
+    r = {x.doc_id: x for x in guard.boilerplate_scrub(docs).collect()}
+    # order is positional, not lexicographic
+    assert r[1].clean_text == "z last first\na then this"
