@@ -112,6 +112,10 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="release: shard token budget — packs published "
                          "rows into fixed-weight shards (shard_id/offset "
                          "columns)")
+    ap.add_argument("-boiler_df", type=int, default=None, metavar="N",
+                    help="curation: remove every line whose corpus-wide "
+                         "occurrence count exceeds N (cross-document "
+                         "boilerplate scrub) before gating/publishing")
     return ap
 
 
@@ -182,6 +186,7 @@ def main(argv: list[str] | None = None) -> int:
             rel = pipe.run(
                 docs, args.out, mixture_weights=weights, budget=args.budget,
                 files_per_split=args.files_per_split, benchmark=bench,
+                boilerplate_max_df=args.boiler_df,
                 quality_min=args.quality_min, lang=args.lang,
                 min_tokens=args.min_tokens, max_tokens=args.max_tokens,
                 decontam_n=args.decontam_n, **sem_kw)
@@ -193,6 +198,17 @@ def main(argv: list[str] | None = None) -> int:
                 {"splits": counts, "shards": n_shards,
                  "stages": pipe.counters}, sort_keys=True))
             return 0
+        if args.boiler_df is not None:
+            # plain-curate path: scrub the corpus itself so the
+            # published text (not just the gate) is boilerplate-free —
+            # same contract as the release chain's stage 0
+            from cloudbrush_spark.operators.guard import boilerplate_scrub
+            cleaned = boilerplate_scrub(docs, max_df=args.boiler_df)
+            other = [c for c in docs.columns if c != "text"]
+            docs = docs.select(*other).join(
+                cleaned.select("doc_id",
+                               F.col("clean_text").alias("text")),
+                "doc_id")
         manifest = curate(
             docs, quality_min=args.quality_min, lang=args.lang,
             min_tokens=args.min_tokens, max_tokens=args.max_tokens,

@@ -6,6 +6,10 @@ one invocation runs preprocess through convertFasta with stage gating and
 restartable partial runs (src/Brush/BrushAssembler.java:829-893,
 runStage/checkDone :132-155).  Here the chain is:
 
+0. **scrub** (optional, ``operators/guard.boilerplate_scrub``) —
+   cross-document repeated-line removal over the raw corpus, so every
+   downstream stage (gating, fingerprints, shard weights, the published
+   text) sees the cleaned documents.
 1. **curate** (``pipeline/curation.curate``) — gate -> exact dedup ->
    near-dup cluster dedup -> split manifest (optionally benchmark-
    decontaminated).
@@ -98,6 +102,7 @@ class ReleasePipeline:
             pack_seed: str = "pack",
             files_per_split: int = 16,
             benchmark: DataFrame | None = None,
+            boilerplate_max_df: int | None = None,
             **curate_kw) -> DataFrame:
         """Run the full release; returns the RELEASE MANIFEST — one row
         per published row: (id, copy, split, shard_id, offset, ws_tokens,
@@ -106,7 +111,26 @@ class ReleasePipeline:
 
         ``mixture_weights=None`` keeps every curated survivor once
         (copy=1); ``budget=None`` skips shard packing (shard_id=0,
-        offset=0 — one unbounded shard)."""
+        offset=0 — one unbounded shard).  ``boilerplate_max_df`` enables
+        the cross-document repeated-line scrub
+        (``operators/guard.boilerplate_scrub``) as stage 0: the WHOLE
+        chain — gating features, token counts, dedup fingerprints, shard
+        weights AND the published text — then sees the scrubbed corpus,
+        not just the gate (scrubbing after packing would desynchronize
+        ws_tokens from the text the shards actually contain)."""
+        if boilerplate_max_df is not None:
+            def _scrub() -> DataFrame:
+                from cloudbrush_spark.operators import guard
+                cleaned = guard.boilerplate_scrub(
+                    docs, id_col=id_col, text_col=text_col,
+                    max_df=boilerplate_max_df)
+                other = [c for c in docs.columns if c != text_col]
+                return docs.select(*other).join(
+                    cleaned.select(
+                        F.col(id_col),
+                        F.col("clean_text").alias(text_col)),
+                    id_col)
+            docs = self._stage("scrub", _scrub)
         manifest = self._stage(
             "curate",
             lambda: curation.curate(docs, id_col=id_col, text_col=text_col,

@@ -133,3 +133,28 @@ def test_cli_curate_with_semantic_decontamination(tmp_path, spark, capsys):
     import pytest
     with pytest.raises(SystemExit):
         main(["-curate", src, "-out", out, "-embeddings", vpath])
+
+
+def test_cli_curate_boiler_df_scrubs_published_text(tmp_path, spark, capsys):
+    from pyspark.sql import functions as F
+    base = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "river every morning for a drink of cold clear water ")
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(base), F.lit("variant word "), F.col("id"),
+                 F.lit("\nsubscribe to our newsletter")).alias("text"))
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "published")
+
+    rc = main(["-curate", src, "-out", out, "-files_per_split", "1",
+               "-boiler_df", "1"])
+    assert rc == 0
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert corpus.count() > 0
+    # the shared newsletter line is gone from every published doc; the
+    # unique first line survives intact
+    assert corpus.filter(
+        F.col("text").contains("subscribe to our newsletter")).count() == 0
+    row = corpus.limit(1).collect()[0]
+    assert row.text.startswith(base) and "\n" not in row.text

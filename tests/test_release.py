@@ -110,3 +110,40 @@ def test_release_cli(tmp_path, spark, capsys):
     rel = spark.read.parquet(os.path.join(out, "release_manifest.parquet"))
     corpus = spark.read.parquet(os.path.join(out, "corpus"))
     assert rel.count() == corpus.count() > 0
+
+
+def test_release_boilerplate_scrub_stage(spark, tmp_path):
+    # planted shared line in half the docs: with boilerplate_max_df=1
+    # the published text must lose it; the unique tail survives
+    docs = _docs(spark).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat("text", F.lit("\nsubscribe to our newsletter")))
+        .otherwise(F.col("text")))
+    out = str(tmp_path / "rel")
+    rel = release(spark, docs, out, max_tokens=2000, boilerplate_max_df=1)
+    assert rel.count() > 0
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert corpus.filter(
+        F.col("text").contains("subscribe to our newsletter")).count() == 0
+    # the scrub removes ONLY the shared line: remaining text equals the
+    # original first line
+    orig = {r.doc_id: r.text.split("\n")[0] for r in docs.collect()}
+    for r in corpus.select("doc_id", "text").collect():
+        assert r.text == orig[r.doc_id]
+
+
+def test_release_scrub_stage_checkpoints(spark, tmp_path):
+    docs = _docs(spark, 10).withColumn(
+        "text", F.concat("text", F.lit("\nshared footer line")))
+    out1, ck = str(tmp_path / "o1"), str(tmp_path / "ck")
+    kw = dict(max_tokens=2000, boilerplate_max_df=1)
+    p1 = ReleasePipeline(spark, checkpoint_dir=ck)
+    first = {(r.doc_id, r.copy) for r in p1.run(docs, out1, **kw).collect()}
+    assert p1.counters.get("ran_scrub") == 1
+    p2 = ReleasePipeline(spark, checkpoint_dir=ck)
+    second = {(r.doc_id, r.copy)
+              for r in p2.run(docs, str(tmp_path / "o2"), **kw).collect()}
+    assert p2.counters.get("loaded_scrub") == 1
+    assert "ran_scrub" not in p2.counters
+    assert first == second
