@@ -480,3 +480,34 @@ def test_boilerplate_scrub_preserves_line_order(spark):
     r = {x.doc_id: x for x in guard.boilerplate_scrub(docs).collect()}
     # order is positional, not lexicographic
     assert r[1].clean_text == "z last first\na then this"
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.lists(
+        st.sampled_from(["shared one", "shared two", "uniq", "", "  "]),
+        min_size=0, max_size=6).map("\n".join),
+    min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=3))
+def test_boilerplate_matches_python_reference(spark, docs_texts, max_df):
+    """Spark line-dedup equals a brute-force python reference for
+    arbitrary small corpora: global occurrence counts over non-blank
+    lines, all-occurrence removal past max_df, order-preserving
+    reassembly.  ('uniq' repeats ACROSS generated docs too, so the
+    reference must count globally, not per-doc.)"""
+    rows = [(i, t) for i, t in enumerate(docs_texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from collections import Counter
+    counts = Counter(ln for _, t in rows for ln in t.split("\n")
+                     if ln.strip())
+    got = {r.doc_id: r for r in
+           guard.boilerplate_scrub(df, max_df=max_df).collect()}
+    for doc_id, t in rows:
+        lines = [ln for ln in t.split("\n") if ln.strip()]
+        kept = [ln for ln in lines if counts[ln] <= max_df]
+        r = got[doc_id]
+        assert r.clean_text == "\n".join(kept), (doc_id, t)
+        assert r.n_lines == len(lines)
+        assert r.n_removed == len(lines) - len(kept)

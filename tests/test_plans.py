@@ -211,3 +211,15 @@ def test_tpch_semi_and_anti_legs_plan_as_semi_anti_joins(spark):
         entry.q_tpch_q16(spark, SF))
     q22 = plans.explain_str(entry.q_tpch_q22(spark, SF))
     assert "LeftAnti" in q22
+
+
+def test_boilerplate_scrub_no_nested_loop_no_global_exchange(spark):
+    """The line scrub must stay a partitioned groupBy/join chain: no
+    broadcast nested loop, no SinglePartition exchange — a global
+    bottleneck here would serialize the whole corpus through one task."""
+    from cloudbrush_spark.operators import guard
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc")], "doc_id long, text string")
+    plan = plans.explain_str(guard.boilerplate_scrub(df))
+    assert "BroadcastNestedLoop" not in plan
+    assert "SinglePartition" not in plan
