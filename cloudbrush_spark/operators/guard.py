@@ -265,6 +265,26 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def boilerplate_lines(docs: DataFrame, text_col: str = "text",
+                      max_df: int = 1) -> DataFrame:
+    """The REMOVAL LIST behind :func:`boilerplate_scrub`: every distinct
+    non-blank line whose corpus-wide occurrence count exceeds
+    ``max_df``, with its count — (line, line_df).
+
+    Exposed separately because the streaming scrub
+    (``streaming.stream_boiler_scrub``) cannot compute global counts on
+    an unbounded stream: a batch pass derives this list from a corpus
+    snapshot and the stream applies it statelessly.  One explode + one
+    groupBy shuffle; output is bounded by the number of DISTINCT
+    repeated lines (boilerplate is by nature a small vocabulary)."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+        .filter(F.trim("line") != "")
+        .groupBy("line").agg(F.count(F.lit(1)).alias("line_df"))
+        .filter(F.col("line_df") > max_df)
+    )
+
+
 def boilerplate_scrub(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_df: int = 1) -> DataFrame:
     """Cross-document repeated-LINE removal (the C4/RefinedWeb

@@ -9,6 +9,7 @@ bounding state.
 from cloudbrush_spark.streaming.windows import (  # noqa: F401
     read_document_stream,
     read_event_stream,
+    stream_boiler_scrub,
     stream_curate,
     stream_curation_gate,
     stream_dedup,

@@ -280,3 +280,55 @@ def stream_guard(docs: DataFrame, benchmark: DataFrame | None = None,
         enriched, id_col=id_col, text_col=text_col,
         keep_cols=("n_grams", "n_hit_grams")).select(
         "*", (F.col("n_hit_grams") > 0).alias("contaminated"))
+
+
+def stream_boiler_scrub(docs: DataFrame, removal_lines: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_removal_lines: int = 10_000_000) -> DataFrame:
+    """Streaming boilerplate scrub: apply a PRE-COMPUTED removal list to
+    documents as they arrive.
+
+    Global line counts need the whole corpus, which an unbounded stream
+    never has — so the production shape is: a batch pass over a corpus
+    snapshot derives the removal list (``guard.boilerplate_lines``), and
+    the stream applies it STATELESSLY (no watermark, no state store;
+    every micro-batch independent).  The list is static by definition,
+    so it collects once and broadcasts — the same static-side treatment
+    as ``stream_guard``'s benchmark gram set, bounded by
+    ``max_removal_lines`` (boilerplate is a small vocabulary; a list
+    past the bound belongs in the batch ``boilerplate_scrub`` join).
+
+    Output matches the batch scrub contract given the same list: one row
+    per arriving doc — (id, clean_text, n_lines, n_removed), blank lines
+    dropped, surviving lines rejoined in order.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cnt = removal_lines.count()
+    if cnt > max_removal_lines:
+        raise ValueError(
+            f"removal list has {cnt} lines (> max_removal_lines="
+            f"{max_removal_lines}); apply it with the batch "
+            "guard.boilerplate_scrub join instead")
+    rset = frozenset(r.line for r in removal_lines.select("line").collect())
+    bc = docs.sparkSession.sparkContext.broadcast(rset)
+
+    @pandas_udf("string")
+    def clean(texts):
+        rs = bc.value
+        return texts.map(lambda t: "\n".join(
+            ln for ln in t.split("\n") if ln.strip() and ln not in rs))
+
+    nonblank = F.filter(F.split(F.col(text_col), "\n"),
+                        lambda s: F.trim(s) != F.lit(""))
+    kept_lines = F.when(F.col("clean_text") == "", F.lit(0)) \
+        .otherwise(F.size(F.split("clean_text", "\n")))
+    return (
+        docs.select(
+            F.col(id_col),
+            clean(F.col(text_col)).alias("clean_text"),
+            F.size(nonblank).cast("long").alias("n_lines"))
+        .select(
+            id_col, "clean_text", "n_lines",
+            (F.col("n_lines") - kept_lines).cast("long").alias("n_removed"))
+    )

@@ -266,3 +266,60 @@ def test_stream_guard_without_benchmark_is_pure_scrub(spark, tmp_path):
         "stream_guard_t2", output_mode="append").collect()
     batch = guard.pii_scrub(spark.read.parquet(src)).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in batch]
+
+
+def test_stream_boiler_scrub_equals_batch_scrub(spark, tmp_path):
+    """stream_boiler_scrub applies a batch-derived removal list
+    statelessly: given the list guard.boilerplate_lines computes over
+    the same snapshot, availableNow streaming output must EXACTLY equal
+    the batch boilerplate_scrub — clean text, line counts, removals —
+    row for row."""
+    from cloudbrush_spark.operators import guard
+    from cloudbrush_spark.streaming import stream_boiler_scrub
+    from cloudbrush_spark.streaming.windows import (
+        DOC_SCHEMA, read_document_stream)
+
+    rows = [
+        (1, "unique alpha\nsubscribe now\nunique beta"),
+        (2, "subscribe now\nother text\n\n  "),
+        (3, "repeat me\nrepeat me"),     # intra-doc repeat is boiler too
+        (4, "lone document"),
+        (5, ""),                          # no non-blank lines
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    src = str(tmp_path / "docs_boiler")
+    df.repartition(2).write.parquet(src)
+
+    snapshot = spark.read.parquet(src)
+    removal = guard.boilerplate_lines(snapshot, max_df=1)
+    out = _run_stream(
+        spark,
+        stream_boiler_scrub(
+            read_document_stream(spark, src, schema=DOC_SCHEMA,
+                                 max_files_per_trigger=1),
+            removal),
+        "stream_boiler_t", output_mode="append")
+    got = {r.doc_id: tuple(r) for r in out.collect()}
+    batch = {r.doc_id: tuple(r)
+             for r in guard.boilerplate_scrub(snapshot).collect()}
+    assert got == batch
+    # and the removal genuinely fired
+    assert got[1][1] == "unique alpha\nunique beta"
+    assert got[3][1] == "" and got[3][3] == 2
+
+
+def test_stream_boiler_scrub_rejects_oversized_list(spark, tmp_path):
+    from cloudbrush_spark.operators import guard
+    from cloudbrush_spark.streaming import stream_boiler_scrub
+    from cloudbrush_spark.streaming.windows import (
+        DOC_SCHEMA, read_document_stream)
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a\na"), (2, "b\nb")], DOC_SCHEMA)
+    src = str(tmp_path / "docs_boiler2")
+    df.write.parquet(src)
+    removal = guard.boilerplate_lines(spark.read.parquet(src), max_df=1)
+    with _pytest.raises(ValueError, match="max_removal_lines"):
+        stream_boiler_scrub(
+            read_document_stream(spark, src, schema=DOC_SCHEMA),
+            removal, max_removal_lines=1)
