@@ -1203,15 +1203,42 @@ def q_ann_topk_ivf(spark, sf_dir):
     return _ann_contract(emb, approx, recall_pct=20)
 
 
-def q_minhash_lsh_dedup(spark, sf_dir):
-    """MinHash(16) -> LSH(4 bands x 4 rows) -> exact-Jaccard verify, word
-    3-gram shingles, threshold 0.5.  The near-dup dedup workhorse."""
+def q_minhash_pairs_self(spark, sf_dir):
+    """The classic within-corpus MinHash pair product — the r7-comparable
+    single-op form `bench.py` times under the `minhash_lsh_dedup` name
+    (the driver row below is the widened union)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(
         docs, shingle_n=3, num_hashes=16, bands=4, rows_per_band=4,
         jaccard_threshold=0.5,
     )
     return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash(16) -> LSH(4 bands x 4 rows) -> exact-Jaccard verify, word
+    3-gram shingles, threshold 0.5 — the near-dup dedup workhorse, as an
+    op-tagged union of its two deployment forms:
+
+    - ``self``: the classic within-corpus pair product.
+    - ``cross`` (r8): ``dedup.cross_corpus_near_dups`` — "dedup this
+      crawl against the previous release".  The corpus splits on
+      doc_id % 5 (new = residue 0, ref = rest); only NEW x REF pairs
+      may appear (within-side pairs never expand), same hash family and
+      cap contract, so the oracle twin shares the candidate CTE chain.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    self_leg = q_minhash_pairs_self(spark, sf_dir).select(
+        F.lit("self").alias("op"), "a", "b", "jaccard")
+    cross = dedup.cross_corpus_near_dups(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        shingle_n=3, num_hashes=16, bands=4, rows_per_band=4,
+        jaccard_threshold=0.5)
+    cross_leg = cross.select(
+        F.lit("cross").alias("op"), F.col("new_id").alias("a"),
+        F.col("ref_id").alias("b"), F.round("jaccard", 4).alias("jaccard"))
+    return self_leg.unionByName(cross_leg)
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -2439,7 +2466,7 @@ _SHINGLES_CTE = f"""
 """
 
 
-def _lsh_cand_ctes(sh: str, star: bool = False) -> str:
+def _lsh_cand_ctes(sh: str, star: bool = False, cross: bool = False) -> str:
     """The MinHash/LSH candidate CTE chain (sigs -> banded -> small ->
     cand -> inter) over shingle relation ``sh`` — the ONE source of truth
     for the LSH parameterization (16 md5 minhashes, band = h // 4, bucket
@@ -2447,13 +2474,23 @@ def _lsh_cand_ctes(sh: str, star: bool = False) -> str:
     curation_pipeline oracle so the two can never drift apart.
     ``star=True`` adds dedup.lsh_candidate_pairs' overcap='star' mirror:
     each over-cap bucket contributes linear (bucket-min-id, member)
-    candidates instead of quadratic pairs."""
-    star_cte = """
+    candidates instead of quadratic pairs.  ``cross=True`` mirrors
+    dedup.cross_corpus_near_dups over a TAGGED relation ('n|'/'r|' id
+    prefixes): candidates are new-side x ref-side only, never
+    within-side."""
+    if cross:
+        assert not star, "cross oracle leg uses the default drop mode"
+        star_cte = ""
+        cand = """
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM small x JOIN small y USING (band, bkey)
+            WHERE x.doc_id LIKE 'n|%' AND y.doc_id LIKE 'r|%'"""
+    elif star:
+        star_cte = """
         bigb AS (
             SELECT band, bkey, min(doc_id) AS rep
             FROM banded GROUP BY band, bkey HAVING count(*) > 50
-        ),""" if star else ""
-    if star:
+        ),"""
         cand = """
             SELECT DISTINCT a, b FROM (
                 SELECT x.doc_id AS a, y.doc_id AS b
@@ -2465,6 +2502,7 @@ def _lsh_cand_ctes(sh: str, star: bool = False) -> str:
                 WHERE x.doc_id <> g.rep
             )"""
     else:
+        star_cte = ""
         cand = """
             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
             FROM small x JOIN small y USING (band, bkey)
@@ -2515,19 +2553,45 @@ def _split_case_sql(src_rel: str) -> str:
 
 
 def _minhash_lsh_sql() -> str:
-    """DuckDB twin of dedup.minhash_dedup_pairs(shingle_n=3, num_hashes=16,
-    bands=4, rows_per_band=4, jaccard_threshold=0.5, max_bucket=50): the
-    md5-based hash family is engine-portable by design (dedup.py)."""
-    return f"""
+    """DuckDB twin of q_minhash_lsh_dedup's op-tagged union: the 'self'
+    leg mirrors dedup.minhash_dedup_pairs(shingle_n=3, num_hashes=16,
+    bands=4, rows_per_band=4, jaccard_threshold=0.5, max_bucket=50); the
+    'cross' leg mirrors dedup.cross_corpus_near_dups over the doc_id % 5
+    split via the SAME candidate CTE chain run on 'n|'/'r|'-tagged
+    shingles (cross=True: new-side x ref-side candidates only).  The
+    md5-based hash family is engine-portable by design (dedup.py).  Each
+    leg is its own parenthesized WITH subquery so the shared CTE names
+    don't collide."""
+    self_q = f"""
         WITH {_SHINGLES_CTE},
         {_lsh_cand_ctes("sh")}
-        SELECT i2.a, i2.b, round(j, 4) AS jaccard FROM (
+        SELECT 'self' AS op, i2.a, i2.b, round(j, 4) AS jaccard FROM (
             SELECT n.a, n.b, n.i / (sa.sz + sb.sz - n.i) AS j
             FROM inter n
             JOIN ssz sa ON sa.doc_id = n.a
             JOIN ssz sb ON sb.doc_id = n.b) i2
         WHERE j >= 0.5
     """
+    cross_q = f"""
+        WITH {_SHINGLES_CTE},
+        xsh AS (
+            SELECT (CASE WHEN doc_id % 5 = 0 THEN 'n|' ELSE 'r|' END)
+                   || doc_id::VARCHAR AS doc_id, sh
+            FROM sh
+        ),
+        xsz AS (SELECT doc_id, count(*) AS sz FROM xsh GROUP BY 1),
+        {_lsh_cand_ctes("xsh", cross=True)}
+        SELECT 'cross' AS op,
+               CAST(substr(i2.a, 3) AS BIGINT) AS a,
+               CAST(substr(i2.b, 3) AS BIGINT) AS b,
+               round(j, 4) AS jaccard FROM (
+            SELECT n.a, n.b, n.i / (sa.sz + sb.sz - n.i) AS j
+            FROM inter n
+            JOIN xsz sa ON sa.doc_id = n.a
+            JOIN xsz sb ON sb.doc_id = n.b) i2
+        WHERE j >= 0.5
+    """
+    return f"SELECT * FROM ({self_q}) UNION ALL SELECT * FROM ({cross_q})"
 
 
 def _ngram_jaccard_sql() -> str:

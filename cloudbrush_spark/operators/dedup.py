@@ -167,6 +167,21 @@ def minhash_signatures_from_shingles(shingles: DataFrame, id_col: str = "doc_id"
                          F.col("hm.minhash").alias("minhash"))
 
 
+def _band_keys(signatures: DataFrame, id_col: str,
+               bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bkey) band-bucket keys from melted (id, h, minhash)
+    signatures — band key = md5 of the sorted concatenated row
+    minhashes.  Shared by the self-join (lsh_candidate_pairs) and
+    cross-corpus (cross_corpus_near_dups) banding paths."""
+    return (
+        signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
+        .filter(F.col("band") < bands)
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("h").cast("string"), F.col("minhash")))))).alias("bkey"))
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         bands: int = 4, rows_per_band: int = 4,
                         max_bucket: int = 50,
@@ -201,13 +216,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     """
     if overcap not in ("drop", "star"):
         raise ValueError(f"overcap must be 'drop' or 'star', got {overcap!r}")
-    banded = (
-        signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
-        .filter(F.col("band") < bands)
-        .groupBy(id_col, "band")
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("h").cast("string"), F.col("minhash")))))).alias("bkey"))
-    )
+    banded = _band_keys(signatures, id_col, bands, rows_per_band)
     # Materialize the banded table (``bands`` rows per doc — a bounded,
     # shuffle-sized frame) before fanning out: the bucket-cap broadcast
     # branch and both self-join sides otherwise re-execute the whole
@@ -310,6 +319,82 @@ def minhash_dedup_pairs_from_shingles(shingles: DataFrame, id_col: str = "doc_id
         return _stage_cut(jac.filter(F.col("jaccard") >= jaccard_threshold))
     finally:
         shingles.unpersist()
+
+
+def cross_corpus_near_dups(new_docs: DataFrame, ref_docs: DataFrame,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           shingle_n: int = 3, num_hashes: int = 16,
+                           bands: int = 4, rows_per_band: int = 4,
+                           jaccard_threshold: float = 0.5,
+                           max_bucket: int = 50,
+                           overcap: str = "drop") -> DataFrame:
+    """Near-dup pairs BETWEEN two corpora: every new document that
+    near-duplicates a reference document — the "dedup this crawl against
+    the previous release" operation, which a self-join near-dup cannot
+    express without concatenating the corpora and paying the reference
+    side's quadratic self-pairs.
+
+    Output: (new_id, ref_id, jaccard) with jaccard >= threshold, id
+    dtypes preserved from the inputs.  The MinHash family is the same
+    content-addressed md5 construction as ``minhash_dedup_pairs`` —
+    identical text on either side produces identical signatures, so the
+    cross join fires on exactly the buckets a concatenated self-join
+    would, minus the within-side pair expansion.
+
+    Scale shape: both sides' (tagged) shingle sets union into ONE
+    signature aggregate and ONE banding pass; the bucket join is
+    new-side x ref-side only, so within-side duplicates (the reference
+    corpus is typically the big, already-deduped one) never expand.
+    The bucket cap drops buckets over ``max_bucket`` TOTAL members;
+    ``overcap='star'`` instead pairs each over-cap NEW member with the
+    bucket's min REF member (linear — the mass-boilerplate case where
+    a template floods a bucket on both sides), verified like every
+    other candidate.
+    """
+    if overcap not in ("drop", "star"):
+        raise ValueError(f"overcap must be 'drop' or 'star', got {overcap!r}")
+    new_t, ref_t = new_docs.schema[id_col].dataType, \
+        ref_docs.schema[id_col].dataType
+
+    def _tagged(docs: DataFrame, tag: str) -> DataFrame:
+        sh = _shingle_sets(docs, id_col, text_col, shingle_n)
+        return sh.select(
+            F.concat(F.lit(tag), F.col(id_col).cast("string")).alias(id_col),
+            "sh")
+
+    from pyspark import StorageLevel
+    sh = _tagged(new_docs, "n|").unionByName(_tagged(ref_docs, "r|")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sigs = minhash_signatures_from_shingles(sh, id_col, num_hashes)
+        banded = _stage_cut(_band_keys(sigs, id_col, bands, rows_per_band))
+        big = (banded.groupBy("band", "bkey").count()
+               .filter(F.col("count") > max_bucket).select("band", "bkey"))
+        small = banded.join(F.broadcast(big), ["band", "bkey"], "left_anti")
+        n_side = small.filter(F.col(id_col).startswith("n|")) \
+            .select(F.col(id_col).alias("a"), "band", "bkey")
+        r_side = small.filter(F.col(id_col).startswith("r|")) \
+            .select(F.col(id_col).alias("b"), "band", "bkey")
+        pairs = n_side.join(r_side, ["band", "bkey"]).select("a", "b")
+        if overcap == "star":
+            hot = banded.join(F.broadcast(big), ["band", "bkey"], "left_semi")
+            # rep = min REF member per hot bucket; buckets with no ref
+            # member contribute nothing (there is no ref to match)
+            reps = (hot.filter(F.col(id_col).startswith("r|"))
+                    .groupBy("band", "bkey").agg(F.min(id_col).alias("b")))
+            star = (hot.filter(F.col(id_col).startswith("n|"))
+                    .join(reps, ["band", "bkey"])
+                    .select(F.col(id_col).alias("a"), "b"))
+            pairs = pairs.unionByName(star)
+        cands = _stage_cut(pairs.distinct())
+        jac = _jaccard_for_pairs(sh, cands, id_col)
+        out = jac.filter(F.col("jaccard") >= jaccard_threshold).select(
+            F.expr("substring(a, 3)").cast(new_t).alias("new_id"),
+            F.expr("substring(b, 3)").cast(ref_t).alias("ref_id"),
+            "jaccard")
+        return _stage_cut(out)
+    finally:
+        sh.unpersist()
 
 
 # --------------------------------------------------------------------------
