@@ -116,6 +116,11 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="curation: remove every line whose corpus-wide "
                          "occurrence count exceeds N (cross-document "
                          "boilerplate scrub) before gating/publishing")
+    ap.add_argument("-prior", default=None, metavar="PARQUET",
+                    help="curation: previous-release corpus (doc_id, "
+                         "text) — drop gated docs that near-duplicate "
+                         "any prior-release document (cross-corpus "
+                         "MinHash dedup)")
     return ap
 
 
@@ -178,6 +183,8 @@ def main(argv: list[str] | None = None) -> int:
                 benchmark_vectors=spark.read.parquet(args.bench_embeddings),
                 corpus_vectors=spark.read.parquet(args.embeddings),
                 semantic_threshold=args.semantic_threshold)
+        if args.prior:
+            sem_kw["reference_docs"] = spark.read.parquet(args.prior)
         if args.mixture is not None or args.budget is not None:
             from cloudbrush_spark.pipeline.release import ReleasePipeline
             weights = json.loads(args.mixture) if args.mixture else None

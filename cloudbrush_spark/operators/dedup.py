@@ -327,12 +327,18 @@ def cross_corpus_near_dups(new_docs: DataFrame, ref_docs: DataFrame,
                            bands: int = 4, rows_per_band: int = 4,
                            jaccard_threshold: float = 0.5,
                            max_bucket: int = 50,
-                           overcap: str = "drop") -> DataFrame:
+                           overcap: str = "drop",
+                           new_tokens_col: str | None = None) -> DataFrame:
     """Near-dup pairs BETWEEN two corpora: every new document that
     near-duplicates a reference document — the "dedup this crawl against
     the previous release" operation, which a self-join near-dup cannot
     express without concatenating the corpora and paying the reference
     side's quadratic self-pairs.
+
+    ``new_tokens_col`` names a pre-materialized token-array column on
+    the NEW side (pipelines that already tokenized, e.g. curation's
+    gate — the ``decontaminate`` threading convention); the reference
+    side always tokenizes its own ``text_col``.
 
     Output: (new_id, ref_id, jaccard) with jaccard >= threshold, id
     dtypes preserved from the inputs.  The MinHash family is the same
@@ -356,14 +362,22 @@ def cross_corpus_near_dups(new_docs: DataFrame, ref_docs: DataFrame,
     new_t, ref_t = new_docs.schema[id_col].dataType, \
         ref_docs.schema[id_col].dataType
 
-    def _tagged(docs: DataFrame, tag: str) -> DataFrame:
-        sh = _shingle_sets(docs, id_col, text_col, shingle_n)
+    def _tagged(docs: DataFrame, tag: str,
+                tokens_col: str | None = None) -> DataFrame:
+        if tokens_col is None:
+            sh = _shingle_sets(docs, id_col, text_col, shingle_n)
+        else:
+            sh = docs.select(
+                F.col(id_col),
+                F.explode(text.word_shingles(F.col(tokens_col), shingle_n))
+                .alias("sh")).distinct()
         return sh.select(
             F.concat(F.lit(tag), F.col(id_col).cast("string")).alias(id_col),
             "sh")
 
     from pyspark import StorageLevel
-    sh = _tagged(new_docs, "n|").unionByName(_tagged(ref_docs, "r|")) \
+    sh = _tagged(new_docs, "n|", new_tokens_col) \
+        .unionByName(_tagged(ref_docs, "r|")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     try:
         sigs = minhash_signatures_from_shingles(sh, id_col, num_hashes)

@@ -8,6 +8,9 @@ src/Brush/BrushAssembler.java:829-893), re-targeted at documents:
 
 1. **Gate** — quality score x language-ID x token-count bounds
    (``operators/textops.py``): pure column expressions, zero shuffle.
+   Optional decontamination (n-gram / semantic) and PRIOR-RELEASE
+   cross-corpus dedup (``dedup.cross_corpus_near_dups``) drop flagged
+   survivors here via broadcastable anti-joins.
 2. **Exact dedup** — normalized-fingerprint hash aggregate, min-id
    survivor (P1's survivor contract,
    src/Brush/GenNonContainedReads.java:174-248).
@@ -47,7 +50,8 @@ def curate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
            benchmark_vectors: DataFrame | None = None,
            corpus_vectors: DataFrame | None = None,
            semantic_threshold: float = 0.95,
-           vec_id_col: str = "vec_id") -> DataFrame:
+           vec_id_col: str = "vec_id",
+           reference_docs: DataFrame | None = None) -> DataFrame:
     """Curated-corpus manifest: one row per surviving document with its
     split assignment and headline features.
 
@@ -107,6 +111,24 @@ def curate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             .filter("contaminated")
             .select(F.col(vec_id_col).alias(id_col)))
         kept = kept.join(sem, id_col, "left_anti")
+
+    # optional PRIOR-RELEASE dedup (dedup.cross_corpus_near_dups): drop
+    # gated docs that near-duplicate a document of the previous release —
+    # the cross-corpus operation a within-corpus near-dup cannot see.
+    # Runs on the THREADED token arrays (new side; the reference side
+    # tokenizes itself), overcap='star' like the self near-dup stage so
+    # mass template duplication across releases still matches; the
+    # flagged id set is small, so the anti-join broadcasts under AQE.
+    if reference_docs is not None:
+        prior_hits = (
+            dedup.cross_corpus_near_dups(
+                kept, reference_docs, id_col=id_col, text_col=text_col,
+                shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+                rows_per_band=rows_per_band,
+                jaccard_threshold=jaccard_threshold,
+                overcap="star", new_tokens_col="__toks")
+            .select(F.col("new_id").alias(id_col)).distinct())
+        kept = kept.join(prior_hits, id_col, "left_anti")
 
     # exact dedup: min-id survivor per normalized fingerprint (the same
     # survivor contract as dedup.fingerprint_dedup, computed from the

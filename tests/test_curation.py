@@ -118,3 +118,29 @@ def test_curate_semantic_requires_corpus_vectors(spark):
         [(900, [1.0])], "doc_id long, embedding array<float>")
     with _pytest.raises(ValueError, match="corpus_vectors"):
         curation.curate(_docs(spark), benchmark_vectors=bench_vecs)
+
+
+def test_curate_prior_release_drops_cross_corpus_dups(spark):
+    """reference_docs drops gated docs near-duplicating the PREVIOUS
+    release: docs 1 and 2 shingle-identically to the prior doc (J = 1,
+    caught in EVERY band — guaranteed, not probabilistic recall) and
+    vanish; GOOD2 survives untouched.  Doc 3 (J ~= 0.78 vs prior) is
+    banding-probabilistic by design, so it is not asserted either way —
+    same recall contract as the within-corpus LSH stage."""
+    prior = spark.createDataFrame(
+        [(900, GOOD)], "doc_id long, text string")
+    got = {r.doc_id for r in
+           curation.curate(_docs(spark), reference_docs=prior).collect()}
+    assert 4 in got
+    assert got & {1, 2} == set()
+
+
+def test_curate_prior_release_without_overlap_changes_nothing(spark):
+    prior = spark.createDataFrame(
+        [(900, "entirely unrelated prior corpus body of text")],
+        "doc_id long, text string")
+    base = {r.doc_id for r in curation.curate(_docs(spark)).collect()}
+    with_prior = {r.doc_id for r in
+                  curation.curate(_docs(spark),
+                                  reference_docs=prior).collect()}
+    assert with_prior == base
