@@ -750,7 +750,7 @@ def q_corpus_guard(spark, sf_dir):
             .unionByName(sem).unionByName(boil))
 
 
-def q_shard_pack(spark, sf_dir):
+def q_shard_pack_only(spark, sf_dir):
     """Deterministic token-budget shard packing (sampling.pack_shards):
     order docs by an md5 permutation, prefix-sum whitespace token counts
     along it, cut a shard every 1000 tokens.  The distributed two-phase
@@ -762,6 +762,35 @@ def q_shard_pack(spark, sf_dir):
     wdf = docs.select(
         "doc_id", textfn.token_count("text").cast("long").alias("n_tokens"))
     return sampling.pack_shards(wdf, "n_tokens", budget=1000, buckets=1024)
+
+
+def q_shard_pack(spark, sf_dir):
+    """Token-budget operators in one tagged-union row (r8).  'pack' =
+    the r7 shard-packing leg unchanged (q_shard_pack_only — still the
+    form bench.py times).  'budget' = sampling.budget_select: keep the
+    HIGHEST-QUALITY docs whose cumulative whitespace-token count fits
+    30% of the corpus's total tokens (order quality DESC, doc_id;
+    truncate at the first overflow).  The distributed form is the
+    range-bucketed two-phase cumsum with budget-pruned buckets; the
+    oracle is a single sequential window over the same quality twin —
+    the hash pins the exact selected set and each doc's start offset.
+    Canonical (op, doc_id, v1, v2, v3) BIGINT columns."""
+    from cloudbrush_spark.operators import sampling
+    pack = q_shard_pack_only(spark, sf_dir).select(
+        F.lit("pack").alias("op"), "doc_id", F.col("wt").alias("v1"),
+        F.col("shard_id").alias("v2"), F.col("offset").alias("v3"))
+    docs = _t(spark, sf_dir, "documents")
+    qdf = docs.select(
+        "doc_id", textfn.token_count("text").cast("long").alias("n_tokens"),
+        textops.quality_col("text").alias("quality"))
+    # 30% of total tokens, integer math both engines (sum*3 div 10)
+    total = qdf.agg(F.sum("n_tokens")).first()[0] or 0
+    sel = sampling.budget_select(qdf, "n_tokens", "quality",
+                                 budget=total * 3 // 10)
+    budget = sel.select(
+        F.lit("budget").alias("op"), "doc_id", F.col("wt").alias("v1"),
+        F.col("start").alias("v2"), F.lit(0).cast("long").alias("v3"))
+    return pack.unionByName(budget)
 
 
 def q_sink_formats(spark, sf_dir):
@@ -3705,25 +3734,44 @@ _ORACLES["corpus_guard"] = f"""
     UNION ALL SELECT * FROM sem UNION ALL SELECT * FROM boiler
 """
 
-_ORACLES["shard_pack"] = """
-    WITH w AS (
-        SELECT doc_id,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS wt,
-               CAST(list_sum(list_transform(generate_series(1, 8),
-                    i -> (strpos('0123456789abcdef',
-                                 substring(md5('pack|' || doc_id::VARCHAR), i, 1)) - 1)
-                         * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) AS h
-        FROM documents),
-    s AS (
-        SELECT doc_id, CAST(wt AS BIGINT) AS wt,
-               coalesce(sum(wt) OVER (ORDER BY h % 1024, h, doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
-        FROM w)
-    SELECT doc_id, wt,
-           CAST(start // 1000 AS BIGINT) AS shard_id,
-           CAST(start % 1000 AS BIGINT) AS "offset"
-    FROM s
+_ORACLES["shard_pack"] = f"""
+    SELECT 'pack' AS op, doc_id, wt AS v1, shard_id AS v2, "offset" AS v3
+    FROM (
+        WITH w AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS wt,
+                   CAST(list_sum(list_transform(generate_series(1, 8),
+                        i -> (strpos('0123456789abcdef',
+                                     substring(md5('pack|' || doc_id::VARCHAR), i, 1)) - 1)
+                             * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) AS h
+            FROM documents),
+        s AS (
+            SELECT doc_id, CAST(wt AS BIGINT) AS wt,
+                   coalesce(sum(wt) OVER (ORDER BY h % 1024, h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+            FROM w)
+        SELECT doc_id, wt,
+               CAST(start // 1000 AS BIGINT) AS shard_id,
+               CAST(start % 1000 AS BIGINT) AS "offset"
+        FROM s)
+    UNION ALL
+    SELECT 'budget' AS op, doc_id, wt AS v1, start AS v2,
+           CAST(0 AS BIGINT) AS v3
+    FROM (
+        -- single sequential window twin of the range-bucketed two-phase
+        -- cumsum: order quality DESC, doc_id; keep while it fits 30% of
+        -- the corpus's total whitespace tokens (integer math: sum*3//10)
+        WITH q AS ({_quality_sql()}),
+        s AS (
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS wt,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                        ORDER BY quality DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS start
+            FROM q),
+        b AS (SELECT CAST(sum(n_tokens) AS BIGINT) * 3 // 10 AS lim FROM q)
+        SELECT doc_id, wt, start FROM s, b WHERE start + wt <= lim)
 """
 
 from cloudbrush_spark.oracle_fixtures import SQL_OVERLAP_EDGES  # noqa: E402

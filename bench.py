@@ -65,6 +65,7 @@ def main() -> None:
     # comparisons stay apples-to-apples (the tpch_q* precedent); the
     # union forms are the driver's correctness surface, not the bench's
     qs["minhash_lsh_dedup"] = entrymod.q_minhash_pairs_self
+    qs["shard_pack"] = entrymod.q_shard_pack_only
     # warm the JVM + parquet footers with one cheap action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     # host-health probe: record the parallel/single ratio so a run under

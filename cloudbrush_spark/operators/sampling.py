@@ -107,6 +107,70 @@ def mixture_resample(df: DataFrame, weights: dict[str, float],
     )
 
 
+def budget_select(df: DataFrame, weight_col: str, quality_col: str,
+                  budget: int, id_col: str = "doc_id",
+                  buckets: int = 1024) -> DataFrame:
+    """Quality-ordered token-budget selection: keep the highest-quality
+    rows whose cumulative weight fits a global ``budget`` — the
+    "take the best documents until N tokens" step that decides what a
+    fixed training-token budget is actually spent on.
+
+    Semantics (total order: ``quality`` DESC, id ASC): a row is kept iff
+    ``start + wt <= budget`` where ``start`` is the total weight of all
+    rows strictly before it — truncate at the first overflow, no
+    skip-and-refill, so every engine computes the identical set and the
+    oracle is a single window cumsum.
+
+    Scale shape: the same two-phase cumsum as ``pack_shards`` but
+    RANGE-bucketed on quality (``bucket = clamp(floor((1 - q) * B))`` is
+    monotone in -quality, so bucket order refines the global order;
+    equal qualities land in one bucket and break ties on id), plus a
+    budget PRUNE: a bucket whose exclusive weight prefix already exceeds
+    the budget cannot contribute a kept row, and the inner join against
+    the surviving bucket list drops it BEFORE the per-bucket window
+    sort.  Selecting the top 1% of a 100 TB corpus therefore sorts ~1%
+    of it; the only unpartitioned window is the ``buckets``-row totals
+    frame.  Quality scores cluster (rounded composites), so unlike the
+    md5 bucketing the range buckets can skew — size ``buckets`` to the
+    score resolution, and note the per-bucket sort is still bounded by
+    the skewed bucket, never the corpus."""
+    wdf = (
+        df.select(
+            F.col(id_col),
+            F.coalesce(F.col(weight_col).cast("long"), F.lit(0)).alias("wt"),
+            # NULL quality sorts as 0.0 (lowest priority, deterministic)
+            # rather than falling out of the null-rejecting bucket join
+            F.coalesce(F.col(quality_col).cast("double"),
+                       F.lit(0.0)).alias("q"))
+        .withColumn(
+            "b",
+            F.least(
+                F.greatest(
+                    F.floor((F.lit(1.0) - F.col("q")) * buckets).cast("int"),
+                    F.lit(0)),
+                F.lit(buckets - 1)))
+    )
+    totals = wdf.groupBy("b").agg(F.sum("wt").alias("tot"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    # pre <= budget (not <): a zero-weight row at the exact budget
+    # boundary satisfies start + 0 <= budget and must stay selectable
+    prefix = (
+        totals
+        .withColumn("pre", F.coalesce(F.sum("tot").over(wb), F.lit(0)))
+        .filter(F.col("pre") <= budget)
+    )
+    ww = (Window.partitionBy("b").orderBy(F.col("q").desc(), id_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        wdf.join(F.broadcast(prefix.select("b", "pre")), "b")
+        .withColumn("start",
+                    F.col("pre") + F.coalesce(F.sum("wt").over(ww), F.lit(0)))
+        .filter(F.col("start") + F.col("wt") <= budget)
+        .select(id_col, "wt", F.col("q").alias(quality_col),
+                F.col("start").cast("long").alias("start"))
+    )
+
+
 def _md5_long(id_col: str, seed: str) -> Column:
     """First 8 hex chars of md5(seed|id) as a long in [0, 2^32) — the
     shared engine-portable order/bucket key."""

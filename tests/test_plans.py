@@ -187,6 +187,25 @@ def test_pack_shards_no_global_single_partition_sort_on_rows(spark):
     assert "hashpartitioning(b" in plan
 
 
+def test_budget_select_prunes_buckets_before_the_row_sort(spark):
+    """budget_select's row-level cumsum window is partitioned by the
+    quality range bucket (never SinglePartition), the surviving bucket
+    list reaches the rows by BROADCAST, and the budget prune (pre <=
+    budget) sits on the bucket-totals side of that join — so buckets
+    past the budget are dropped before any per-bucket sort happens."""
+    from cloudbrush_spark.operators import sampling
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 30 + 1).alias("n_tokens"),
+        ((F.col("id") % 13) / 12.0).alias("quality"))
+    q = sampling.budget_select(df, "n_tokens", "quality", budget=500,
+                               buckets=16)
+    plan = plans.explain_str(q)
+    assert plans.has_broadcast_join(q)
+    assert "hashpartitioning(b" in plan
+    # the prune filter references the bucket prefix, not row columns
+    assert "(pre" in plan and "500" in plan
+
+
 def test_mixture_resample_is_narrow(spark):
     """Mixture construction (filter + bounded explode) must add no
     exchange — reweighting a 100 TB corpus is a single linear pass."""

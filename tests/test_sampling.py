@@ -152,6 +152,67 @@ def test_pack_shards_single_bucket_and_tiny_budget(spark):
     assert starts == [i * 50 for i in range(10)]
 
 
+def test_budget_select_matches_python_reference(spark):
+    """The selected set and every start offset equal a single-threaded
+    cumsum over (quality DESC, doc_id) — the range-bucketed two-phase
+    form must be exactly the sequential truncate-at-overflow semantics,
+    including quality ties broken by doc_id."""
+    rows = [(i, (i * 13) % 20 + 1, ((i * 7) % 11) / 10.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, quality double")
+    total = sum(w for _, w, _ in rows)
+    budget = total * 3 // 10
+    got = {r.doc_id: (r.wt, r.start) for r in sampling.budget_select(
+        df, "n_tokens", "quality", budget=budget, buckets=16).collect()}
+
+    start, want = 0, {}
+    for doc_id, wt, _q in sorted(rows, key=lambda r: (-r[2], r[0])):
+        if start + wt <= budget:
+            want[doc_id] = (wt, start)
+        start += wt
+    assert got == want
+    assert 0 < len(want) < len(rows)  # the fixture exercises a real cut
+
+
+def test_budget_select_truncates_at_first_overflow(spark):
+    """Fill-until-overflow, never skip-and-refill: once a doc overshoots
+    the budget, every lower-priority doc is excluded even if it would
+    individually fit (start counts ALL prior docs, kept or not)."""
+    df = spark.createDataFrame(
+        [(1, 50, 0.9), (2, 60, 0.8), (3, 5, 0.7)],
+        "doc_id long, n_tokens long, quality double")
+    got = sorted(r.doc_id for r in sampling.budget_select(
+        df, "n_tokens", "quality", budget=100).collect())
+    assert got == [1]  # doc 2 overflows; doc 3 would fit but start=110
+
+
+def test_budget_select_zero_weight_at_exact_boundary(spark):
+    """A zero-width row whose start lands exactly on the budget boundary
+    satisfies start + 0 <= budget and must survive the bucket prune
+    (prune is pre <= budget, not <)."""
+    df = spark.createDataFrame(
+        [(1, 100, 0.9), (2, 0, 0.8), (3, 10, 0.7)],
+        "doc_id long, n_tokens long, quality double")
+    got = sorted(r.doc_id for r in sampling.budget_select(
+        df, "n_tokens", "quality", budget=100, buckets=4).collect())
+    assert got == [1, 2]
+
+
+def test_budget_select_stable_under_repartition_and_full_budget(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 40 + 1).alias("n_tokens"),
+        ((F.col("id") % 17) / 16.0).alias("quality"))
+    a = sampling.budget_select(df, "n_tokens", "quality", budget=10_000)
+    b = sampling.budget_select(df.repartition(19), "n_tokens", "quality",
+                               budget=10_000)
+    assert a.count() == b.count()
+    assert a.select("doc_id", "start").exceptAll(
+        b.select("doc_id", "start")).count() == 0
+    # budget >= total selects everything
+    everything = sampling.budget_select(df, "n_tokens", "quality",
+                                        budget=10**9)
+    assert everything.count() == 3000
+
+
 def test_mixture_resample_zero_and_integer_weights(spark):
     df = spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, "c")], "doc_id long, source string")
