@@ -112,6 +112,17 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="release: shard token budget — packs published "
                          "rows into fixed-weight shards (shard_id/offset "
                          "columns)")
+    ap.add_argument("-token_budget", type=int, default=None,
+                    metavar="TOKENS",
+                    help="release: global quality-ordered token cap — "
+                         "spend at most this many whitespace tokens on "
+                         "the best mixture rows (sampling.budget_select)")
+    ap.add_argument("-src_budget", default=None, metavar="JSON",
+                    help="release: per-source token budgets as a JSON "
+                         "object {source: tokens} — each domain fills "
+                         "its own cap by quality "
+                         "(sampling.budget_select_per_source); mutually "
+                         "exclusive with -token_budget")
     ap.add_argument("-boiler_df", type=int, default=None, metavar="N",
                     help="curation: remove every line whose corpus-wide "
                          "occurrence count exceeds N (cross-document "
@@ -185,13 +196,19 @@ def main(argv: list[str] | None = None) -> int:
                 semantic_threshold=args.semantic_threshold)
         if args.prior:
             sem_kw["reference_docs"] = spark.read.parquet(args.prior)
-        if args.mixture is not None or args.budget is not None:
+        if (args.mixture is not None or args.budget is not None
+                or args.token_budget is not None
+                or args.src_budget is not None):
             from cloudbrush_spark.pipeline.release import ReleasePipeline
             weights = json.loads(args.mixture) if args.mixture else None
+            src_budgets = (json.loads(args.src_budget)
+                           if args.src_budget else None)
             pipe = ReleasePipeline(spark, checkpoint_dir=args.ckpt,
                                    verbose=True)
             rel = pipe.run(
                 docs, args.out, mixture_weights=weights, budget=args.budget,
+                token_budget=args.token_budget,
+                source_token_budgets=src_budgets,
                 files_per_split=args.files_per_split, benchmark=bench,
                 boilerplate_max_df=args.boiler_df,
                 quality_min=args.quality_min, lang=args.lang,

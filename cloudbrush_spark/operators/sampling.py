@@ -134,14 +134,56 @@ def budget_select(df: DataFrame, weight_col: str, quality_col: str,
     md5 bucketing the range buckets can skew — size ``buckets`` to the
     score resolution, and note the per-bucket sort is still bounded by
     the skewed bucket, never the corpus."""
+    return (
+        _budget_select(df, weight_col, quality_col,
+                       F.lit(int(budget)).cast("long"), [], id_col, buckets)
+        .select(id_col, "wt", F.col("q").alias(quality_col), "start")
+    )
+
+
+def budget_select_per_source(df: DataFrame, weight_col: str,
+                             quality_col: str, budgets: dict[str, int],
+                             source_col: str = "source",
+                             id_col: str = "doc_id",
+                             buckets: int = 1024) -> DataFrame:
+    """Per-domain token-budget allocation: run :func:`budget_select`
+    INDEPENDENTLY within each source, with each source's own budget —
+    "spend 50 B tokens on web, 30 B on code, 20 B on books", the
+    standard way a training mixture is specified when the target is
+    token counts rather than sampling rates (``mixture_resample``).
+    Sources absent from ``budgets`` are dropped, like ``mixture_sample``.
+
+    Scale shape: identical to the global form — the cumsum group key
+    just becomes (source, quality-bucket), the bucket-prefix frame
+    |sources| x ``buckets`` rows, and the budget prune per-source.  One
+    extra column in two shuffle keys, no new exchange."""
+    lim: Column = F.lit(None).cast("long")
+    for src, b in sorted(budgets.items()):
+        lim = F.when(F.col(source_col) == src,
+                     F.lit(int(b)).cast("long")).otherwise(lim)
+    return (
+        _budget_select(df.filter(lim.isNotNull()), weight_col, quality_col,
+                       lim, [source_col], id_col, buckets)
+        .select(source_col, id_col, "wt", F.col("q").alias(quality_col),
+                "start")
+    )
+
+
+def _budget_select(df: DataFrame, weight_col: str, quality_col: str,
+                   lim: Column, group_cols: list[str], id_col: str,
+                   buckets: int) -> DataFrame:
+    """Shared two-phase budget cumsum: group_cols=[] is the global form,
+    [source] the per-domain form.  ``lim`` must be constant within a
+    group (a literal, or a CASE over the group column)."""
     wdf = (
         df.select(
-            F.col(id_col),
+            *group_cols, F.col(id_col),
             F.coalesce(F.col(weight_col).cast("long"), F.lit(0)).alias("wt"),
             # NULL quality sorts as 0.0 (lowest priority, deterministic)
             # rather than falling out of the null-rejecting bucket join
             F.coalesce(F.col(quality_col).cast("double"),
-                       F.lit(0.0)).alias("q"))
+                       F.lit(0.0)).alias("q"),
+            lim.alias("__lim"))
         .withColumn(
             "b",
             F.least(
@@ -150,24 +192,26 @@ def budget_select(df: DataFrame, weight_col: str, quality_col: str,
                     F.lit(0)),
                 F.lit(buckets - 1)))
     )
-    totals = wdf.groupBy("b").agg(F.sum("wt").alias("tot"))
-    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    totals = wdf.groupBy(*group_cols, "b").agg(
+        F.sum("wt").alias("tot"), F.max("__lim").alias("__glim"))
+    wb = (Window.partitionBy(*group_cols).orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1))
     # pre <= budget (not <): a zero-weight row at the exact budget
     # boundary satisfies start + 0 <= budget and must stay selectable
     prefix = (
         totals
         .withColumn("pre", F.coalesce(F.sum("tot").over(wb), F.lit(0)))
-        .filter(F.col("pre") <= budget)
+        .filter(F.col("pre") <= F.col("__glim"))
     )
-    ww = (Window.partitionBy("b").orderBy(F.col("q").desc(), id_col)
+    keys = [*group_cols, "b"]
+    ww = (Window.partitionBy(*keys).orderBy(F.col("q").desc(), id_col)
           .rowsBetween(Window.unboundedPreceding, -1))
     return (
-        wdf.join(F.broadcast(prefix.select("b", "pre")), "b")
+        wdf.join(F.broadcast(prefix.select(*keys, "pre")), keys)
         .withColumn("start",
                     F.col("pre") + F.coalesce(F.sum("wt").over(ww), F.lit(0)))
-        .filter(F.col("start") + F.col("wt") <= budget)
-        .select(id_col, "wt", F.col("q").alias(quality_col),
-                F.col("start").cast("long").alias("start"))
+        .filter(F.col("start") + F.col("wt") <= F.col("__lim"))
+        .withColumn("start", F.col("start").cast("long"))
     )
 
 

@@ -16,6 +16,10 @@ runStage/checkDone :132-155).  Here the chain is:
 2. **mixture** (``operators/sampling.mixture_resample``) — domain
    re-weighting over the curated survivors: down-sample boilerplate
    domains, up-sample curated ones (``copy`` column keys the duplicates).
+2b. **budget** (optional, ``operators/sampling.budget_select`` /
+   ``budget_select_per_source``) — quality-ordered token-budget cap
+   over the mixture rows: spend the release's token budget (global or
+   per-domain) on the best surviving rows before packing.
 3. **pack** (``operators/sampling.pack_shards``) — deterministic
    token-budget shard assignment over the mixture rows; identity is
    ``doc_id#copy`` so up-sampled copies pack as independent rows.
@@ -98,6 +102,8 @@ class ReleasePipeline:
             source_col: str = "source",
             mixture_weights: dict[str, float] | None = None,
             mixture_seed: str = "mixture",
+            token_budget: int | None = None,
+            source_token_budgets: dict[str, int] | None = None,
             budget: int | None = None, shard_buckets: int = 1024,
             pack_seed: str = "pack",
             files_per_split: int = 16,
@@ -110,7 +116,9 @@ class ReleasePipeline:
         the corpus itself lands split-partitioned at ``out_path/corpus``.
 
         ``mixture_weights=None`` keeps every curated survivor once
-        (copy=1); ``budget=None`` skips shard packing (shard_id=0,
+        (copy=1); ``token_budget``/``source_token_budgets`` (mutually
+        exclusive) cap the released tokens by quality, globally or per
+        source; ``budget=None`` skips shard packing (shard_id=0,
         offset=0 — one unbounded shard).  ``boilerplate_max_df`` enables
         the cross-document repeated-line scrub
         (``operators/guard.boilerplate_scrub``) as stage 0: the WHOLE
@@ -152,6 +160,37 @@ class ReleasePipeline:
                 .select(id_col, "split", "ws_tokens", "quality", "copy"))
 
         mixture = self._stage("mixture", _mixture)
+
+        if token_budget is not None and source_token_budgets is not None:
+            raise ValueError(
+                "token_budget and source_token_budgets are mutually "
+                "exclusive — a global cap with per-source caps inside it "
+                "is ambiguous; pick one allocation")
+
+        def _budget() -> DataFrame:
+            # quality-ordered token-budget cap over the MIXTURE rows
+            # (sampling.budget_select): spend the release's token budget
+            # on the best surviving rows, globally or per domain.  Runs
+            # after mixture so an up-sampled copy competes as its own
+            # row (identity doc_id#copy, like packing).
+            rel = mixture.withColumn(
+                "rel_id",
+                F.concat(F.col(id_col).cast("string"), F.lit("#"),
+                         F.col("copy").cast("string")))
+            if source_token_budgets is not None:
+                src = docs.select(id_col, source_col)
+                sel = sampling.budget_select_per_source(
+                    rel.join(src, id_col), "ws_tokens", "quality",
+                    source_token_budgets, source_col=source_col,
+                    id_col="rel_id")
+            else:
+                sel = sampling.budget_select(
+                    rel, "ws_tokens", "quality", token_budget,
+                    id_col="rel_id")
+            return rel.join(sel.select("rel_id"), "rel_id").drop("rel_id")
+
+        if token_budget is not None or source_token_budgets is not None:
+            mixture = self._stage("budget", _budget)
 
         def _pack() -> DataFrame:
             if budget is None:

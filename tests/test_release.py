@@ -112,6 +112,98 @@ def test_release_cli(tmp_path, spark, capsys):
     assert rel.count() == corpus.count() > 0
 
 
+def _varied_docs(spark, n=30):
+    """Docs distinct enough to SURVIVE the near-dup cluster dedup (the
+    `_docs` fixture collapses to ~2 reps) with per-doc quality spread:
+    a shared English base plus a doc-specific gibberish tail whose
+    varying length shifts the stopword-ratio component."""
+    rows = []
+    for i in range(n):
+        tail = " ".join(f"tok{i}x{j}" for j in range(10 + (i * 7) % 20))
+        rows.append((i, f"{GOOD} {FILLER} {tail}",
+                     "webcrawl" if i % 2 else "curated"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+
+
+def test_release_token_budget_stage(spark, tmp_path):
+    """token_budget caps the released rows at the best mixture rows
+    whose cumulative ws_tokens fit — exactly the single-threaded
+    (quality DESC, doc_id#copy) cumsum over the uncapped release."""
+    docs = _varied_docs(spark)
+    kw = dict(mixture_weights={"curated": 2.0, "webcrawl": 0.5},
+              max_tokens=2000)
+    full = release(spark, docs, str(tmp_path / "full"), **kw).collect()
+    assert len(full) >= 10  # the varied fixture must survive dedup
+    budget = sum(r.ws_tokens for r in full) * 6 // 10
+    capped = release(spark, docs, str(tmp_path / "cap"),
+                     token_budget=budget, **kw).collect()
+
+    start, want = 0, set()
+    for r in sorted(full, key=lambda r: (-r.quality, f"{r.doc_id}#{r.copy}")):
+        if start + r.ws_tokens <= budget:
+            want.add((r.doc_id, r.copy))
+        start += r.ws_tokens
+    got = {(r.doc_id, r.copy) for r in capped}
+    assert got == want
+    assert 0 < len(got) < len(full)
+    assert sum(r.ws_tokens for r in capped) <= budget
+    # the published corpus shrinks with the manifest
+    corpus = spark.read.parquet(str(tmp_path / "cap" / "corpus"))
+    assert corpus.count() == len(capped)
+
+
+def test_release_per_source_budget_isolated_and_exclusive(spark, tmp_path):
+    docs = _varied_docs(spark)
+    full = release(spark, docs, str(tmp_path / "full"), max_tokens=2000)
+    full_by_src = {r.source: r.n for r in
+                   (full.join(docs.select("doc_id", "source"), "doc_id")
+                    .groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                    .collect())}
+    rel = release(spark, docs, str(tmp_path / "rel"), max_tokens=2000,
+                  source_token_budgets={"curated": 10**6, "webcrawl": 160})
+    rows = (rel.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source").agg(F.sum("ws_tokens").alias("t"),
+                                   F.count(F.lit(1)).alias("n")).collect())
+    by_src = {r.source: r for r in rows}
+    # webcrawl squeezed under its own small cap; curated kept in full
+    assert by_src["webcrawl"].t <= 160
+    assert 1 <= by_src["webcrawl"].n < full_by_src["webcrawl"]
+    assert by_src["curated"].n == full_by_src["curated"] > 0
+    import pytest
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        release(spark, docs, str(tmp_path / "bad"),
+                token_budget=100, source_token_budgets={"curated": 10})
+
+
+def test_release_budget_stage_checkpoints(spark, tmp_path):
+    docs = _docs(spark)
+    ck = str(tmp_path / "ck")
+    kw = dict(max_tokens=2000, token_budget=500)
+    p1 = ReleasePipeline(spark, checkpoint_dir=ck)
+    first = {(r.doc_id, r.copy) for r in
+             p1.run(docs, str(tmp_path / "o1"), **kw).collect()}
+    assert p1.counters.get("ran_budget") == 1
+    p2 = ReleasePipeline(spark, checkpoint_dir=ck)
+    second = {(r.doc_id, r.copy) for r in
+              p2.run(docs, str(tmp_path / "o2"), **kw).collect()}
+    assert p2.counters.get("loaded_budget") == 1
+    assert first == second and first
+
+
+def test_release_cli_token_budget(tmp_path, spark, capsys):
+    from cloudbrush_spark.__main__ import main
+    src = str(tmp_path / "docs.parquet")
+    _docs(spark).write.parquet(src)
+    out = str(tmp_path / "out")
+    rc = main(["-curate", src, "-out", out, "-files_per_split", "1",
+               "-max_tokens", "2000", "-token_budget", "500"])
+    assert rc == 0
+    assert "released:" in capsys.readouterr().out
+    rel = spark.read.parquet(os.path.join(out, "release_manifest.parquet"))
+    assert 0 < rel.agg(F.sum("ws_tokens")).collect()[0][0] <= 500
+
+
 def test_release_boilerplate_scrub_stage(spark, tmp_path):
     # planted shared line in half the docs: with boilerplate_max_df=1
     # the published text must lose it; the unique tail survives

@@ -213,6 +213,46 @@ def test_budget_select_stable_under_repartition_and_full_budget(spark):
     assert everything.count() == 3000
 
 
+def test_budget_select_per_source_matches_python_reference(spark):
+    """Each source fills its OWN budget independently (quality DESC,
+    doc_id within the source); unlisted sources are dropped entirely."""
+    rows = [(i, f"src{i % 3}", (i * 13) % 20 + 1, ((i * 7) % 11) / 10.0)
+            for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long, quality double")
+    budgets = {"src0": 300, "src1": 150}
+    got = {(r.source, r.doc_id): (r.wt, r.start)
+           for r in sampling.budget_select_per_source(
+               df, "n_tokens", "quality", budgets, buckets=8).collect()}
+
+    want = {}
+    for src, lim in budgets.items():
+        start = 0
+        mine = [r for r in rows if r[1] == src]
+        for doc_id, _s, wt, _q in sorted(mine, key=lambda r: (-r[3], r[0])):
+            if start + wt <= lim:
+                want[(src, doc_id)] = (wt, start)
+            start += wt
+    assert got == want
+    assert not any(s == "src2" for s, _ in got)
+    assert {s for s, _ in got} == {"src0", "src1"}
+
+
+def test_budget_select_per_source_isolates_budgets(spark):
+    """A source exhausting its budget must not eat into another
+    source's allocation (per-group prefix, not a shared one)."""
+    df = spark.createDataFrame(
+        [(1, "a", 100, 0.9), (2, "a", 100, 0.8),
+         (3, "b", 10, 0.1), (4, "b", 10, 0.05)],
+        "doc_id long, source string, n_tokens long, quality double")
+    got = sorted((r.source, r.doc_id) for r in
+                 sampling.budget_select_per_source(
+                     df, "n_tokens", "quality",
+                     {"a": 100, "b": 20}).collect())
+    # a: only doc 1 fits; b: both fit despite terrible quality
+    assert got == [("a", 1), ("b", 3), ("b", 4)]
+
+
 def test_mixture_resample_zero_and_integer_weights(spark):
     df = spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, "c")], "doc_id long, source string")
