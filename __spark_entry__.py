@@ -764,30 +764,36 @@ def q_shard_pack_only(spark, sf_dir):
     return sampling.pack_shards(wdf, "n_tokens", budget=1000, buckets=1024)
 
 
-def q_shard_pack(spark, sf_dir):
-    """Token-budget operators in one tagged-union row (r8).  'pack' =
-    the r7 shard-packing leg unchanged (q_shard_pack_only — still the
-    form bench.py times).  'budget' = sampling.budget_select: keep the
-    HIGHEST-QUALITY docs whose cumulative whitespace-token count fits
-    30% of the corpus's total tokens (order quality DESC, doc_id;
-    truncate at the first overflow).  The distributed form is the
-    range-bucketed two-phase cumsum with budget-pruned buckets; the
-    oracle is a single sequential window over the same quality twin —
-    the hash pins the exact selected set and each doc's start offset.
-    Canonical (op, doc_id, v1, v2, v3) BIGINT columns."""
+def q_budget_select_only(spark, sf_dir):
+    """The shard_pack 'budget' leg alone (probe/scale form):
+    sampling.budget_select over the corpus's computed quality — keep the
+    highest-quality docs whose cumulative whitespace-token count fits
+    30% of the corpus total (order quality DESC, doc_id; truncate at
+    the first overflow)."""
     from cloudbrush_spark.operators import sampling
-    pack = q_shard_pack_only(spark, sf_dir).select(
-        F.lit("pack").alias("op"), "doc_id", F.col("wt").alias("v1"),
-        F.col("shard_id").alias("v2"), F.col("offset").alias("v3"))
     docs = _t(spark, sf_dir, "documents")
     qdf = docs.select(
         "doc_id", textfn.token_count("text").cast("long").alias("n_tokens"),
         textops.quality_col("text").alias("quality"))
     # 30% of total tokens, integer math both engines (sum*3 div 10)
     total = qdf.agg(F.sum("n_tokens")).first()[0] or 0
-    sel = sampling.budget_select(qdf, "n_tokens", "quality",
-                                 budget=total * 3 // 10)
-    budget = sel.select(
+    return sampling.budget_select(qdf, "n_tokens", "quality",
+                                  budget=total * 3 // 10)
+
+
+def q_shard_pack(spark, sf_dir):
+    """Token-budget operators in one tagged-union row (r8).  'pack' =
+    the r7 shard-packing leg unchanged (q_shard_pack_only — still the
+    form bench.py times).  'budget' = sampling.budget_select
+    (q_budget_select_only).  The distributed form is the range-bucketed
+    two-phase cumsum with budget-pruned buckets; the oracle is a single
+    sequential window over the same quality twin — the hash pins the
+    exact selected set and each doc's start offset.  Canonical
+    (op, doc_id, v1, v2, v3) BIGINT columns."""
+    pack = q_shard_pack_only(spark, sf_dir).select(
+        F.lit("pack").alias("op"), "doc_id", F.col("wt").alias("v1"),
+        F.col("shard_id").alias("v2"), F.col("offset").alias("v3"))
+    budget = q_budget_select_only(spark, sf_dir).select(
         F.lit("budget").alias("op"), "doc_id", F.col("wt").alias("v1"),
         F.col("start").alias("v2"), F.lit(0).cast("long").alias("v3"))
     return pack.unionByName(budget)
