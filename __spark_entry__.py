@@ -578,7 +578,7 @@ def q_hash_split(spark, sf_dir):
     return out.select("doc_id", "split")
 
 
-def q_curation_filter(spark, sf_dir):
+def q_curation_gate_only(spark, sf_dir):
     """Composed curation decision — the canonical training-data gate:
     quality score x language-ID x token-count bounds joined into one
     keep/drop verdict per document."""
@@ -592,6 +592,32 @@ def q_curation_filter(spark, sf_dir):
         q.join(l, "doc_id").join(t, "doc_id")
         .select("doc_id", "quality", "lang_pred", "ws_tokens", keep.alias("keep"))
     )
+
+
+def q_curation_filter(spark, sf_dir):
+    """Text-analysis tagged union (r8): per-doc gate + corpus report.
+
+    'doc' = q_curation_gate_only row-for-row (quality scaled to an
+    exact integer: quality is rounded to 4 places, so round(q*10000)
+    is engine-portable).  'report' = operators/report.corpus_report —
+    the one-pass corpus data card: per-source/per-language volumes,
+    quality-decile and integer-log2 length histograms, exact-duplicate
+    rate, token-count quantiles, and sketch-vs-exact contracts
+    (HyperLogLog distinct / percentile_approx), whose ok flags the
+    oracle emits as trivially true (ann_contracts pattern — a sketch
+    outside tolerance flips the flag and breaks the hash).  Canonical
+    (op, k1, k2, v1, v2, v3)."""
+    from cloudbrush_spark.operators.report import corpus_report
+    doc = q_curation_gate_only(spark, sf_dir).select(
+        F.lit("doc").alias("op"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("lang_pred").alias("k2"),
+        F.col("ws_tokens").alias("v1"),
+        F.round(F.col("quality") * 10000).cast("long").alias("v2"),
+        F.col("keep").cast("long").alias("v3"))
+    rep = corpus_report(_t(spark, sf_dir, "documents")).select(
+        F.lit("report").alias("op"), "k1", "k2", "v1", "v2", "v3")
+    return doc.unionByName(rep)
 
 
 def q_corpus_guard(spark, sf_dir):
@@ -2781,7 +2807,9 @@ _ORACLES["simhash_clusters"] = f"""
     FROM mem m JOIN sz ON sz.cluster_rep = m.cluster_rep
 """
 
-_ORACLES["curation_filter"] = f"""
+# The per-doc gate, shared by the curation_filter 'doc' leg and the
+# curation_pipeline composite's gate CTE
+_CURATION_GATE_SQL = f"""
     WITH q AS ({_quality_sql()}),
          l AS ({_lang_id_sql()}),
          t AS (SELECT doc_id,
@@ -2792,6 +2820,67 @@ _ORACLES["curation_filter"] = f"""
            (q.quality >= 0.5 AND l.lang_pred = 'en'
             AND t.ws_tokens BETWEEN 10 AND 1000) AS keep
     FROM q JOIN l ON q.doc_id = l.doc_id JOIN t ON q.doc_id = t.doc_id
+"""
+
+# Corpus data-card twin (operators/report.corpus_report): bounded
+# group-by frames + a histogram cumsum for the exact discrete quantiles;
+# the sketch ok flags are emitted trivially true (ann_contracts pattern)
+_REPORT_SQL = f"""
+    WITH rq AS ({_quality_sql()}),
+    rl AS ({_lang_id_sql()}),
+    feats AS (
+        SELECT d.source AS src, CAST(rq.n_tokens AS BIGINT) AS ws,
+               rq.quality AS q, rl.lang_pred AS lang, md5({_NORM}) AS fp
+        FROM documents d
+        JOIN rq ON rq.doc_id = d.doc_id
+        JOIN rl ON rl.doc_id = d.doc_id),
+    tot AS (SELECT count(*) AS n, sum(ws) AS t,
+                   count(DISTINCT fp) AS dx FROM feats),
+    hist AS (SELECT ws, count(*) AS cnt FROM feats GROUP BY 1),
+    cumh AS (SELECT ws, sum(cnt) OVER (ORDER BY ws
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM hist),
+    qv AS (SELECT pct, name
+           FROM (VALUES (25,'p25'),(50,'p50'),(75,'p75'),(90,'p90'))
+                v(pct, name)),
+    tq AS (SELECT qv.name AS k2, min(c.ws) AS v1
+           FROM qv, cumh c, tot
+           WHERE c.cum * 100 >= qv.pct * tot.n
+           GROUP BY 1)
+    SELECT 'source' AS k1, src AS k2, CAST(count(*) AS BIGINT) AS v1,
+           CAST(sum(ws) AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3
+    FROM feats GROUP BY 2
+    UNION ALL
+    SELECT 'lang', lang, CAST(count(*) AS BIGINT), 0, 0
+    FROM feats GROUP BY 2
+    UNION ALL
+    SELECT 'quality_decile',
+           CAST(CAST(least(floor(q * 10), 9) AS INT) AS VARCHAR),
+           CAST(count(*) AS BIGINT), 0, 0
+    FROM feats GROUP BY 2
+    UNION ALL
+    SELECT 'len_bits', CAST(length(bin(ws)) AS VARCHAR),
+           CAST(count(*) AS BIGINT), 0, 0
+    FROM feats GROUP BY 2
+    UNION ALL
+    SELECT 'corpus', 'all', CAST(n AS BIGINT), CAST(t AS BIGINT), 0 FROM tot
+    UNION ALL
+    SELECT 'dup', 'exact_fp', CAST(dx AS BIGINT), CAST(n - dx AS BIGINT), 0
+    FROM tot
+    UNION ALL
+    SELECT 'sketch', 'distinct_fp', CAST(dx AS BIGINT), 0, 1 FROM tot
+    UNION ALL
+    SELECT 'tokens_q', k2, CAST(v1 AS BIGINT), 0, 1 FROM tq
+"""
+
+_ORACLES["curation_filter"] = f"""
+    SELECT 'doc' AS op, CAST(doc_id AS VARCHAR) AS k1, lang_pred AS k2,
+           ws_tokens AS v1,
+           CAST(round(quality * 10000) AS BIGINT) AS v2,
+           CAST(keep AS BIGINT) AS v3
+    FROM ({_CURATION_GATE_SQL})
+    UNION ALL
+    SELECT 'report' AS op, k1, k2, v1, v2, v3 FROM ({_REPORT_SQL})
 """
 
 _ORACLES["j1_candidates"] = f"""
@@ -2834,7 +2923,7 @@ _ORACLES["dedup_clusters"] = f"""
 # subset) -> recursive-CTE connected components -> representative-only ->
 # md5 split buckets.  Mirrors pipeline/curation.curate stage for stage.
 _ORACLES["curation_pipeline"] = f"""
-    WITH RECURSIVE cf AS ({_ORACLES["curation_filter"]}),
+    WITH RECURSIVE cf AS ({_CURATION_GATE_SQL}),
     kept AS (SELECT d.doc_id, d.text FROM documents d
              JOIN cf ON cf.doc_id = d.doc_id WHERE cf.keep),
     fps AS (SELECT doc_id, md5({_NORM}) AS fp FROM kept),

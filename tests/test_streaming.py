@@ -142,7 +142,7 @@ def test_stream_curation_gate_equals_batch_gate(spark, tmp_path):
     gated = stream_curation_gate(read_document_stream(spark, src,
                                                       max_files_per_trigger=1))
     out = _run_stream(spark, gated, "stream_gate", output_mode="append")
-    batch = em.q_curation_filter(spark, sf).select(
+    batch = em.q_curation_gate_only(spark, sf).select(
         "doc_id", "quality", "lang_pred", "ws_tokens", "keep")
     assert out.count() == batch.count() > 0
     diff = out.exceptAll(batch).count() + batch.exceptAll(out).count()
