@@ -127,6 +127,12 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="curation: remove every line whose corpus-wide "
                          "occurrence count exceeds N (cross-document "
                          "boilerplate scrub) before gating/publishing")
+    ap.add_argument("-report", action="store_true",
+                    help="write the published corpus's data card "
+                         "(operators/report.corpus_report — per-split "
+                         "volumes, quality/length histograms, dup rate, "
+                         "token quantiles, sketch contracts) to "
+                         "OUT/report.parquet")
     ap.add_argument("-prior", default=None, metavar="PARQUET",
                     help="curation: previous-release corpus (doc_id, "
                          "text) — drop gated docs that near-duplicate "
@@ -209,6 +215,7 @@ def main(argv: list[str] | None = None) -> int:
                 docs, args.out, mixture_weights=weights, budget=args.budget,
                 token_budget=args.token_budget,
                 source_token_budgets=src_budgets,
+                report=args.report,
                 files_per_split=args.files_per_split, benchmark=bench,
                 boilerplate_max_df=args.boiler_df,
                 quality_min=args.quality_min, lang=args.lang,
@@ -244,6 +251,13 @@ def main(argv: list[str] | None = None) -> int:
         manifest = spark.read.parquet(os.path.join(args.out, "manifest.parquet"))
         publish_corpus(docs, manifest, os.path.join(args.out, "corpus"),
                        files_per_split=args.files_per_split)
+        if args.report:
+            from cloudbrush_spark.operators.report import corpus_report
+            from cloudbrush_spark.sources.corpus import read_corpus
+            back = read_corpus(spark, os.path.join(args.out, "corpus"))
+            corpus_report(back, source_col="split").write \
+                .mode("overwrite") \
+                .parquet(os.path.join(args.out, "report.parquet"))
         counts = {r.split: r.n for r in manifest.groupBy("split")
                   .agg(F.count(F.lit(1)).alias("n")).collect()}
         print("published:", json.dumps(counts, sort_keys=True))

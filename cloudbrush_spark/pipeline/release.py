@@ -26,6 +26,9 @@ runStage/checkDone :132-155).  Here the chain is:
 4. **publish** (``sources/corpus.publish_corpus``) — split-partitioned
    parquet with bounded balanced files, each row carrying its (copy,
    shard_id, offset).
+5. **report** (optional, ``operators/report.corpus_report``) — the
+   release's data card computed over the corpus AS PUBLISHED (read-back,
+   per-split volumes), written to ``out_path/report.parquet``.
 
 Resumability mirrors ``pipeline/assembler.Assembler._stage``: with
 ``checkpoint_dir`` set, each stage persists its output parquet plus a
@@ -109,6 +112,7 @@ class ReleasePipeline:
             files_per_split: int = 16,
             benchmark: DataFrame | None = None,
             boilerplate_max_df: int | None = None,
+            report: bool = False,
             **curate_kw) -> DataFrame:
         """Run the full release; returns the RELEASE MANIFEST — one row
         per published row: (id, copy, split, shard_id, offset, ws_tokens,
@@ -228,7 +232,25 @@ class ReleasePipeline:
             return self.spark.read.parquet(
                 os.path.join(out_path, "release_manifest.parquet"))
 
-        return self._stage("publish", _publish)
+        out = self._stage("publish", _publish)
+
+        if report:
+            # the release's DATA CARD, computed over the corpus as
+            # PUBLISHED (read-back, per-split volumes) — what actually
+            # shipped, not what was intended to ship
+            def _report() -> DataFrame:
+                from cloudbrush_spark.operators.report import corpus_report
+                back = corpus_sink.read_corpus(
+                    self.spark, os.path.join(out_path, "corpus"))
+                card = corpus_report(back, text_col=text_col,
+                                     source_col="split")
+                card.write.mode("overwrite").parquet(
+                    os.path.join(out_path, "report.parquet"))
+                return self.spark.read.parquet(
+                    os.path.join(out_path, "report.parquet"))
+
+            self._stage("report", _report)
+        return out
 
 
 def release(spark: SparkSession, docs: DataFrame, out_path: str,

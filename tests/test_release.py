@@ -204,6 +204,36 @@ def test_release_cli_token_budget(tmp_path, spark, capsys):
     assert 0 < rel.agg(F.sum("ws_tokens")).collect()[0][0] <= 500
 
 
+def test_release_report_stage_writes_data_card(spark, tmp_path):
+    """report=True ships the release with its data card, computed over
+    the corpus AS PUBLISHED (read-back, per-split volumes)."""
+    out = str(tmp_path / "rel")
+    rel = release(spark, _varied_docs(spark), out, max_tokens=2000,
+                  report=True)
+    n = rel.count()
+    card = spark.read.parquet(os.path.join(out, "report.parquet"))
+    rows = {(r.k1, r.k2): r for r in card.collect()}
+    assert rows[("corpus", "all")].v1 == n
+    split_counts = {r.split: r.n for r in rel.groupBy("split")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for split, cnt in split_counts.items():
+        assert rows[("source", split)].v1 == cnt
+    assert rows[("dup", "exact_fp")].v2 == 0  # post-dedup corpus
+    assert all(r.v3 == 1 for (k1, _), r in rows.items() if k1 == "tokens_q")
+
+
+def test_curate_cli_report_flag(tmp_path, spark, capsys):
+    from cloudbrush_spark.__main__ import main
+    src = str(tmp_path / "docs.parquet")
+    _varied_docs(spark).write.parquet(src)
+    out = str(tmp_path / "out")
+    rc = main(["-curate", src, "-out", out, "-files_per_split", "1",
+               "-max_tokens", "2000", "-report"])
+    assert rc == 0
+    card = spark.read.parquet(os.path.join(out, "report.parquet"))
+    assert card.filter("k1 = 'corpus'").count() == 1
+
+
 def test_release_boilerplate_scrub_stage(spark, tmp_path):
     # planted shared line in half the docs: with boilerplate_max_df=1
     # the published text must lose it; the unique tail survives
