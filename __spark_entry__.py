@@ -807,6 +807,13 @@ def q_budget_select_only(spark, sf_dir):
                                   budget=total * 3 // 10)
 
 
+def q_corpus_report_only(spark, sf_dir):
+    """The curation_filter 'report' leg alone (probe/bench form): the
+    one-pass corpus data card (operators/report.corpus_report)."""
+    from cloudbrush_spark.operators.report import corpus_report
+    return corpus_report(_t(spark, sf_dir, "documents"))
+
+
 def q_shard_pack(spark, sf_dir):
     """Token-budget operators in one tagged-union row (r8).  'pack' =
     the r7 shard-packing leg unchanged (q_shard_pack_only — still the

@@ -46,6 +46,10 @@ HEADLINE = [
     "simhash_clusters",
     "corpus_guard",
     "shard_pack",
+    # added round 8 (appended; single-op forms so earlier entries stay
+    # comparable)
+    "budget_select",
+    "corpus_report",
 ]
 
 
@@ -66,6 +70,8 @@ def main() -> None:
     # union forms are the driver's correctness surface, not the bench's
     qs["minhash_lsh_dedup"] = entrymod.q_minhash_pairs_self
     qs["shard_pack"] = entrymod.q_shard_pack_only
+    qs["budget_select"] = entrymod.q_budget_select_only
+    qs["corpus_report"] = entrymod.q_corpus_report_only
     # warm the JVM + parquet footers with one cheap action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     # host-health probe: record the parallel/single ratio so a run under

@@ -134,6 +134,8 @@ def budget_select(df: DataFrame, weight_col: str, quality_col: str,
     md5 bucketing the range buckets can skew — size ``buckets`` to the
     score resolution, and note the per-bucket sort is still bounded by
     the skewed bucket, never the corpus."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
     return (
         _budget_select(df, weight_col, quality_col,
                        F.lit(int(budget)).cast("long"), [], id_col, buckets)
@@ -157,6 +159,9 @@ def budget_select_per_source(df: DataFrame, weight_col: str,
     just becomes (source, quality-bucket), the bucket-prefix frame
     |sources| x ``buckets`` rows, and the budget prune per-source.  One
     extra column in two shuffle keys, no new exchange."""
+    bad = {s: b for s, b in budgets.items() if b < 0}
+    if bad:
+        raise ValueError(f"budgets must be >= 0, got {bad}")
     lim: Column = F.lit(None).cast("long")
     for src, b in sorted(budgets.items()):
         lim = F.when(F.col(source_col) == src,
