@@ -890,9 +890,15 @@ def q_event_windows(spark, sf_dir):
     """Batch event-time windowing in ONE tagged-union row — hourly tumbling
     window per event type + 30-min-gap sessionization (merged r6 to free a
     registry slot for curation_pipeline; the single-op forms above stay in
-    bench.py and the streaming twins in stream_equivalence).  Canonical
-    (op, k1, v1, v2, v3) schema per relational_extras conventions: keys as
-    strings, money as integer cents, sentinels instead of NULLs."""
+    bench.py and the streaming twins in stream_equivalence) + the r8
+    'json' leg: schema-on-read extraction over the semi-structured
+    ``props`` JSON column (sessions.json_props_agg — from_json with an
+    explicit schema, JVM-side), bucketed per (event_type, k % 10) so the
+    extracted value sits on the hash both row-level (the bucket key) and
+    aggregated (sum/max); the DuckDB twin extracts with json_extract.
+    Canonical (op, k1, v1, v2, v3) schema per relational_extras
+    conventions: keys as strings, money as integer cents, sentinels
+    instead of NULLs."""
     s = lambda c: F.col(c).cast("string")  # noqa: E731
     tum = q_tumbling_window(spark, sf_dir).select(
         F.lit("tumble").alias("op"), s("event_type").alias("k1"),
@@ -909,7 +915,16 @@ def q_event_windows(spark, sf_dir):
         F.col("start_us").cast("long").alias("v1"),
         F.col("end_us").cast("long").alias("v2"),
         F.col("n_events").cast("long").alias("v3"))
-    return tum.unionByName(ses)
+    from cloudbrush_spark.operators.sessions import json_props_agg
+    js = json_props_agg(_t(spark, sf_dir, "events")).select(
+        F.lit("json").alias("op"),
+        # F.concat (not concat_ws) so a NULL bucket — a malformed props
+        # row — propagates to a NULL k1 exactly like the oracle's `||`
+        F.concat(s("event_type"), F.lit("|"), s("k_bucket")).alias("k1"),
+        F.col("cnt").cast("long").alias("v1"),
+        F.col("sum_k").cast("long").alias("v2"),
+        F.col("max_k").cast("long").alias("v3"))
+    return tum.unionByName(ses).unionByName(js)
 
 
 def q_tpch_q1(spark, sf_dir):
@@ -3021,6 +3036,12 @@ _ORACLES["event_windows"] = f"""
            user_id::VARCHAR || '|' || session_id::VARCHAR AS k1,
            start_us AS v1, end_us AS v2, n_events AS v3
     FROM ({_ORACLES["sessionize"]})
+    UNION ALL
+    SELECT 'json' AS op,
+           event_type || '|' || CAST(k % 10 AS VARCHAR) AS k1,
+           count(*) AS v1, CAST(sum(k) AS BIGINT) AS v2, max(k) AS v3
+    FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+    GROUP BY 1, 2
 """
 
 _ORACLES["ngram_jaccard"] = _ngram_jaccard_sql()
