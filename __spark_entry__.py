@@ -2078,15 +2078,71 @@ def q_s1_fastq_roundtrip(spark, sf_dir):
     return fasta.read_fastq(spark, path, mate_suffix=True)
 
 
+# Adversarial suffix appended to every document before the JSONL/CSV
+# round-trips: quote, comma, tab, embedded NEWLINE, doubled quote, and a
+# non-ASCII char — every byte class the two interchange formats must
+# escape.  The Spark literal and the DuckDB expression build the SAME
+# string; the md5 on the driver hash proves the write->read round-trip
+# is byte-exact through the escaping.
+_TRICKY_TEXT = ' |"q,uote"\t\nmixed \'line\'|é'
+_TRICKY_SQL = "' |\"q,uote\"' || chr(9) || chr(10) || 'mixed ''line''|' || chr(233)"
+
+
+def _rt_docs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat("text", F.lit(_TRICKY_TEXT)).alias("text"),
+        "lang", "source")
+
+
+def _rt_canonical(back):
+    return back.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("read_id"),
+        F.md5(F.concat("lang", F.lit("|"), "source", F.lit("|"), "text"))
+        .alias("seq"))
+
+
+def q_s4_jsonl_roundtrip(spark, sf_dir):
+    """JSONL source round-trip: documents (with the adversarial suffix) ->
+    `sources/textfiles.write_jsonl` -> explicit-schema `read_jsonl` —
+    the crawl-dump interchange format, line-splittable at scale."""
+    import tempfile
+    from cloudbrush_spark.sources import textfiles
+    d = tempfile.mkdtemp(prefix="jsonl_rt_")
+    textfiles.write_jsonl(_rt_docs(spark, sf_dir), d)
+    return _rt_canonical(textfiles.read_jsonl(
+        spark, d, "doc_id long, text string, lang string, source string"))
+
+
+def q_s5_csv_roundtrip(spark, sf_dir):
+    """RFC-4180 CSV source round-trip (quoted fields, doubled quotes,
+    embedded newlines under multiLine) through
+    `sources/textfiles.write_csv_quoted`/`read_csv_quoted`."""
+    import tempfile
+    from cloudbrush_spark.sources import textfiles
+    d = tempfile.mkdtemp(prefix="csv_rt_")
+    textfiles.write_csv_quoted(_rt_docs(spark, sf_dir), d)
+    return _rt_canonical(textfiles.read_csv_quoted(
+        spark, d, "doc_id long, text string, lang string, source string"))
+
+
 def q_source_roundtrips(spark, sf_dir):
     """S1+S2 source round-trips in one tagged union row (merged r7 to free
     a registry slot for corpus_guard; both legs unchanged and still fully
-    verified — a parse/normalize bug in either scanner breaks the hash)."""
+    verified — a parse/normalize bug in either scanner breaks the hash).
+    r8 adds the general-purpose text interchange formats: 'jsonl' and
+    'csv' write->read round-trips over documents salted with an
+    adversarial suffix (quotes/commas/tabs/newlines/non-ASCII), hashed
+    content on the driver row — a broken escape convention in either
+    sink/scanner pair flips the seq md5."""
     fq = q_s1_fastq_roundtrip(spark, sf_dir).select(
         F.lit("fastq").alias("op"), "read_id", "seq")
     sfa = q_s2_sfa_roundtrip(spark, sf_dir).select(
         F.lit("sfa").alias("op"), "read_id", "seq")
-    return fq.unionByName(sfa)
+    js = q_s4_jsonl_roundtrip(spark, sf_dir).select(
+        F.lit("jsonl").alias("op"), "read_id", "seq")
+    cs = q_s5_csv_roundtrip(spark, sf_dir).select(
+        F.lit("csv").alias("op"), "read_id", "seq")
+    return fq.unionByName(sfa).unionByName(js).unionByName(cs)
 
 
 def q_overlap_graph(spark, sf_dir):
@@ -3668,10 +3724,21 @@ _ORACLES["s1_fastq_roundtrip"] = f"""
     FROM documents
 """
 
+# The JSONL/CSV round-trip twin: DuckDB rebuilds the salted content
+# directly from `documents` — the Spark side must reproduce it through a
+# physical write->read through the interchange format's escaping.
+_RT_SEQ_SQL = f"md5(lang || '|' || source || '|' || text || {_TRICKY_SQL})"
+
 _ORACLES["source_roundtrips"] = f"""
     SELECT 'fastq' AS op, read_id, seq FROM ({_ORACLES["s1_fastq_roundtrip"]})
     UNION ALL
     SELECT 'sfa' AS op, read_id, seq FROM ({_ORACLES["s2_sfa_roundtrip"]})
+    UNION ALL
+    SELECT 'jsonl' AS op, 'd' || CAST(doc_id AS VARCHAR) AS read_id,
+           {_RT_SEQ_SQL} AS seq FROM documents
+    UNION ALL
+    SELECT 'csv' AS op, 'd' || CAST(doc_id AS VARCHAR) AS read_id,
+           {_RT_SEQ_SQL} AS seq FROM documents
 """
 
 # Corpus-guard union (operators/guard.py): decontam / pii / rep legs.

@@ -1,0 +1,87 @@
+"""JSONL / quoted-CSV sources (sources/textfiles.py).
+
+The driver row (`source_roundtrips` 'jsonl'/'csv' legs) hash-pins the
+happy-path byte-exact round-trip at three SFs; these tests pin what the
+row can't: the PERMISSIVE corrupt-record quarantine path, NULL
+round-tripping, and that JSONL ingestion fans out across splits (the
+scale property the module docstring promises).
+"""
+
+import json
+import os
+
+from cloudbrush_spark.sources import textfiles
+
+NASTY = [
+    (1, 'plain words'),
+    (2, 'comma, "quote" and \'single\''),
+    (3, 'tab\there and\nnewline'),
+    (4, 'unicode é ✓ 中文'),
+    (5, None),  # NULL text
+]
+SCHEMA = "doc_id long, text string"
+
+
+def _df(spark):
+    return spark.createDataFrame(NASTY, SCHEMA)
+
+
+def _roundtrip(spark, tmp_path, writer, reader, **kw):
+    d = str(tmp_path / "out")
+    writer(_df(spark), d)
+    got = {r.doc_id: r.text for r in reader(spark, d, SCHEMA, **kw).collect()}
+    return got
+
+
+def test_jsonl_roundtrip_nasty_strings_and_null(spark, tmp_path):
+    got = _roundtrip(spark, tmp_path,
+                     textfiles.write_jsonl, textfiles.read_jsonl)
+    # Spark's json sink DROPS null fields from the object; the explicit
+    # schema reads the absent key back as NULL — byte-exact for values,
+    # null-exact for nulls
+    assert got == {i: t for i, t in NASTY}
+
+
+def test_csv_roundtrip_nasty_strings(spark, tmp_path):
+    got = _roundtrip(spark, tmp_path,
+                     textfiles.write_csv_quoted, textfiles.read_csv_quoted)
+    # CSV cannot distinguish NULL from empty at the byte level with the
+    # default conventions; the non-null rows must be byte-exact
+    for i, t in NASTY:
+        if t is not None:
+            assert got[i] == t
+
+
+def test_jsonl_corrupt_lines_are_quarantined_not_dropped(spark, tmp_path):
+    d = str(tmp_path / "mixed")
+    os.makedirs(d)
+    with open(os.path.join(d, "part-0.json"), "w") as fh:
+        fh.write(json.dumps({"doc_id": 10, "text": "good"}) + "\n")
+        fh.write("{broken json\n")
+        fh.write(json.dumps({"doc_id": 11, "text": "also good"}) + "\n")
+    back = textfiles.read_jsonl(spark, d, SCHEMA, keep_corrupt=True)
+    rows = back.collect()
+    assert len(rows) == 3  # nothing dropped, nothing aborted
+    bad = [r for r in rows if r[textfiles.CORRUPT_COL] is not None]
+    assert len(bad) == 1 and bad[0].doc_id is None
+    good = sorted(r.doc_id for r in rows if r[textfiles.CORRUPT_COL] is None)
+    assert good == [10, 11]
+
+
+def test_jsonl_scan_splits_across_tasks(spark, tmp_path):
+    # one physical file, many splits: the scan's partition count must
+    # exceed 1 for a file much larger than maxPartitionBytes — proxied
+    # here by lowering the conf for a single read
+    d = str(tmp_path / "big")
+    os.makedirs(d)
+    with open(os.path.join(d, "big.json"), "w") as fh:
+        for i in range(20000):
+            fh.write(json.dumps({"doc_id": i, "text": "x" * 50}) + "\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    try:
+        df = textfiles.read_jsonl(spark, d, SCHEMA)
+        assert df.rdd.getNumPartitions() > 1
+        assert df.count() == 20000
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
