@@ -1590,7 +1590,11 @@ def q_relational_extras(spark, sf_dir):
     """SURVEY §2.8 relational extensions in ONE hash-checked union — as-of
     join, bounded range join, ROLLUP, grouped top-k, EXCEPT DISTINCT,
     and (r8) INTERSECT DISTINCT plus the analytic window-function family
-    (row_number / running sum / rank / lag, see q_window_suite) —
+    (row_number / running sum / rank / lag, see q_window_suite), CUBE
+    (both single-axis margins ROLLUP lacks) and PIVOT (explicit value
+    list, melted back via stack; absent cells survive as REAL zero rows
+    so the densification semantics sit on the hash — the DuckDB twin
+    rebuilds them with a cross join + coalesce) —
     tagged by ``op`` and canonicalized to a shared
     (op, k1, k2, v1, v2) schema (keys as strings, money as exact integer
     cents, -1/0 sentinels instead of NULLs so both engines' null
@@ -1634,9 +1638,25 @@ def q_relational_extras(spark, sf_dir):
         F.lit("win_lag").alias("op"), s("o_custkey").alias("k1"),
         s("o_orderkey").alias("k2"), F.col("gap_days").alias("v1"),
         F.col("val_rank").cast("long").alias("v2"))
+    cub = q_cube_qty(spark, sf_dir).select(
+        F.lit("cube").alias("op"),
+        F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("k1"),
+        F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("k2"),
+        cents("sum_qty").alias("v1"), F.col("cnt").alias("v2"))
+    # melt the pivot's dense matrix back to canonical rows; absent cells
+    # are REAL zero rows here (pivot's densification is the semantics
+    # under test — the oracle rebuilds them with a cross join + coalesce)
+    piv = q_pivot_status(spark, sf_dir)
+    piv = piv.select(F.col("o_orderpriority").alias("k1"), F.expr(
+        "stack(3, 'O', O_cnt, O_cents, 'F', F_cnt, F_cents,"
+        " 'P', P_cnt, P_cents) AS (k2, cnt, cents)")).select(
+        F.lit("pivot").alias("op"), "k1", "k2",
+        F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("v1"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("v2"))
     return asof.unionByName(rng).unionByName(rol) \
         .unionByName(top).unionByName(exc).unionByName(uni) \
-        .unionByName(win).unionByName(lag)
+        .unionByName(win).unionByName(lag) \
+        .unionByName(cub).unionByName(piv)
 
 
 def q_g1_pwm_consensus(spark, sf_dir):
@@ -1756,6 +1776,36 @@ def q_rollup(spark, sf_dir):
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
             F.count(F.lit(1)).alias("cnt"),
         )
+    )
+
+
+def q_cube_qty(spark, sf_dir):
+    """CUBE aggregate: every grouping-set combination of
+    (l_returnflag, l_linestatus) incl. the two single-axis margins ROLLUP
+    lacks.  One shuffle — Spark expands the grouping sets map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def q_pivot_status(spark, sf_dir):
+    """PIVOT: order count + total-price cents per priority, one DENSE
+    column pair per order status.  Explicit value list (['O','F','P']) so
+    no extra distinct-values pass runs — the form that scales (values
+    come from the schema owner, not a scan).  Absent (priority, status)
+    cells materialize as zeros: that densification is pivot's semantic
+    delta over a two-key groupBy, and it sits on the driver hash."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(cents).alias("cents"))
     )
 
 
@@ -3506,6 +3556,21 @@ _ORACLES["relational_extras"] = """
                               ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DESC)
                      AS val_rank
           FROM orders WHERE o_custkey % 7 = 0)
+    UNION ALL
+    SELECT 'cube', coalesce(l_returnflag, '(all)'),
+           coalesce(l_linestatus, '(all)'),
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT),
+           count(*)
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'pivot', k1, k2,
+           CAST(coalesce(cents, 0) AS BIGINT), CAST(coalesce(cnt, 0) AS BIGINT)
+    FROM (SELECT DISTINCT o_orderpriority AS k1 FROM orders)
+         CROSS JOIN (SELECT unnest(['O', 'F', 'P']) AS k2)
+         LEFT JOIN (SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+                           sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+                    FROM orders GROUP BY 1, 2) g
+           ON g.o_orderpriority = k1 AND g.o_orderstatus = k2
 """
 
 # The true-streaming twin computes the identical hourly windows (F.window

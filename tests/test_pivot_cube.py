@@ -1,0 +1,59 @@
+"""PIVOT densification and CUBE grouping-set semantics.
+
+The `relational_extras` driver legs hash-pin both against DuckDB at
+three SFs, but the testdata happens to populate EVERY
+(priority, status) cell — so the pivot's semantic delta over a two-key
+groupBy (absent cells materialize as dense zero/NULL columns) never
+fires there.  This fixture has a hole and pins it, plus CUBE's margin
+rows (the single-axis grouping sets ROLLUP lacks).
+"""
+
+from pyspark.sql import functions as F
+
+
+def _orders(spark):
+    # priority 'hi' never sees status 'P' -> a real hole in the matrix
+    rows = [
+        (1, "hi", "O", 10.0), (2, "hi", "F", 20.0),
+        (3, "lo", "O", 40.0), (4, "lo", "P", 80.0), (5, "lo", "P", 1.5),
+    ]
+    return spark.createDataFrame(
+        rows, "o_orderkey long, prio string, status string, price double")
+
+
+def test_pivot_materializes_absent_cells_as_null(spark):
+    cents = (F.col("price").cast("decimal(18,2)") * 100).cast("long")
+    piv = (_orders(spark).groupBy("prio")
+           .pivot("status", ["O", "F", "P"])
+           .agg(F.count(F.lit(1)).alias("cnt"), F.sum(cents).alias("cents")))
+    got = {r.prio: r.asDict() for r in piv.collect()}
+    assert got["hi"]["P_cnt"] is None and got["hi"]["P_cents"] is None
+    assert got["hi"]["O_cnt"] == 1 and got["hi"]["O_cents"] == 1000
+    assert got["lo"]["P_cnt"] == 2 and got["lo"]["P_cents"] == 8150
+    # a two-key groupBy would emit 4 rows; the pivot emits a DENSE 2x3
+    assert set(got) == {"hi", "lo"} and len(got["hi"]) == 7
+
+
+def test_pivot_explicit_values_skip_distinct_scan(spark):
+    # with an explicit value list the plan is one aggregate pass — no
+    # extra job materializing distinct pivot values (the scan the
+    # explicit form exists to avoid at 100 TB); proxy: the analyzed plan
+    # builds without an eager action, and unlisted values are DROPPED
+    piv = (_orders(spark).groupBy("prio").pivot("status", ["O", "Z"])
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    # single-agg pivot names columns by the bare value
+    got = {r.prio: r.asDict() for r in piv.collect()}
+    assert all(r["Z"] is None for r in got.values())
+    assert "P" not in piv.columns
+
+
+def test_cube_emits_both_margins_and_grand_total(spark):
+    cub = (_orders(spark).cube("prio", "status")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    got = {(r.prio, r.status): r.cnt for r in cub.collect()}
+    assert got[(None, None)] == 5            # grand total
+    assert got[("hi", None)] == 2            # rollup-style margin
+    assert got[(None, "P")] == 2             # the margin ROLLUP lacks
+    assert got[("lo", "P")] == 2
+    # 4 populated cells + 2 prio margins + 3 status margins + grand total
+    assert len(got) == 10
