@@ -1653,10 +1653,14 @@ def q_relational_extras(spark, sf_dir):
         F.lit("pivot").alias("op"), "k1", "k2",
         F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("v1"),
         F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("v2"))
+    sal = q_salted_join(spark, sf_dir).select(
+        F.lit("salted").alias("op"), F.col("o_orderstatus").alias("k1"),
+        F.lit("").alias("k2"), F.col("qty_cents").alias("v1"),
+        F.col("cnt").alias("v2"))
     return asof.unionByName(rng).unionByName(rol) \
         .unionByName(top).unionByName(exc).unionByName(uni) \
         .unionByName(win).unionByName(lag) \
-        .unionByName(cub).unionByName(piv)
+        .unionByName(cub).unionByName(piv).unionByName(sal)
 
 
 def q_g1_pwm_consensus(spark, sf_dir):
@@ -1777,6 +1781,25 @@ def q_rollup(spark, sf_dir):
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-resistant salted equi-join (operators/joins.salted_equijoin):
+    lineitem x orders on the order key with salt=8 — the join shuffles on
+    (key, salt) so a hot key spreads across 8 reducers — then a status
+    aggregate whose exact sums prove no row was lost or duplicated by the
+    salt/replicate dance.  The DuckDB twin is the PLAIN join: salting
+    must be invisible in the result."""
+    from cloudbrush_spark.operators import joins as _joins
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderstatus")
+    j = _joins.salted_equijoin(li, orders, "k", salt=8)
+    return j.groupBy("o_orderstatus").agg(
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+        .cast("long").alias("qty_cents"),
+        F.count(F.lit(1)).alias("cnt"))
 
 
 def q_cube_qty(spark, sf_dir):
@@ -3571,6 +3594,12 @@ _ORACLES["relational_extras"] = """
                            sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
                     FROM orders GROUP BY 1, 2) g
            ON g.o_orderpriority = k1 AND g.o_orderstatus = k2
+    UNION ALL
+    SELECT 'salted', o_orderstatus, '',
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT),
+           count(*)
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 2
 """
 
 # The true-streaming twin computes the identical hourly windows (F.window

@@ -106,3 +106,45 @@ def range_join(left: DataFrame, right: DataFrame, on: str,
         .drop("__probe")
         .distinct()
     )
+
+
+def salted_equijoin(left: DataFrame, right: DataFrame, on: list[str] | str,
+                    salt: int = 8, how: str = "inner") -> DataFrame:
+    """Skew-resistant shuffle equi-join: the LEFT (large, possibly
+    hot-keyed) side gets a deterministic salt in [0, salt), the RIGHT
+    side is replicated once per salt value, and the join key becomes
+    (on, __salt) — a single hot key's rows spread across ``salt``
+    reducers instead of landing on one.
+
+    When to reach for this instead of the defaults: AQE's skew-join
+    split already repairs sort-merge skew at runtime and ``broadcast()``
+    removes the shuffle entirely for small dims — explicit salting is
+    the portable fallback when neither applies (right side too big to
+    broadcast, plan shapes AQE won't split, or a deterministic
+    partitioning is required for a reused stage).  The price is an
+    explicit ``salt``x replication of the right side's shuffle bytes.
+
+    Semantics notes:
+    - ``how`` is restricted to inner/left: each left row matches exactly
+      the one right replica carrying its salt, so multiplicities are
+      preserved; right/full would duplicate unmatched right replicas.
+    - The salt is ``xxhash64`` over all left columns — deterministic
+      across runs AND across task retries (a nondeterministic salt can
+      lose/duplicate rows when a stage is recomputed mid-shuffle).
+      Fully-identical left rows therefore share a salt; if the hot key's
+      rows are exact duplicates, pre-aggregate them to (row, count)
+      first — shipping a count always beats salting identical payloads.
+    """
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_equijoin supports inner/left, got {how!r}")
+    on_cols = [on] if isinstance(on, str) else list(on)
+    l_s = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+               F.lit(salt)).cast("int"))
+    r_s = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("int")
+                                      for i in range(salt)])))
+    return l_s.join(r_s, on_cols + ["__salt"], how).drop("__salt")

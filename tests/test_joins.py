@@ -137,3 +137,53 @@ def test_simhash_clusters_skew_fixture_linear(spark):
     sizes = {r.cluster_rep: r.n for r in out}
     assert sizes[0] == 1000 and sizes[5000] == 1
     assert elapsed < 120
+
+
+# --- salted_equijoin (late r8): skew-resistant shuffle equi-join -----------
+
+def _skewed_left(spark):
+    # key 1 carries 90% of rows (the hot key), keys 2..5 one row each
+    rows = [(1, i) for i in range(36)] + [(k, 100 + k) for k in range(2, 6)]
+    return spark.createDataFrame(rows, "k long, payload long")
+
+
+def _dim_right(spark):
+    return spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (7, "unmatched")], "k long, name string")
+
+
+def test_salted_join_equals_plain_join(spark):
+    left, right = _skewed_left(spark), _dim_right(spark)
+    for how in ("inner", "left"):
+        got = sorted(map(tuple, joins.salted_equijoin(
+            left, right, "k", salt=4, how=how).collect()))
+        want = sorted(map(tuple, left.join(right, "k", how).collect()))
+        assert got == want, how
+
+
+def test_salted_join_spreads_hot_key_and_partitions_on_salt(spark):
+    left, right = _skewed_left(spark), _dim_right(spark)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = joins.salted_equijoin(left, right, "k", salt=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the exchange must hash on (k, __salt), not k alone
+        assert "__salt" in plan and "hashpartitioning" in plan
+        # the hot key's 36 distinct payload rows occupy several salts
+        n_salts = (left.withColumn(
+            "__salt", F.pmod(F.xxhash64("k", "payload"), F.lit(4)))
+            .filter(F.col("k") == 1).select("__salt").distinct().count())
+        assert n_salts > 1
+        assert out.count() == 36 + 2  # hot matches + keys 2,3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_rejects_right_outer_and_bad_salt(spark):
+    left, right = _skewed_left(spark), _dim_right(spark)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        joins.salted_equijoin(left, right, "k", salt=0)
+    with _pytest.raises(ValueError):
+        joins.salted_equijoin(left, right, "k", how="right")
