@@ -434,8 +434,13 @@ def q_stream_equivalence(spark, sf_dir):
     """ALL Structured-Streaming forms vs their batch semantics in ONE
     hash-checked tagged union: tumbling window (``F.window`` state agg),
     session windows (``F.session_window`` — the exact-gap merge tie with
-    the batch form is pinned by tests/test_streaming.py), and bounded-state
-    exact dedup (``dropDuplicatesWithinWatermark``).  Each form runs as a
+    the batch form is pinned by tests/test_streaming.py), bounded-state
+    exact dedup (``dropDuplicatesWithinWatermark``), and (late r8) the
+    STREAM-STREAM event-time range join (``stream_range_join``: clicks x
+    purchases within one hour, watermark-bounded join state; the
+    cross-micro-batch buffering is pinned by
+    tests/test_streaming.py::test_stream_range_join_matches_across_micro_batches).
+    Each form runs as a
     REAL readStream query (file source, availableNow, memory sink); the
     driver's DuckDB oracle recomputes the batch semantics, so this row is
     the stream<->batch equivalence proof the judge asked for.
@@ -451,11 +456,11 @@ def q_stream_equivalence(spark, sf_dir):
     production uses append + watermark (state bounded per key), see
     streaming/windows.py."""
     from cloudbrush_spark.streaming import (
-        stream_dedup, stream_sessionize,
+        stream_dedup, stream_range_join, stream_sessionize,
         stream_tumbling_window as s_tumble,
     )
 
-    def canon(tumble, sess, ded):
+    def canon(tumble, sess, ded, rj):
         s = lambda c: F.col(c).cast("string")  # noqa: E731
         return (
             tumble.select(
@@ -473,7 +478,23 @@ def q_stream_equivalence(spark, sf_dir):
                 F.col("user_id").cast("long").alias("k2"),
                 F.lit(0).cast("long").alias("v1"),
                 F.lit(0).cast("long").alias("v2")))
+            .unionByName(rj.select(
+                F.lit("rjoin").alias("op"), s("user_id").alias("k1"),
+                F.col("l_us").cast("long").alias("k2"),
+                F.col("r_us").cast("long").alias("v1"),
+                F.lit(0).cast("long").alias("v2")))
         )
+
+    def rjoin_batch(spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        c = ev.filter(F.col("event_type") == "click") \
+            .select("user_id", F.col("tus").alias("l_us"))
+        b = ev.filter(F.col("event_type") == "purchase") \
+            .select(F.col("user_id").alias("__u"), F.col("tus").alias("r_us"))
+        return c.join(b, (F.col("user_id") == F.col("__u"))
+                      & (F.col("r_us") >= F.col("l_us"))
+                      & (F.col("r_us") <= F.col("l_us") + 3600_000_000)) \
+            .select("user_id", "l_us", "r_us")
 
     path = os.path.join(sf_dir, "events.parquet")
     if _events_ts_unit(path) == "ns":
@@ -481,7 +502,8 @@ def q_stream_equivalence(spark, sf_dir):
         return canon(
             q_tumbling_window(spark, sf_dir),
             q_sessionize(spark, sf_dir),
-            _events(spark, sf_dir).select("event_type", "user_id").distinct())
+            _events(spark, sf_dir).select("event_type", "user_id").distinct(),
+            rjoin_batch(spark, sf_dir))
 
     def run(stream_df, name, mode):
         q = (stream_df.writeStream.format("memory").queryName(name)
@@ -504,7 +526,13 @@ def q_stream_equivalence(spark, sf_dir):
             F.unix_micros("session_end").alias("end_us"), "n_events")
         ded = run(stream_dedup(stream), "se_dedup", "append") \
             .select("event_type", "user_id").distinct()
-        return canon(tumble, sess, ded)
+        rj = run(stream_range_join(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase")),
+            "se_rjoin", "append").select(
+            "user_id", F.unix_micros("left_ts").alias("l_us"),
+            F.unix_micros("right_ts").alias("r_us"))
+        return canon(tumble, sess, ded, rj)
     finally:
         spark.conf.set(key, prev)
 
@@ -3755,6 +3783,13 @@ _ORACLES["stream_equivalence"] = """
     SELECT 'dedup', event_type, CAST(user_id AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)
     FROM (SELECT DISTINCT event_type, user_id FROM ev)
+    UNION ALL
+    SELECT 'rjoin', CAST(c.user_id AS VARCHAR), c.tus,
+           CAST(b.bus AS BIGINT), CAST(0 AS BIGINT)
+    FROM (SELECT user_id, tus FROM ev WHERE event_type = 'click') c
+    JOIN (SELECT user_id, tus AS bus FROM ev WHERE event_type = 'purchase') b
+      ON c.user_id = b.user_id
+     AND b.bus BETWEEN c.tus AND c.tus + 3600000000
 """
 
 # Full DuckDB twin of the 64-bit byte blockhash + Hamming<=3 pair join:

@@ -112,6 +112,41 @@ def stream_running_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_range_join(left: DataFrame, right: DataFrame,
+                      on: str = "user_id", upper: str = "1 hour",
+                      left_watermark: str = "10 minutes",
+                      right_watermark: str = "1 hour 10 minutes") -> DataFrame:
+    """Stream-stream INNER join with an event-time range bound — the
+    streaming twin of operators/joins.range_join (attribute each right
+    event, e.g. a purchase, to same-key left events, e.g. clicks, it
+    follows within ``upper``).
+
+    State-expiry math (why this survives an unbounded stream): the range
+    condition ``left.ts <= right.ts <= left.ts + upper`` plus BOTH
+    watermarks lets Spark derive how long each side's buffered rows can
+    still match — a left row is droppable once the right watermark passes
+    its ts + upper, a right row once the left watermark passes its ts —
+    so join state is bounded by (watermark + upper) of event-time, never
+    the full history.  ``right_watermark`` should be at least
+    ``left_watermark + upper`` if late left rows must still find their
+    right matches.  Inner only here: stream-stream outer joins emit
+    unmatched rows on watermark expiry (result completeness then depends
+    on watermark progress, which availableNow equivalence tests can't
+    pin batch-exactly).
+
+    Output: (on, left_ts, right_ts) — one row per in-range pair.
+    """
+    l_s = (left.select(F.col(on), F.col("ts").alias("left_ts"))
+           .withWatermark("left_ts", left_watermark))
+    r_s = (right.select(F.col(on).alias("__rk"),
+                        F.col("ts").alias("right_ts"))
+           .withWatermark("right_ts", right_watermark))
+    cond = ((F.col(on) == F.col("__rk"))
+            & (F.col("right_ts") >= F.col("left_ts"))
+            & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {upper}")))
+    return l_s.join(r_s, cond, "inner").drop("__rk")
+
+
 def stream_dedup(events: DataFrame, keys: list[str] | None = None,
                  watermark: str = "10 minutes",
                  within: bool = True) -> DataFrame:

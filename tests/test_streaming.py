@@ -323,3 +323,54 @@ def test_stream_boiler_scrub_rejects_oversized_list(spark, tmp_path):
         stream_boiler_scrub(
             read_document_stream(spark, src, schema=DOC_SCHEMA),
             removal, max_removal_lines=1)
+
+
+# --- stream-stream range join (late r8) ------------------------------------
+
+def test_stream_range_join_matches_batch_join(spark, event_dir):
+    """availableNow equivalence: the stream-stream interval join over the
+    static fixture must equal the plain batch join with the identical
+    range condition."""
+    from cloudbrush_spark.streaming import read_event_stream, stream_range_join
+    ev = spark.read.parquet(event_dir)
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    buys_b = ev.filter(F.col("event_type") == "buy")
+    want = sorted(map(tuple, clicks_b.alias("c").join(
+        buys_b.alias("b"),
+        (F.col("c.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") >= F.col("c.ts"))
+        & (F.col("b.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 hour")),
+        "inner").select("c.user_id", "c.ts", "b.ts").collect()))
+
+    stream = read_event_stream(spark, event_dir)
+    out = stream_range_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "buy"))
+    got = sorted(map(tuple, _run_stream(
+        spark, out, "t_rjoin", "append").collect()))
+    assert got == want
+    # the fixture pins real content: user 1's 9:20 click -> 10:15 buy is
+    # in range, the 9:00 click (75 min before the buy) is not
+    assert len(got) == 1 and got[0][0] == 1
+
+
+def test_stream_range_join_matches_across_micro_batches(spark, tmp_path):
+    """The join must buffer state across micro-batches: clicks arrive in
+    file 1, the matching purchase in file 2, one file per trigger."""
+    import datetime as dt
+    from cloudbrush_spark.streaming import read_event_stream, stream_range_join
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    d = str(tmp_path / "ev")
+    schema = "ts timestamp, user_id long, event_type string, value double"
+    spark.createDataFrame(
+        [(t0, 5, "click", 1.0)], schema).write.parquet(d + "/f1")
+    spark.createDataFrame(
+        [(t0 + dt.timedelta(minutes=30), 5, "buy", 9.0)],
+        schema).write.parquet(d + "/f2")
+    stream = read_event_stream(spark, d + "/*", max_files_per_trigger=1)
+    out = stream_range_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "buy"))
+    got = _run_stream(spark, out, "t_rjoin_mb", "append").collect()
+    assert [(r.user_id, r.left_ts, r.right_ts) for r in got] == \
+        [(5, t0, t0 + dt.timedelta(minutes=30))]
