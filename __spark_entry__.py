@@ -633,9 +633,14 @@ def q_curation_filter(spark, sf_dir):
     rate, token-count quantiles, and sketch-vs-exact contracts
     (HyperLogLog distinct / percentile_approx), whose ok flags the
     oracle emits as trivially true (ann_contracts pattern — a sketch
-    outside tolerance flips the flag and breaks the hash).  Canonical
+    outside tolerance flips the flag and breaks the hash).  Late r8
+    adds 'heavy' rows: vocabulary heavy hitters (>2% corpus share,
+    exact integer share test) with the df.stat.freqItems single-pass
+    sketch's soundness folded into the v3 flag the same way — the
+    sketch is run at support 0.01 < threshold 0.02 so its one-sided
+    guarantee covers every reported row.  Canonical
     (op, k1, k2, v1, v2, v3)."""
-    from cloudbrush_spark.operators.report import corpus_report
+    from cloudbrush_spark.operators.report import corpus_report, heavy_tokens
     doc = q_curation_gate_only(spark, sf_dir).select(
         F.lit("doc").alias("op"),
         F.col("doc_id").cast("string").alias("k1"),
@@ -645,7 +650,11 @@ def q_curation_filter(spark, sf_dir):
         F.col("keep").cast("long").alias("v3"))
     rep = corpus_report(_t(spark, sf_dir, "documents")).select(
         F.lit("report").alias("op"), "k1", "k2", "v1", "v2", "v3")
-    return doc.unionByName(rep)
+    hv = heavy_tokens(_t(spark, sf_dir, "documents")).select(
+        F.lit("heavy").alias("op"), F.lit("heavy_tok").alias("k1"),
+        F.col("tok").alias("k2"), F.col("cnt").alias("v1"),
+        F.lit(0).cast("long").alias("v2"), F.col("fi_ok").alias("v3"))
+    return doc.unionByName(rep).unionByName(hv)
 
 
 def q_corpus_guard(spark, sf_dir):
@@ -3060,6 +3069,15 @@ _ORACLES["curation_filter"] = f"""
     FROM ({_CURATION_GATE_SQL})
     UNION ALL
     SELECT 'report' AS op, k1, k2, v1, v2, v3 FROM ({_REPORT_SQL})
+    UNION ALL
+    SELECT 'heavy' AS op, 'heavy_tok' AS k1, tok AS k2,
+           CAST(cnt AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2,
+           CAST(1 AS BIGINT) AS v3
+    FROM (SELECT tok, count(*) AS cnt
+          FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY 1),
+         (SELECT count(*) AS n
+          FROM (SELECT unnest({_TOKS}) AS tok FROM documents))
+    WHERE cnt * 100 > 2 * n
 """
 
 _ORACLES["j1_candidates"] = f"""

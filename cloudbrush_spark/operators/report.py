@@ -144,3 +144,51 @@ def corpus_report(docs: DataFrame, id_col: str = "doc_id",
     for leg in (lang, qdec, lbits, corpus, dup, sketch, tokens_q):
         out = out.unionByName(leg)
     return out
+
+
+def heavy_tokens(docs: DataFrame, text_col: str = "text",
+                 threshold_pct: int = 2,
+                 fi_support: float = 0.01) -> DataFrame:
+    """Vocabulary heavy hitters with a frequent-items sketch contract —
+    the data card's "most common tokens" section.
+
+    Exact side: explode tokens -> hash-aggregate counts -> keep tokens
+    whose corpus share STRICTLY exceeds ``threshold_pct``% (integer-
+    exact: cnt*100 > pct*total, no float division).  Output is bounded
+    by construction: at most 100/threshold_pct rows can exceed the
+    share.
+
+    Sketch side: ``df.stat.freqItems`` — the single-pass streaming
+    frequent-items algorithm (Karp/Misra-Gries family: per-partition
+    candidate summaries, merged associatively; the form a 100 TB run
+    uses when a full token group-by is too expensive).  Its guarantee
+    is one-sided: every item with share > support IS returned (false
+    positives possible, false negatives not).  Run at a support BELOW
+    the reporting threshold (0.01 < 0.02 default) so the guarantee
+    covers every reported row with margin; ``fi_ok``=1 iff the exact
+    heavy hitter appears in the sketch's candidate list.  The hashed
+    values are the EXACT counts — sketch agreement only flips the flag
+    (the ann_contracts/HLL invariant pattern).
+
+    Scale note: the token stream is deliberately NOT checkpointed — it
+    is read twice (exact aggregate + sketch), trading a second linear
+    scan for never materializing the exploded 100 TB token column.
+    """
+    if not 0 < fi_support * 100 < threshold_pct:
+        raise ValueError(
+            f"fi_support ({fi_support}) must sit below the reporting "
+            f"threshold ({threshold_pct}%) or its soundness guarantee "
+            "does not cover the reported rows")
+    toks = docs.select(F.explode(textfn.tokens(text_col)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n_tok"))
+    fi = toks.stat.freqItems(["tok"], support=fi_support)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 100 > F.lit(threshold_pct) * F.col("n_tok"))
+        .crossJoin(F.broadcast(fi))
+        .select(
+            "tok", "cnt",
+            F.array_contains(F.col("tok_freqItems"), F.col("tok"))
+            .cast("long").alias("fi_ok"))
+    )

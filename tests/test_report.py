@@ -74,3 +74,27 @@ def test_corpus_report_deterministic_under_repartition(spark):
     a = corpus_report(docs)
     b = corpus_report(docs.repartition(13))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# --- heavy_tokens (late r8): frequent-items sketch contract ----------------
+
+def test_heavy_tokens_threshold_is_strict_and_exact(spark):
+    from cloudbrush_spark.operators.report import heavy_tokens
+    # 100 tokens total: 'hot' 40, 'warm' 25, 'edge' 2 (exactly 2%,
+    # strict > excludes it), 33 singletons
+    texts = (["hot"] * 40 + ["warm"] * 25 + ["edge"] * 2
+             + [f"rare{i}" for i in range(33)])
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.tok: (r.cnt, r.fi_ok) for r in heavy_tokens(docs).collect()}
+    assert got == {"hot": (40, 1), "warm": (25, 1)}  # edge at exactly 2% is OUT
+
+
+def test_heavy_tokens_rejects_support_at_or_above_threshold(spark):
+    import pytest as _pytest
+    from cloudbrush_spark.operators.report import heavy_tokens
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        heavy_tokens(docs, threshold_pct=2, fi_support=0.02)
+    with _pytest.raises(ValueError):
+        heavy_tokens(docs, threshold_pct=2, fi_support=0.05)
