@@ -1623,6 +1623,21 @@ def q_probe_emb_clusters(spark, sf_dir):
                                          planes=4, seed=42, tables=16)
 
 
+def q_probe_heavy_tokens(spark, sf_dir):
+    """Scale-probe leg (NOT in ``queries()``): the data-card
+    heavy-hitters section alone — the exact explode+hash-aggregate side
+    plus the freqItems sketch's second linear pass."""
+    from cloudbrush_spark.operators.report import heavy_tokens
+    return heavy_tokens(_t(spark, sf_dir, "documents"))
+
+
+def q_probe_json_agg(spark, sf_dir):
+    """Scale-probe leg (NOT in ``queries()``): the semi-structured
+    extraction aggregate alone (scan-fused from_json + one hash agg)."""
+    from cloudbrush_spark.operators.sessions import json_props_agg
+    return json_props_agg(_t(spark, sf_dir, "events"))
+
+
 def q_relational_extras(spark, sf_dir):
     """SURVEY §2.8 relational extensions in ONE hash-checked union — as-of
     join, bounded range join, ROLLUP, grouped top-k, EXCEPT DISTINCT,

@@ -139,6 +139,8 @@ def salted_equijoin(left: DataFrame, right: DataFrame, on: list[str] | str,
         raise ValueError(f"salt must be >= 1, got {salt}")
     if how not in ("inner", "left"):
         raise ValueError(f"salted_equijoin supports inner/left, got {how!r}")
+    if "__salt" in left.columns or "__salt" in right.columns:
+        raise ValueError("input already has a __salt column")
     on_cols = [on] if isinstance(on, str) else list(on)
     l_s = left.withColumn(
         "__salt",

@@ -187,3 +187,5 @@ def test_salted_join_rejects_right_outer_and_bad_salt(spark):
         joins.salted_equijoin(left, right, "k", salt=0)
     with _pytest.raises(ValueError):
         joins.salted_equijoin(left, right, "k", how="right")
+    with _pytest.raises(ValueError):
+        joins.salted_equijoin(left.withColumn("__salt", F.lit(1)), right, "k")
