@@ -138,6 +138,19 @@ def _build_parser() -> argparse.ArgumentParser:
                          "text) — drop gated docs that near-duplicate "
                          "any prior-release document (cross-corpus "
                          "MinHash dedup)")
+    ap.add_argument("-input_format", default="parquet",
+                    choices=["parquet", "jsonl", "csv"],
+                    help="physical format of the -curate input (crawl "
+                         "dumps usually arrive as JSONL; both text "
+                         "formats read with an explicit schema and "
+                         "PERMISSIVE corrupt-row handling — "
+                         "sources/textfiles.py)")
+    ap.add_argument("-input_schema",
+                    default="doc_id long, text string, lang string, "
+                            "source string",
+                    help="explicit DDL schema for jsonl/csv -curate "
+                         "inputs (ignored for parquet; inference is "
+                         "deliberately not offered)")
     return ap
 
 
@@ -188,7 +201,13 @@ def main(argv: list[str] | None = None) -> int:
 
         from cloudbrush_spark.pipeline.curation import curate
         from cloudbrush_spark.sources.corpus import publish_corpus
-        docs = spark.read.parquet(args.curate)
+        if args.input_format == "parquet":
+            docs = spark.read.parquet(args.curate)
+        else:
+            from cloudbrush_spark.sources import textfiles
+            reader = (textfiles.read_jsonl if args.input_format == "jsonl"
+                      else textfiles.read_csv_quoted)
+            docs = reader(spark, args.curate, args.input_schema)
         bench = (spark.read.parquet(args.benchmark)
                  if args.benchmark else None)
         if bool(args.bench_embeddings) != bool(args.embeddings):

@@ -158,3 +158,24 @@ def test_cli_curate_boiler_df_scrubs_published_text(tmp_path, spark, capsys):
         F.col("text").contains("subscribe to our newsletter")).count() == 0
     row = corpus.limit(1).collect()[0]
     assert row.text.startswith(base) and "\n" not in row.text
+
+
+def test_cli_curate_reads_jsonl_input(tmp_path, spark, capsys):
+    import json as _json
+    base = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "river every morning for a drink of cold clear water ")
+    d = str(tmp_path / "crawl")
+    os.makedirs(d)
+    with open(os.path.join(d, "dump.jsonl"), "w") as fh:
+        for i in range(30):
+            fh.write(_json.dumps({
+                "doc_id": i, "text": base + f"variant word {i}",
+                "lang": "en", "source": "crawl"}) + "\n")
+    out = str(tmp_path / "published")
+    rc = main(["-curate", d, "-input_format", "jsonl", "-out", out,
+               "-files_per_split", "1"])
+    assert rc == 0
+    assert "published:" in capsys.readouterr().out
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert corpus.count() > 0
+    assert corpus.limit(1).collect()[0].text.startswith(base)
