@@ -57,6 +57,11 @@ def write_csv_quoted(df: DataFrame, path: str, files: int = 4) -> None:
     char), the convention every external CSV consumer understands."""
     (df.coalesce(files).write.mode("overwrite")
      .option("header", True).option("quote", '"').option("escape", '"')
+     # the writer TRIMS field-edge whitespace by default — byte-exact
+     # round-trips require turning that off (caught by the hypothesis
+     # property test)
+     .option("ignoreLeadingWhiteSpace", False)
+     .option("ignoreTrailingWhiteSpace", False)
      .csv(path))
 
 

@@ -85,3 +85,47 @@ def test_jsonl_scan_splits_across_tasks(spark, tmp_path):
         assert df.count() == 20000
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+# --- hypothesis: arbitrary-content round-trips ------------------------------
+
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# printable + control chars + non-BMP, no surrogates (not encodable)
+_JSON_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80)
+# CSV: univocity normalizes bare \r inside quoted fields and NUL is
+# format-hostile; everything else must survive byte-exact
+_CSV_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters="\r\x00"), max_size=80)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_JSON_TEXT, min_size=1, max_size=20))
+def test_jsonl_roundtrip_property(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), SCHEMA)
+    d = tempfile.mkdtemp(prefix="jsonl_prop_")
+    textfiles.write_jsonl(df, d, files=1)
+    got = {r.doc_id: r.text for r in
+           textfiles.read_jsonl(spark, d, SCHEMA).collect()}
+    # JSON drops null fields; empty string is NOT null and must survive
+    assert got == dict(enumerate(texts))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_CSV_TEXT, min_size=1, max_size=20))
+def test_csv_roundtrip_property(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), SCHEMA)
+    d = tempfile.mkdtemp(prefix="csv_prop_")
+    textfiles.write_csv_quoted(df, d, files=1)
+    got = {r.doc_id: r.text for r in
+           textfiles.read_csv_quoted(spark, d, SCHEMA).collect()}
+    # CSV's one lossy corner: the empty string reads back as NULL
+    want = {i: (t if t != "" else None) for i, t in enumerate(texts)}
+    assert got == want
