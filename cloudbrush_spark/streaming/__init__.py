@@ -14,6 +14,7 @@ from cloudbrush_spark.streaming.windows import (  # noqa: F401
     stream_curation_gate,
     stream_dedup,
     stream_guard,
+    stream_publish,
     stream_range_join,
     stream_running_counts,
     stream_sessionize,

@@ -367,3 +367,37 @@ def stream_boiler_scrub(docs: DataFrame, removal_lines: DataFrame,
             id_col, "clean_text", "n_lines",
             (F.col("n_lines") - kept_lines).cast("long").alias("n_removed"))
     )
+
+
+def stream_publish(docs: DataFrame, out_dir: str):
+    """Idempotent micro-batch publish — the SINK end of the streaming
+    curation path (``stream_curate`` gates and dedups; this lands the
+    survivors as parquet a batch engine can read mid-stream).
+
+    ``foreachBatch`` with the batch-id transaction pattern: each
+    micro-batch writes ``batch=<id>/`` then drops a ``_committed_<id>``
+    marker; a replayed batch (failure recovery re-delivers the SAME
+    batch id with the SAME data) sees its marker and skips — so the
+    at-least-once delivery of foreachBatch becomes exactly-once output.
+    The marker is checked before, and written after, the data write:
+    a crash between the two re-writes the data (mode overwrite, same
+    content — idempotent), never drops it.
+
+    Local-FS markers here; on a real cluster the same pattern runs
+    against the object store (or lands in a transactional table format)
+    — the batch-id contract is identical.
+
+    Returns the ``DataStreamWriter``; callers ``.start()`` it with their
+    ``checkpointLocation`` and trigger.
+    """
+    import os
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(out_dir, f"_committed_{batch_id}")
+        if os.path.exists(marker):
+            return
+        target = os.path.join(out_dir, f"batch={batch_id}")
+        batch_df.write.mode("overwrite").parquet(target)
+        open(marker, "w").close()
+
+    return docs.writeStream.foreachBatch(write_batch)

@@ -374,3 +374,45 @@ def test_stream_range_join_matches_across_micro_batches(spark, tmp_path):
     got = _run_stream(spark, out, "t_rjoin_mb", "append").collect()
     assert [(r.user_id, r.left_ts, r.right_ts) for r in got] == \
         [(5, t0, t0 + dt.timedelta(minutes=30))]
+
+
+# --- stream_publish (late r8): idempotent foreachBatch sink -----------------
+
+def test_stream_publish_is_idempotent_across_replays(spark, tmp_path):
+    """Three files at one file per trigger -> three committed batches
+    whose union is exactly the input; re-running with a FRESH checkpoint
+    re-delivers the same batch ids, and the markers turn the replay into
+    a no-op (exactly-once output from at-least-once delivery)."""
+    import os
+    from cloudbrush_spark.streaming.windows import (
+        DOC_SCHEMA, read_document_stream, stream_publish)
+    src = str(tmp_path / "docs")
+    for i in range(3):
+        spark.createDataFrame(
+            [(10 * i + j, f"doc {10 * i + j} text") for j in range(4)],
+            DOC_SCHEMA).coalesce(1).write.parquet(f"{src}/f{i}")
+    out = str(tmp_path / "published")
+    os.makedirs(out)
+
+    def run(ckpt):
+        q = (stream_publish(
+                read_document_stream(spark, src + "/*",
+                                     max_files_per_trigger=1), out)
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run("ck1")
+    batches = sorted(d for d in os.listdir(out) if d.startswith("batch="))
+    markers = sorted(d for d in os.listdir(out) if d.startswith("_committed_"))
+    assert len(batches) == 3 and len(markers) == 3
+    got = sorted(r.doc_id for r in spark.read.parquet(out + "/batch=*").collect())
+    assert got == list(range(4)) + list(range(10, 14)) + list(range(20, 24))
+
+    before = {b: os.path.getmtime(os.path.join(out, b)) for b in batches}
+    run("ck2")  # fresh checkpoint = full replay of the same batch ids
+    after_rows = sorted(
+        r.doc_id for r in spark.read.parquet(out + "/batch=*").collect())
+    assert after_rows == got  # no duplicates, no rewrites
+    assert {b: os.path.getmtime(os.path.join(out, b))
+            for b in batches} == before  # marker short-circuited the write
