@@ -129,3 +129,23 @@ def test_csv_roundtrip_property(spark, texts):
     # CSV's one lossy corner: the empty string reads back as NULL
     want = {i: (t if t != "" else None) for i, t in enumerate(texts)}
     assert got == want
+
+
+def test_jsonl_gz_reads_transparently(spark, tmp_path):
+    """Crawl dumps usually arrive gzipped; the Hadoop codec picks .gz up
+    by extension.  gzip is NOT splittable — parallelism = file count
+    (each file one task), which is why the scan must accept a DIRECTORY
+    of shards, pinned here with two files."""
+    import gzip
+    import json
+    d = str(tmp_path / "gz")
+    os.makedirs(d)
+    for f in range(2):
+        with gzip.open(os.path.join(d, f"dump{f}.jsonl.gz"), "wt") as fh:
+            for i in range(50):
+                fh.write(json.dumps(
+                    {"doc_id": 100 * f + i, "text": f"doc {100 * f + i}"}) + "\n")
+    df = textfiles.read_jsonl(spark, d, SCHEMA)
+    assert df.count() == 100
+    assert df.rdd.getNumPartitions() == 2  # one unsplittable task per file
+    assert df.filter("doc_id = 149").collect()[0].text == "doc 149"
