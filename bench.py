@@ -50,6 +50,9 @@ HEADLINE = [
     # comparable)
     "budget_select",
     "corpus_report",
+    # added late round 8
+    "json_props_agg",
+    "heavy_tokens",
 ]
 
 
@@ -72,6 +75,8 @@ def main() -> None:
     qs["shard_pack"] = entrymod.q_shard_pack_only
     qs["budget_select"] = entrymod.q_budget_select_only
     qs["corpus_report"] = entrymod.q_corpus_report_only
+    qs["json_props_agg"] = entrymod.q_probe_json_agg
+    qs["heavy_tokens"] = entrymod.q_probe_heavy_tokens
     # warm the JVM + parquet footers with one cheap action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     # host-health probe: record the parallel/single ratio so a run under
