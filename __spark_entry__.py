@@ -657,10 +657,12 @@ def q_curation_filter(spark, sf_dir):
     return doc.unionByName(rep).unionByName(hv)
 
 
-def q_corpus_guard(spark, sf_dir):
+def q_corpus_guard_base(spark, sf_dir):
     """Corpus-guard tagged union (operators/guard.py) — the three "release
     hygiene" checks a pretraining corpus runs, in one canonical
-    (op, doc_id, k, v1, v2, v3) row set:
+    (op, doc_id, k, v1, v2, v3) row set (the pre-spans form bench.py
+    times for round-over-round comparability; the driver row is
+    q_corpus_guard = this + the 'spans' leg):
 
     - ``decontam``: benchmark decontamination by 13-gram overlap.  The
       held-out "benchmark" is a deterministic 5% md5 sample of the corpus
@@ -811,6 +813,33 @@ def q_corpus_guard(spark, sf_dir):
         F.lit(0).cast("long").alias("v3"))
     return (dec.unionByName(pii).unionByName(pii_ids).unionByName(rep)
             .unionByName(sem).unionByName(boil))
+
+
+def q_repeated_spans_only(spark, sf_dir):
+    """The corpus_guard 'spans' leg alone (bench/probe form): cross-
+    document repeated-SPAN detection (guard.repeated_spans) — maximal
+    token spans whose 13-grams all occur in >= 2 docs, the gram-level
+    approximation of suffix-array exact-substring dedup.  Benched
+    separately so the corpus_guard row's round-over-round time stays
+    comparable (the minhash/shard_pack override precedent)."""
+    from cloudbrush_spark.operators import guard
+    return guard.repeated_spans(_t(spark, sf_dir, "documents"),
+                                n=13, min_df=2)
+
+
+def q_corpus_guard(spark, sf_dir):
+    """The DRIVER correctness row: the base guard union plus the late-r8
+    'spans' leg (cross-document repeated-passage detection over the
+    corpus's own exact duplicates — the fixture's duplicated docs make
+    the expected spans analytic).  k = span_start so multiple spans per
+    doc stay distinct rows."""
+    spans = q_repeated_spans_only(spark, sf_dir).select(
+        F.lit("spans").alias("op"), "doc_id",
+        F.col("span_start").cast("string").alias("k"),
+        F.col("span_end").alias("v1"),
+        F.col("n_grams").alias("v2"),
+        F.lit(0).cast("long").alias("v3"))
+    return q_corpus_guard_base(spark, sf_dir).unionByName(spans)
 
 
 def q_shard_pack_only(spark, sf_dir):
@@ -4081,9 +4110,32 @@ _ORACLES["corpus_guard"] = f"""
                CAST(coalesce(b.n_removed, 0) AS BIGINT) AS v2,
                CAST(0 AS BIGINT) AS v3
         FROM documents d LEFT JOIN bdoc b USING (doc_id))
+    ,
+    sgrams AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(t, i, i + 12), ' ') AS g
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 12, 0))) AS i)),
+    sshared AS (SELECT g FROM sgrams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    shits AS (SELECT doc_id, pos FROM sgrams JOIN sshared USING (g)),
+    slagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+                    THEN 1 ELSE 0 END AS nr
+        FROM shits),
+    srid AS (
+        SELECT doc_id, pos,
+               sum(nr) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS run
+        FROM slagged),
+    spans AS (
+        SELECT 'spans' AS op, doc_id, CAST(min(pos) AS VARCHAR) AS k,
+               CAST(max(pos) + 12 AS BIGINT) AS v1,
+               count(*) AS v2, CAST(0 AS BIGINT) AS v3
+        FROM srid GROUP BY doc_id, run)
     SELECT * FROM dec UNION ALL SELECT * FROM pii
     UNION ALL SELECT * FROM pii_ids UNION ALL SELECT * FROM rep
     UNION ALL SELECT * FROM sem UNION ALL SELECT * FROM boiler
+    UNION ALL SELECT * FROM spans
 """
 
 _ORACLES["shard_pack"] = f"""

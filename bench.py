@@ -53,6 +53,7 @@ HEADLINE = [
     # added late round 8
     "json_props_agg",
     "heavy_tokens",
+    "repeated_spans",
 ]
 
 
@@ -77,6 +78,11 @@ def main() -> None:
     qs["corpus_report"] = entrymod.q_corpus_report_only
     qs["json_props_agg"] = entrymod.q_probe_json_agg
     qs["heavy_tokens"] = entrymod.q_probe_heavy_tokens
+    # corpus_guard's driver row gained the heavy 'spans' leg late-r8;
+    # bench the r8-anchored base form under the old name and the spans
+    # leg as its own appended entry
+    qs["corpus_guard"] = entrymod.q_corpus_guard_base
+    qs["repeated_spans"] = entrymod.q_repeated_spans_only
     # warm the JVM + parquet footers with one cheap action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     # host-health probe: record the parallel/single ratio so a run under

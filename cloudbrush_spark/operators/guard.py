@@ -415,3 +415,60 @@ def semantic_decontaminate(vectors: DataFrame, benchmark: DataFrame,
             })
 
     return vectors.select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
+def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 13,
+                   min_df: int = 2) -> DataFrame:
+    """Cross-document repeated-passage detection: for every document,
+    the maximal token spans all of whose word ``n``-grams occur in at
+    least ``min_df`` distinct documents — the gram-level approximation
+    of suffix-array exact-substring dedup (find the memorization-prone
+    passages a 100 TB corpus repeats verbatim: licenses, templates,
+    syndicated articles).  Complements the line-level
+    ``boilerplate_scrub`` (spans need no newline structure) and the
+    benchmark-set ``decontaminate`` (the "benchmark" here is the corpus
+    itself).
+
+    Shape: one gram explode (linear) -> gram group-by keeping grams
+    with >= min_df distinct docs (the a3 shuffle shape; grouped by the
+    GRAM STRING, not a hash, so a 64-bit collision can't fabricate a
+    shared span) -> semi join back (second linear shuffle) -> per-doc
+    ordered window merging consecutive shared positions into maximal
+    runs (the sessionize run-grouping shape: lag + conditional cumsum,
+    per-doc bounded sorts).  Output rows are intrinsically bounded by
+    the repeated-content volume, never the corpus size.
+
+    Output: (id_col, span_start, span_end, n_grams) in 1-based TOKEN
+    coordinates; span_end = last token index covered (start of the last
+    shared gram + n - 1).
+    """
+    from pyspark.sql import Window
+
+    grams = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(text.word_shingles(text.tokens(text_col), n))
+            .alias("pos0", "g"))
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "g")
+    )
+    shared = (grams.groupBy("g")
+              .agg(F.count_distinct(F.col(id_col)).alias("df"))
+              .filter(F.col("df") >= min_df)
+              .select("g"))
+    hits = grams.join(shared, "g", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        hits.withColumn(
+            "nr", F.when(F.col("pos") - F.lag("pos").over(w) > 1, 1)
+                   .otherwise(0))
+        .withColumn("run", F.sum("nr").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        runs.groupBy(id_col, "run")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + n - 1).alias("span_end"),
+             F.count(F.lit(1)).alias("n_grams"))
+        .drop("run")
+    )

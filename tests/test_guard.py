@@ -511,3 +511,41 @@ def test_boilerplate_matches_python_reference(spark, docs_texts, max_df):
         assert r.clean_text == "\n".join(kept), (doc_id, t)
         assert r.n_lines == len(lines)
         assert r.n_removed == len(lines) - len(kept)
+
+
+# --- repeated_spans (late r8): cross-document repeated passages -------------
+
+def test_repeated_spans_merges_maximal_runs(spark):
+    from cloudbrush_spark.operators.guard import repeated_spans
+    shared = "alpha bravo charlie delta echo"          # 5 tokens, n=3 -> 3 grams
+    docs = spark.createDataFrame([
+        # doc 1: shared passage at tokens 3-7, unique elsewhere
+        (1, "unique one two " + shared + " tail1a tail1b"),
+        # doc 2: same passage at tokens 1-5
+        (2, shared + " something completely different here"),
+        # doc 3: no repeated content
+        (3, "totally fresh words nobody else ever wrote down at all"),
+    ], "doc_id long, text string")
+    got = {(r.doc_id): (r.span_start, r.span_end, r.n_grams)
+           for r in repeated_spans(docs, n=3, min_df=2).collect()}
+    # three consecutive shared 3-grams merge into ONE maximal span
+    assert got[1] == (4, 8, 3)   # tokens 4..8 (1-based)
+    assert got[2] == (1, 5, 3)
+    assert 3 not in got          # unique doc emits nothing
+
+
+def test_repeated_spans_gap_splits_runs(spark):
+    from cloudbrush_spark.operators.guard import repeated_spans
+    s1, s2 = "aa bb cc", "xx yy zz"                    # n=3: one gram each
+    docs = spark.createDataFrame([
+        (1, s1 + " unique middle words go here " + s2),
+        (2, s1 + " other filler " + s2),
+    ], "doc_id long, text string")
+    out = repeated_spans(docs, n=3, min_df=2)
+    per_doc = {}
+    for r in out.collect():
+        per_doc.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end, r.n_grams))
+    # two DISJOINT shared grams -> two spans per doc, not one merged
+    assert sorted(per_doc[1]) == [(1, 3, 1), (9, 11, 1)]
+    assert sorted(per_doc[2]) == [(1, 3, 1), (6, 8, 1)]
