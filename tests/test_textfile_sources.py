@@ -149,3 +149,17 @@ def test_jsonl_gz_reads_transparently(spark, tmp_path):
     assert df.count() == 100
     assert df.rdd.getNumPartitions() == 2  # one unsplittable task per file
     assert df.filter("doc_id = 149").collect()[0].text == "doc 149"
+
+
+def test_jsonl_scan_prunes_columns(spark, tmp_path):
+    """Explicit-schema JSON scans support column pruning: a projection of
+    one field must reach the scan as ReadSchema with only that field —
+    at 100 TB the parse skips the other keys instead of materializing
+    them."""
+    d = str(tmp_path / "prune")
+    os.makedirs(d)
+    with open(os.path.join(d, "p.json"), "w") as fh:
+        fh.write(json.dumps({"doc_id": 1, "text": "hello"}) + "\n")
+    df = textfiles.read_jsonl(spark, d, SCHEMA).select("text")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<text:string>" in plan
