@@ -549,3 +549,17 @@ def test_repeated_spans_gap_splits_runs(spark):
     # two DISJOINT shared grams -> two spans per doc, not one merged
     assert sorted(per_doc[1]) == [(1, 3, 1), (9, 11, 1)]
     assert sorted(per_doc[2]) == [(1, 3, 1), (6, 8, 1)]
+
+
+def test_repeated_spans_prefilter_is_result_invariant(spark):
+    from cloudbrush_spark.operators.guard import repeated_spans
+    shared = "one two three four five six"
+    docs = spark.createDataFrame(
+        [(i, f"head{i} " + shared + f" tail{i}") for i in range(6)]
+        + [(9, "entirely unrepeated content words here")],
+        "doc_id long, text string")
+    a = sorted(map(tuple, repeated_spans(
+        docs, n=3, hash_prefilter=True).collect()))
+    b = sorted(map(tuple, repeated_spans(
+        docs, n=3, hash_prefilter=False).collect()))
+    assert a == b and len(a) == 6
