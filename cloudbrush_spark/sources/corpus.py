@@ -92,3 +92,37 @@ def read_corpus(spark: SparkSession, path: str,
     if split is not None:
         df = df.filter(F.col(split_col) == split)
     return df
+
+
+def compact_batches(spark: SparkSession, stream_dir: str, out_path: str,
+                    files: int = 16, id_col: str = "doc_id",
+                    compression: str = "zstd") -> int:
+    """Compact a ``streaming.stream_publish`` output directory (many
+    small ``batch=<id>/`` files accreted micro-batch by micro-batch)
+    into ``files`` bounded, id-sorted parquet files — the periodic batch
+    job that keeps a continuously-published corpus readable (the
+    small-file explosion is THE operational failure mode of streaming
+    sinks at 100 TB; compaction is how production pipelines cap it).
+
+    Reads only COMMITTED batches — those whose ``_committed_<id>``
+    marker exists — so a concurrently-running in-flight micro-batch is
+    never half-read; the stream keeps appending while compaction runs.
+
+    Returns the number of batches compacted.
+    """
+    import os
+    import re
+
+    committed = sorted(
+        int(m.group(1)) for f in os.listdir(stream_dir)
+        if (m := re.fullmatch(r"_committed_(\d+)", f)))
+    if not committed:
+        raise ValueError(f"no committed batches under {stream_dir}")
+    paths = [os.path.join(stream_dir, f"batch={b}") for b in committed]
+    df = spark.read.parquet(*paths)
+    (df.repartition(files, F.col(id_col))
+       .sortWithinPartitions(id_col)
+       .write.mode("overwrite")
+       .option("compression", compression)
+       .parquet(out_path))
+    return len(committed)

@@ -416,3 +416,37 @@ def test_stream_publish_is_idempotent_across_replays(spark, tmp_path):
     assert after_rows == got  # no duplicates, no rewrites
     assert {b: os.path.getmtime(os.path.join(out, b))
             for b in batches} == before  # marker short-circuited the write
+
+
+def test_compact_batches_bounds_files_and_skips_uncommitted(spark, tmp_path):
+    """Compaction reads only committed batch dirs, emits exactly `files`
+    id-sorted parquet files, and preserves every row."""
+    import os
+    from cloudbrush_spark.sources.corpus import compact_batches
+    from cloudbrush_spark.streaming.windows import (
+        DOC_SCHEMA, read_document_stream, stream_publish)
+    src = str(tmp_path / "docs")
+    for i in range(3):
+        spark.createDataFrame(
+            [(10 * i + j, f"doc {10 * i + j}") for j in range(4)],
+            DOC_SCHEMA).coalesce(1).write.parquet(f"{src}/f{i}")
+    out = str(tmp_path / "streamed")
+    os.makedirs(out)
+    q = (stream_publish(
+            read_document_stream(spark, src + "/*",
+                                 max_files_per_trigger=1), out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # an in-flight batch: data dir present, NO marker -> must be skipped
+    spark.createDataFrame([(999, "inflight")], DOC_SCHEMA) \
+        .coalesce(1).write.parquet(out + "/batch=99")
+
+    compacted = str(tmp_path / "compacted")
+    n = compact_batches(spark, out, compacted, files=2)
+    assert n == 3
+    parts = [f for f in os.listdir(compacted) if f.startswith("part-")]
+    assert len(parts) == 2
+    rows = sorted(r.doc_id for r in spark.read.parquet(compacted).collect())
+    assert rows == list(range(4)) + list(range(10, 14)) + list(range(20, 24))
+    assert 999 not in rows
