@@ -467,12 +467,18 @@ def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     )
     cand = grams
     if hash_prefilter:
+        from cloudbrush_spark.operators.dedup import _stage_cut
         hashed = grams.withColumn("gh", F.xxhash64("g"))
         hot = (hashed.groupBy("gh")
                .agg(F.count_distinct(F.col(id_col)).alias("df"))
                .filter(F.col("df") >= min_df)
                .select("gh"))
-        cand = hashed.join(hot, "gh", "left_semi").drop("gh")
+        # cut the candidate frame: it is SMALL (the repeated-content
+        # subset) and consumed twice below — materializing it means the
+        # full-corpus explode runs exactly twice (df pass + this pass),
+        # same as the exact-only plan, while the full-width shuffle
+        # carries 8-byte hashes instead of ~100-byte gram strings
+        cand = _stage_cut(hashed.join(hot, "gh", "left_semi").drop("gh"))
     shared = (cand.groupBy("g")
               .agg(F.count_distinct(F.col(id_col)).alias("df"))
               .filter(F.col("df") >= min_df)
