@@ -145,6 +145,12 @@ def _build_parser() -> argparse.ArgumentParser:
                          "formats read with an explicit schema and "
                          "PERMISSIVE corrupt-row handling — "
                          "sources/textfiles.py)")
+    ap.add_argument("-compact", default=None, metavar="STREAM_DIR",
+                    help="compact a streaming-publish output directory "
+                         "(batch=N small files from streaming.stream_publish) "
+                         "into bounded id-sorted parquet at -out; reads "
+                         "only committed batches, safe beside the live "
+                         "stream (file count = -files_per_split)")
     ap.add_argument("-input_schema",
                     default="doc_id long, text string, lang string, "
                             "source string",
@@ -192,6 +198,15 @@ def main(argv: list[str] | None = None) -> int:
         out = os.path.join(args.convert_fa, "contigs.fa")
         write_fasta(nodes, out)
         print(f"wrote {out}")
+        return 0
+
+    if args.compact:
+        if not args.out:
+            raise SystemExit("-compact requires -out DIR")
+        from cloudbrush_spark.sources.corpus import compact_batches
+        n = compact_batches(spark, args.compact, args.out,
+                            files=args.files_per_split)
+        print(f"compacted: {n} batches -> {args.out}")
         return 0
 
     if args.curate:

@@ -179,3 +179,29 @@ def test_cli_curate_reads_jsonl_input(tmp_path, spark, capsys):
     corpus = spark.read.parquet(os.path.join(out, "corpus"))
     assert corpus.count() > 0
     assert corpus.limit(1).collect()[0].text.startswith(base)
+
+
+def test_cli_compact_streamed_output(tmp_path, spark, capsys):
+    from cloudbrush_spark.streaming.windows import (
+        DOC_SCHEMA, read_document_stream, stream_publish)
+    src = str(tmp_path / "docs")
+    for i in range(2):
+        spark.createDataFrame([(10 * i + j, f"d{j}") for j in range(3)],
+                              DOC_SCHEMA).coalesce(1).write.parquet(f"{src}/f{i}")
+    streamed = str(tmp_path / "streamed")
+    os.makedirs(streamed)
+    q = (stream_publish(read_document_stream(spark, src + "/*",
+                                             max_files_per_trigger=1), streamed)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    out = str(tmp_path / "compacted")
+    rc = main(["-compact", streamed, "-out", out, "-files_per_split", "1"])
+    assert rc == 0
+    assert "compacted: 2 batches" in capsys.readouterr().out
+    assert spark.read.parquet(out).count() == 6
+
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["-compact", streamed])  # -out required
