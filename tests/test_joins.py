@@ -189,3 +189,32 @@ def test_salted_join_rejects_right_outer_and_bad_salt(spark):
         joins.salted_equijoin(left, right, "k", how="right")
     with _pytest.raises(ValueError):
         joins.salted_equijoin(left.withColumn("__salt", F.lit(1)), right, "k")
+
+
+def test_salted_join_property_random_frames(spark):
+    """Hypothesis sweep: for arbitrary key multisets (hot keys, missing
+    keys, null keys, duplicate right rows) the salted join's result
+    multiset equals the plain join's, inner and left."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys = st.lists(st.one_of(st.integers(0, 5), st.none()),
+                    min_size=1, max_size=25)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(lk=keys, rk=keys)
+    def check(lk, rk):
+        left = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(lk)], "k long, lv long")
+        right = spark.createDataFrame(
+            [(k, 100 + i) for i, k in enumerate(rk)], "k long, rv long")
+        for how in ("inner", "left"):
+            got = Counter(map(tuple, joins.salted_equijoin(
+                left, right, "k", salt=3, how=how).collect()))
+            want = Counter(map(tuple, left.join(right, "k", how).collect()))
+            assert got == want, how
+
+    check()
