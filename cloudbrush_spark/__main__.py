@@ -133,6 +133,11 @@ def _build_parser() -> argparse.ArgumentParser:
                          "volumes, quality/length histograms, dup rate, "
                          "token quantiles, sketch contracts) to "
                          "OUT/report.parquet")
+    ap.add_argument("-audit_spans", action="store_true",
+                    help="write the released corpus's repeated-content "
+                         "audit (guard.repeated_spans — maximal cross-"
+                         "document repeated passages, the memorization-"
+                         "risk appendix) to OUT/spans.parquet")
     ap.add_argument("-prior", default=None, metavar="PARQUET",
                     help="curation: previous-release corpus (doc_id, "
                          "text) — drop gated docs that near-duplicate "
@@ -249,7 +254,7 @@ def main(argv: list[str] | None = None) -> int:
                 docs, args.out, mixture_weights=weights, budget=args.budget,
                 token_budget=args.token_budget,
                 source_token_budgets=src_budgets,
-                report=args.report,
+                report=args.report, audit_spans=args.audit_spans,
                 files_per_split=args.files_per_split, benchmark=bench,
                 boilerplate_max_df=args.boiler_df,
                 quality_min=args.quality_min, lang=args.lang,

@@ -113,6 +113,7 @@ class ReleasePipeline:
             benchmark: DataFrame | None = None,
             boilerplate_max_df: int | None = None,
             report: bool = False,
+            audit_spans: bool = False,
             **curate_kw) -> DataFrame:
         """Run the full release; returns the RELEASE MANIFEST — one row
         per published row: (id, copy, split, shard_id, offset, ws_tokens,
@@ -250,6 +251,26 @@ class ReleasePipeline:
                     os.path.join(out_path, "report.parquet"))
 
             self._stage("report", _report)
+
+        if audit_spans:
+            # repeated-content audit over the corpus as PUBLISHED: the
+            # maximal cross-document repeated passages that survived
+            # curation (guard.repeated_spans) — the memorization-risk
+            # appendix of the data card.  Deliberately an AUDIT, not a
+            # scrub: span removal changes token counts after packing.
+            def _spans() -> DataFrame:
+                from cloudbrush_spark.operators.guard import repeated_spans
+                back = corpus_sink.read_corpus(
+                    self.spark, os.path.join(out_path, "corpus"))
+                sp = repeated_spans(
+                    back.select(F.col(id_col), F.col(text_col)).distinct(),
+                    id_col=id_col, text_col=text_col)
+                sp.write.mode("overwrite").parquet(
+                    os.path.join(out_path, "spans.parquet"))
+                return self.spark.read.parquet(
+                    os.path.join(out_path, "spans.parquet"))
+
+            self._stage("spans", _spans)
         return out
 
 

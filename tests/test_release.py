@@ -269,3 +269,22 @@ def test_release_scrub_stage_checkpoints(spark, tmp_path):
     assert p2.counters.get("loaded_scrub") == 1
     assert "ran_scrub" not in p2.counters
     assert first == second
+
+
+def test_release_audit_spans_writes_repeated_content(spark, tmp_path):
+    """audit_spans=True ships OUT/spans.parquet over the corpus as
+    PUBLISHED.  Curation's near-dup stage collapses the fixture to one
+    representative per base passage, so the audit's finding is exactly
+    the residual repetition dedup could NOT remove: the shared FILLER
+    region between the two surviving near-distinct docs — every
+    published doc carries a span, none starts at token 1 (the bases
+    differ) and none covers the distinct tails."""
+    out = str(tmp_path / "rel_audit")
+    release(spark, _docs(spark), out, audit_spans=True, max_tokens=2000)
+    spans = spark.read.parquet(os.path.join(out, "spans.parquet"))
+    assert {"doc_id", "span_start", "span_end", "n_grams"} <= set(spans.columns)
+    pub = {r.doc_id for r in
+           spark.read.parquet(os.path.join(out, "corpus")).collect()}
+    span_docs = {r.doc_id for r in spans.collect()}
+    assert span_docs == pub and len(pub) > 0   # residual repetition is real
+    assert spans.filter("span_start = 1").count() == 0  # bases differ
