@@ -1479,7 +1479,19 @@ def q_text_fp_split(spark, sf_dir):
     m = sampling.mixture_resample(docs, weights).select(
         F.lit("mixture").alias("op"), "doc_id",
         F.concat("source", F.lit("#"), F.col("copy").cast("string")).alias("v"))
-    return w.unionByName(s).unionByName(m)
+    # late r8: per-domain quality CALIBRATION — the exact within-source
+    # rank by (quality desc, doc_id), assembled via the budget_select
+    # two-phase bucket pattern (never one-task-per-domain windows); the
+    # DuckDB twin is the direct row_number window, so the two-phase
+    # assembly is hash-pinned rank-for-rank.  v = source#rank/n.
+    from cloudbrush_spark.operators import textops
+    scored = docs.select(
+        "doc_id", "source", textops.quality_col("text").alias("quality"))
+    c = sampling.calibrated_quality(scored, "quality").select(
+        F.lit("calib").alias("op"), "doc_id",
+        F.concat("source", F.lit("#"), F.col("q_rank").cast("string"),
+                 F.lit("/"), F.col("n_src").cast("string")).alias("v"))
+    return w.unionByName(s).unionByName(m).unionByName(c)
 
 
 def q_emb_near_dup(spark, sf_dir):
@@ -3005,6 +3017,14 @@ _ORACLES["text_fp_split"] = f"""
                              * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 1000000 AS b
             FROM documents)),
     LATERAL (SELECT unnest(generate_series(1, n)) AS i)
+    UNION ALL
+    SELECT 'calib' AS op, doc_id,
+           source || '#' || CAST(rnk AS VARCHAR) || '/' || CAST(n AS VARCHAR) AS v
+    FROM (SELECT q.doc_id, d.source,
+                 row_number() OVER (PARTITION BY d.source
+                                    ORDER BY q.quality DESC, q.doc_id) AS rnk,
+                 count(*) OVER (PARTITION BY d.source) AS n
+          FROM ({_quality_sql()}) q JOIN documents d USING (doc_id))
 """
 
 # cluster-mode SimHash: brute-force Hamming pairs over DISTINCT signatures

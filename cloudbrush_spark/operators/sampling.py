@@ -287,3 +287,58 @@ def pack_shards(df: DataFrame, weight_col: str, id_col: str = "doc_id",
         F.expr(f"start div {int(budget)}").cast("long").alias("shard_id"),
         (F.col("start") % budget).cast("long").alias("offset"),
     )
+
+
+def calibrated_quality(df: DataFrame, quality_col: str,
+                       source_col: str = "source", id_col: str = "doc_id",
+                       buckets: int = 1024) -> DataFrame:
+    """Per-domain quality calibration: the exact 1-based rank of every
+    row WITHIN its source by (quality DESC, id) plus the source size —
+    rank/n_src is the calibrated score.
+
+    Why: model- or heuristic-based quality scores are not comparable
+    across domains (a 0.8 on web text and a 0.8 on code mean different
+    things), so mixture/budget decisions over mixed sources should
+    compare within-domain RANKS, not raw scores — the standard
+    quantile-calibration step before a global ``budget_select``.
+
+    Scale shape: never ``Window.partitionBy(source)`` alone (that puts
+    an entire domain — terabytes — into ONE task).  The rank is
+    assembled with the budget_select two-phase pattern: quality RANGE
+    buckets within each source, per-(source, bucket) counts -> a
+    broadcast bucket-prefix (a bounded |sources| x ``buckets`` frame) ->
+    within-(source, bucket) row_number over bounded partitions.  Equal
+    qualities always share a bucket, so prefix + in-bucket rank is the
+    exact global within-source rank.
+
+    Output: (id_col, source_col, q_rank, n_src).
+    """
+    wdf = (
+        df.select(
+            F.col(id_col), F.col(source_col).alias("__src"),
+            F.coalesce(F.col(quality_col).cast("double"),
+                       F.lit(0.0)).alias("q"))
+        .withColumn(
+            "b",
+            F.least(
+                F.greatest(
+                    F.floor((F.lit(1.0) - F.col("q")) * buckets).cast("int"),
+                    F.lit(0)),
+                F.lit(buckets - 1)))
+    )
+    counts = wdf.groupBy("__src", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = (Window.partitionBy("__src").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = counts.withColumn(
+        "pre", F.coalesce(F.sum("cnt").over(wb), F.lit(0)))
+    nsrc = counts.groupBy("__src").agg(F.sum("cnt").alias("n_src"))
+    ww = Window.partitionBy("__src", "b").orderBy(F.col("q").desc(), id_col)
+    return (
+        wdf.join(F.broadcast(prefix.select("__src", "b", "pre")),
+                 ["__src", "b"])
+        .join(F.broadcast(nsrc), "__src")
+        .withColumn("q_rank",
+                    (F.col("pre") + F.row_number().over(ww)).cast("long"))
+        .select(F.col(id_col), F.col("__src").alias(source_col),
+                "q_rank", F.col("n_src").cast("long").alias("n_src"))
+    )

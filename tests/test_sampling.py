@@ -260,3 +260,35 @@ def test_mixture_resample_zero_and_integer_weights(spark):
     rows = sorted((r.doc_id, r.copy) for r in out.collect())
     # weight 0 drops; integer weight 2 -> exactly two copies; unlisted drops
     assert rows == [(2, 1), (2, 2)]
+
+
+# --- calibrated_quality (late r8): per-domain rank calibration --------------
+
+def test_calibrated_quality_exact_ranks_with_ties(spark):
+    from cloudbrush_spark.operators.sampling import calibrated_quality
+    rows = [
+        (1, "web", 0.9), (2, "web", 0.7), (3, "web", 0.7), (4, "web", None),
+        (5, "code", 0.5), (6, "code", 0.95),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    got = {r.doc_id: (r.q_rank, r.n_src) for r in
+           calibrated_quality(df, "q", buckets=4).collect()}
+    # ties (0.7, 0.7) break by doc_id; NULL quality sorts last as 0.0
+    assert got == {1: (1, 4), 2: (2, 4), 3: (3, 4), 4: (4, 4),
+                   6: (1, 2), 5: (2, 2)}
+
+
+def test_calibrated_quality_never_one_task_per_source(spark):
+    """The row-level window must partition on (source, bucket), never on
+    the source alone — a whole domain in one task is the scale failure
+    this operator exists to avoid."""
+    from cloudbrush_spark.operators.sampling import calibrated_quality
+    df = spark.createDataFrame(
+        [(i, "only_source", i / 100.0) for i in range(100)],
+        "doc_id long, source string, q double")
+    out = calibrated_quality(df, "q", buckets=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window sort key list includes the bucket column
+    assert "__src" in plan and " b#" in plan
+    got = {r.doc_id: r.q_rank for r in out.collect()}
+    assert got[99] == 1 and got[0] == 100  # q=0.99 best, q=0.0 worst
