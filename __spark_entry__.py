@@ -3668,7 +3668,7 @@ _ORACLES["relational_extras"] = """
           WHERE o_orderdate >= TIMESTAMP '2001-01-01')
     UNION ALL
     SELECT 'win_run', CAST(o_custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR),
-           run_cents, CAST(rn AS BIGINT)
+           CAST(run_cents AS BIGINT), CAST(rn AS BIGINT)
     FROM (SELECT o_custkey, o_orderkey,
                  row_number() OVER w AS rn,
                  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
@@ -4254,7 +4254,9 @@ _ORACLES["sink_formats"] = f"""
 # The pruned query functions stay defined above (bench.py and tests use
 # them); they are simply not registered.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- new in round 7 (never green yet) ---
+    # --- red in r8 (oracle HUGEINT leak, fixed r9) — never-green-first ---
+    "relational_extras": q_relational_extras,    # asof/range/rollup/topk/except
+    # --- new in round 7 ---
     "corpus_guard": q_corpus_guard,              # decontam / pii / repetition
     "shard_pack": q_shard_pack,                  # token-budget shard packing
     "source_roundtrips": q_source_roundtrips,    # s1 fastq + s2 sfa union
@@ -4277,7 +4279,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_blockhash_pairs": q_mm_blockhash_pairs,  # full DuckDB blockhash twin
     "mm_metadata": q_mm_metadata,
     "mm_binary_dedup": q_mm_binary_dedup,
-    "relational_extras": q_relational_extras,    # asof/range/rollup/topk/except
     # --- SURVEY §2 core (green in r4) ---
     "p1_dedup_exact": q_p1_dedup_exact,
     "p2_filter_contained": q_p2_filter_contained,

@@ -42,6 +42,28 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_kind(dtype) -> str:
+    """Coarse dtype class for the strict pre-normalization check.
+
+    The driver's value hash is type/format-sensitive: an int64 column
+    renders "37459279" while the same values as float64 render
+    "37459279.0", so an int-vs-float pair hash-mismatches even when
+    numerically equal.  (Round-8 regression: a DuckDB window sum typed
+    HUGEINT materialized as float64 and flipped the driver hash while
+    the old numeric-tolerant compare passed.)
+    """
+    s = str(dtype)
+    if s.startswith("datetime"):
+        return "datetime"
+    if s in ("bool", "boolean"):
+        return "bool"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    return s  # object, category, ...
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame, float_tol: float = 0.0) -> list[str]:
     """Return a list of mismatch descriptions; empty means match."""
     issues = []
@@ -50,6 +72,20 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, float_tol: float = 0.0) -> list[
         return [f"columns differ: spark={sorted(spdf.columns)} oracle={sorted(oracle_pdf.columns)}"]
     if len(spdf) != len(oracle_pdf):
         issues.append(f"row count: spark={len(spdf)} oracle={len(oracle_pdf)}")
+        return issues
+    # dtype-strict gate BEFORE normalization: the driver hashes raw
+    # materialized frames, so a kind mismatch (int vs float, object vs
+    # float, ...) is a driver failure even if values are numerically equal.
+    for c in sorted(spdf.columns):
+        ka, kb = _dtype_kind(spdf[c].dtype), _dtype_kind(oracle_pdf[c].dtype)
+        if ka != kb:
+            issues.append(
+                f"col {c}: dtype kind mismatch spark={spdf[c].dtype}({ka}) "
+                f"oracle={oracle_pdf[c].dtype}({kb}) — driver hash is "
+                "type-sensitive; cast the oracle (or the query) so both "
+                "sides materialize the same pandas kind"
+            )
+    if issues:
         return issues
     a, b = _normalize(spdf), _normalize(oracle_pdf)
     for c in a.columns:
