@@ -1705,10 +1705,14 @@ def q_relational_extras(spark, sf_dir):
         F.lit("range").alias("op"), s("user_id").alias("k1"),
         s("tus").alias("k2"), F.col("matched_ts").alias("v1"),
         F.lit(0).cast("long").alias("v2"))
+    # margin rows are keyed by grouping_id, not a NULL-coalesce sentinel:
+    # a genuine NULL group value (gid bit 0) can never collide with a
+    # ROLLUP/CUBE margin (gid bit 1) even if both render "(null)"
     rol = q_rollup(spark, sf_dir).select(
         F.lit("rollup").alias("op"),
-        F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("k1"),
-        F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("k2"),
+        F.concat_ws(":", F.col("gid").cast("string"),
+                    F.coalesce(F.col("l_returnflag"), F.lit("(null)"))).alias("k1"),
+        F.coalesce(F.col("l_linestatus"), F.lit("(null)")).alias("k2"),
         cents("sum_qty").alias("v1"), F.col("cnt").alias("v2"))
     top = q_topk_per_group(spark, sf_dir).select(
         F.lit("topk").alias("op"), F.col("p_brand").alias("k1"),
@@ -1733,8 +1737,9 @@ def q_relational_extras(spark, sf_dir):
         F.col("val_rank").cast("long").alias("v2"))
     cub = q_cube_qty(spark, sf_dir).select(
         F.lit("cube").alias("op"),
-        F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("k1"),
-        F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("k2"),
+        F.concat_ws(":", F.col("gid").cast("string"),
+                    F.coalesce(F.col("l_returnflag"), F.lit("(null)"))).alias("k1"),
+        F.coalesce(F.col("l_linestatus"), F.lit("(null)")).alias("k2"),
         cents("sum_qty").alias("v1"), F.col("cnt").alias("v2"))
     # melt the pivot's dense matrix back to canonical rows; absent cells
     # are REAL zero rows here (pivot's densification is the semantics
@@ -1870,6 +1875,7 @@ def q_rollup(spark, sf_dir):
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
+            F.grouping_id().alias("gid"),
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
             F.count(F.lit(1)).alias("cnt"),
         )
@@ -1903,6 +1909,7 @@ def q_cube_qty(spark, sf_dir):
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
+            F.grouping_id().alias("gid"),
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
             F.count(F.lit(1)).alias("cnt"),
         )
@@ -3637,8 +3644,10 @@ _ORACLES["relational_extras"] = """
           FROM c JOIN b ON c.user_id = b.user_id
           WHERE b.bus - c.tus BETWEEN 0 AND 3600000000)
     UNION ALL
-    SELECT 'rollup', coalesce(l_returnflag, '(all)'),
-           coalesce(l_linestatus, '(all)'),
+    SELECT 'rollup',
+           CAST(GROUPING(l_returnflag, l_linestatus) AS VARCHAR) || ':' ||
+               coalesce(l_returnflag, '(null)'),
+           coalesce(l_linestatus, '(null)'),
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT),
            count(*)
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -3690,8 +3699,10 @@ _ORACLES["relational_extras"] = """
                      AS val_rank
           FROM orders WHERE o_custkey % 7 = 0)
     UNION ALL
-    SELECT 'cube', coalesce(l_returnflag, '(all)'),
-           coalesce(l_linestatus, '(all)'),
+    SELECT 'cube',
+           CAST(GROUPING(l_returnflag, l_linestatus) AS VARCHAR) || ':' ||
+               coalesce(l_returnflag, '(null)'),
+           coalesce(l_linestatus, '(null)'),
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT),
            count(*)
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)

@@ -57,3 +57,38 @@ def test_cube_emits_both_margins_and_grand_total(spark):
     assert got[("lo", "P")] == 2
     # 4 populated cells + 2 prio margins + 3 status margins + grand total
     assert len(got) == 10
+
+
+def test_grouping_id_disambiguates_null_group_values(spark):
+    """The driver legs key ROLLUP/CUBE margin rows by grouping_id, not a
+    NULL-coalesce sentinel — a genuine NULL group value must stay
+    distinct from the margin row that aggregates over it (the testdata
+    has no NULL flags, so this pin is the only guard)."""
+    rows = [("R", "O", 1.0), ("R", "O", 2.0), (None, "O", 4.0)]
+    df = spark.createDataFrame(rows, "flag string, status string, qty double")
+    agg = (df.rollup("flag", "status")
+           .agg(F.grouping_id().alias("gid"),
+                F.sum("qty").cast("long").alias("qty")))
+    keyed = agg.select(
+        F.concat_ws(":", F.col("gid").cast("string"),
+                    F.coalesce(F.col("flag"), F.lit("(null)"))).alias("k1"),
+        F.coalesce(F.col("status"), F.lit("(null)")).alias("k2"),
+        "qty")
+    got = {(r.k1, r.k2): r.qty for r in keyed.collect()}
+    # genuine NULL flag (gid bit 0) vs its own margin (gid bit 1) vs the
+    # grand total (gid 3) are three DIFFERENT keys
+    assert got[("0:(null)", "O")] == 4          # real NULL group value
+    assert got[("1:(null)", "(null)")] == 4     # margin over that flag
+    assert got[("3:(null)", "(null)")] == 7     # grand total
+    assert got[("0:R", "O")] == 3 and got[("1:R", "(null)")] == 3
+    assert len(got) == 5
+
+    # DuckDB's GROUPING() bit order must agree with Spark's grouping_id()
+    import duckdb
+    duck = duckdb.sql(
+        "SELECT CAST(GROUPING(flag, status) AS VARCHAR) || ':' || "
+        "coalesce(flag, '(null)') AS k1, "
+        "coalesce(status, '(null)') AS k2, CAST(sum(qty) AS BIGINT) AS qty "
+        "FROM (VALUES ('R','O',1.0),('R','O',2.0),(NULL,'O',4.0)) "
+        "t(flag, status, qty) GROUP BY ROLLUP (flag, status)").fetchall()
+    assert {(k1, k2): q for k1, k2, q in duck} == got
