@@ -127,6 +127,12 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="curation: remove every line whose corpus-wide "
                          "occurrence count exceeds N (cross-document "
                          "boilerplate scrub) before gating/publishing")
+    ap.add_argument("-scrub_spans_df", type=int, default=None, metavar="N",
+                    help="curation: remove every cross-document repeated "
+                         "passage (maximal run of word 13-grams shared "
+                         "by >= N docs) from ALL carriers before "
+                         "gating/publishing (guard.span_scrub — the "
+                         "scrub counterpart of -audit_spans)")
     ap.add_argument("-report", action="store_true",
                     help="write the published corpus's data card "
                          "(operators/report.corpus_report — per-split "
@@ -257,6 +263,7 @@ def main(argv: list[str] | None = None) -> int:
                 report=args.report, audit_spans=args.audit_spans,
                 files_per_split=args.files_per_split, benchmark=bench,
                 boilerplate_max_df=args.boiler_df,
+                scrub_spans_min_df=args.scrub_spans_df,
                 quality_min=args.quality_min, lang=args.lang,
                 min_tokens=args.min_tokens, max_tokens=args.max_tokens,
                 decontam_n=args.decontam_n, **sem_kw)
@@ -274,6 +281,15 @@ def main(argv: list[str] | None = None) -> int:
             # same contract as the release chain's stage 0
             from cloudbrush_spark.operators.guard import boilerplate_scrub
             cleaned = boilerplate_scrub(docs, max_df=args.boiler_df)
+            other = [c for c in docs.columns if c != "text"]
+            docs = docs.select(*other).join(
+                cleaned.select("doc_id",
+                               F.col("clean_text").alias("text")),
+                "doc_id")
+        if args.scrub_spans_df is not None:
+            # same pre-curate placement as the release chain's stage 0b
+            from cloudbrush_spark.operators.guard import span_scrub
+            cleaned = span_scrub(docs, min_df=args.scrub_spans_df)
             other = [c for c in docs.columns if c != "text"]
             docs = docs.select(*other).join(
                 cleaned.select("doc_id",

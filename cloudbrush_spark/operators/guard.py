@@ -419,7 +419,8 @@ def semantic_decontaminate(vectors: DataFrame, benchmark: DataFrame,
 
 def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", n: int = 13,
-                   min_df: int = 2, hash_prefilter: bool = True) -> DataFrame:
+                   min_df: int = 2, hash_prefilter: bool = True,
+                   tokenizer=None) -> DataFrame:
     """Cross-document repeated-passage detection: for every document,
     the maximal token spans all of whose word ``n``-grams occur in at
     least ``min_df`` distinct documents — the gram-level approximation
@@ -455,13 +456,20 @@ def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     Output: (id_col, span_start, span_end, n_grams) in 1-based TOKEN
     coordinates; span_end = last token index covered (start of the last
     shared gram + n - 1).
+
+    ``tokenizer`` (Column -> array<string> Column) overrides the default
+    normalized tokenizer (``functions/text.tokens``: lowercased
+    alphanumeric — recall-oriented, near-verbatim repeats match).  The
+    span-scrub path passes a raw whitespace tokenizer so positions index
+    the original text's whitespace tokens and removal is byte-faithful.
     """
     from pyspark.sql import Window
 
+    tok = tokenizer if tokenizer is not None else text.tokens
     grams = (
         docs.select(
             F.col(id_col),
-            F.posexplode(text.word_shingles(text.tokens(text_col), n))
+            F.posexplode(text.word_shingles(tok(F.col(text_col)), n))
             .alias("pos0", "g"))
         .select(id_col, (F.col("pos0") + 1).alias("pos"), "g")
     )
@@ -499,3 +507,67 @@ def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
              F.count(F.lit(1)).alias("n_grams"))
         .drop("run")
     )
+
+def _ws_tokens(col):
+    """Raw whitespace tokenizer: positions index the original text's
+    whitespace tokens, so dropping token i removes exactly the bytes the
+    reader would see (modulo whitespace-run collapse on rejoin)."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(trimmed, r"\s+"))
+
+
+def span_scrub(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", n: int = 13,
+               min_df: int = 2, hash_prefilter: bool = True) -> DataFrame:
+    """Cross-document repeated-passage REMOVAL — the scrub counterpart of
+    :func:`repeated_spans` (which only reports).  Every maximal passage
+    whose word ``n``-grams occur in >= ``min_df`` distinct documents is
+    dropped from ALL documents that carry it (the C4/ExactSubstr-style
+    policy: a verbatim passage the corpus repeats — licenses, templates,
+    syndicated articles — is memorization fuel wherever it appears).
+
+    Runs on the RAW WHITESPACE token stream (not the normalized tokens
+    the audit uses): span positions index the original text's whitespace
+    tokens, so surviving tokens keep their exact bytes — casing and
+    punctuation included — and the removal is precision-oriented (only
+    byte-verbatim repeats match).  Untouched documents come back
+    byte-identical; scrubbed documents have their surviving tokens
+    rejoined with single spaces (whitespace runs collapse — the same
+    contract as whitespace token counting, so ``ws_tokens`` computed on
+    the scrubbed text is exactly the surviving token count).
+
+    Shape: :func:`repeated_spans` (gram explode -> hashed df prefilter
+    -> exact re-verify -> per-doc run merge) -> per-doc span-array
+    aggregate (bounded by repeated-content volume, never corpus size)
+    -> one equi-join back on the doc id -> a single higher-order filter
+    over the token array.  No collect, no global sort; the join's
+    build side is the span table (small after curation-scale dedup,
+    AQE-broadcastable).
+
+    Returns (id_col, clean_text, spans_removed, tokens_removed) — one
+    row per INPUT document (spans_removed=0 for untouched docs), so the
+    caller can join it back 1:1.
+    """
+    spans = repeated_spans(docs, id_col=id_col, text_col=text_col, n=n,
+                           min_df=min_df, hash_prefilter=hash_prefilter,
+                           tokenizer=_ws_tokens)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.count(F.lit(1)).alias("spans_removed"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+         .alias("tokens_removed"))
+    joined = docs.select(id_col, text_col).join(per_doc, id_col, "left")
+    kept = F.filter(
+        _ws_tokens(F.col(text_col)),
+        lambda t, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"])))
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("_spans").isNull(), F.col(text_col))
+         .otherwise(F.array_join(kept, " ")).alias("clean_text"),
+        F.coalesce(F.col("spans_removed"), F.lit(0)).cast("long")
+         .alias("spans_removed"),
+        F.coalesce(F.col("tokens_removed"), F.lit(0)).cast("long")
+         .alias("tokens_removed"))

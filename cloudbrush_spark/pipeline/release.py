@@ -10,6 +10,12 @@ runStage/checkDone :132-155).  Here the chain is:
    cross-document repeated-line removal over the raw corpus, so every
    downstream stage (gating, fingerprints, shard weights, the published
    text) sees the cleaned documents.
+0b. **spanscrub** (optional, ``operators/guard.span_scrub``) —
+   cross-document repeated-PASSAGE removal (ExactSubstr-style, no
+   newline structure needed); also pre-curate, so token counts and
+   shard weights are computed on the masked text.  The post-publish
+   ``audit_spans`` stage remains the read-back check that the
+   published corpus carries no residual repeats.
 1. **curate** (``pipeline/curation.curate``) — gate -> exact dedup ->
    near-dup cluster dedup -> split manifest (optionally benchmark-
    decontaminated).
@@ -112,6 +118,8 @@ class ReleasePipeline:
             files_per_split: int = 16,
             benchmark: DataFrame | None = None,
             boilerplate_max_df: int | None = None,
+            scrub_spans_min_df: int | None = None,
+            scrub_spans_n: int = 13,
             report: bool = False,
             audit_spans: bool = False,
             **curate_kw) -> DataFrame:
@@ -130,7 +138,11 @@ class ReleasePipeline:
         chain — gating features, token counts, dedup fingerprints, shard
         weights AND the published text — then sees the scrubbed corpus,
         not just the gate (scrubbing after packing would desynchronize
-        ws_tokens from the text the shards actually contain)."""
+        ws_tokens from the text the shards actually contain).
+        ``scrub_spans_min_df`` likewise enables the repeated-passage
+        scrub (``operators/guard.span_scrub``, word-``scrub_spans_n``
+        grams shared by >= min_df docs) as stage 0b, with the same
+        before-everything placement and the same consistency argument."""
         if boilerplate_max_df is not None:
             def _scrub() -> DataFrame:
                 from cloudbrush_spark.operators import guard
@@ -144,6 +156,28 @@ class ReleasePipeline:
                         F.col("clean_text").alias(text_col)),
                     id_col)
             docs = self._stage("scrub", _scrub)
+        if scrub_spans_min_df is not None:
+            # cross-document repeated-PASSAGE removal (guard.span_scrub)
+            # as a second stage-0 scrub — BEFORE curate, so gating
+            # features, token counts, dedup fingerprints, shard weights
+            # and the published text all see the masked corpus (masking
+            # after packing would desynchronize ws_tokens from the text
+            # the shards actually contain — the desync the post-publish
+            # audit_spans placement exists to avoid).  Runs after the
+            # line-level scrub: surviving lines can still form repeated
+            # passages, the reverse cannot.
+            def _spanscrub() -> DataFrame:
+                from cloudbrush_spark.operators import guard
+                cleaned = guard.span_scrub(
+                    docs, id_col=id_col, text_col=text_col,
+                    n=scrub_spans_n, min_df=scrub_spans_min_df)
+                other = [c for c in docs.columns if c != text_col]
+                return docs.select(*other).join(
+                    cleaned.select(
+                        F.col(id_col),
+                        F.col("clean_text").alias(text_col)),
+                    id_col)
+            docs = self._stage("spanscrub", _spanscrub)
         manifest = self._stage(
             "curate",
             lambda: curation.curate(docs, id_col=id_col, text_col=text_col,

@@ -563,3 +563,53 @@ def test_repeated_spans_prefilter_is_result_invariant(spark):
     b = sorted(map(tuple, repeated_spans(
         docs, n=3, hash_prefilter=False).collect()))
     assert a == b and len(a) == 6
+
+
+def test_span_scrub_removes_shared_passage_byte_faithfully(spark):
+    """span_scrub drops the repeated passage from ALL carriers on the
+    RAW whitespace token stream: surviving tokens keep exact bytes
+    (casing, punctuation), untouched docs come back byte-identical."""
+    from cloudbrush_spark.operators.guard import span_scrub
+    planted = "Shared, LICENSE text! " + " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame([
+        (1, f"Head-One unique. {planted} Tail-One ok"),
+        (2, f"Other start; {planted} different End!"),
+        (3, "Nothing repeated here at all, honest."),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in span_scrub(docs, n=13, min_df=2).collect()}
+    assert out[1].clean_text == "Head-One unique. Tail-One ok"
+    assert out[2].clean_text == "Other start; different End!"
+    # untouched doc is byte-identical (no whitespace re-normalization)
+    assert out[3].clean_text == "Nothing repeated here at all, honest."
+    assert out[3].spans_removed == 0 and out[3].tokens_removed == 0
+    assert out[1].spans_removed == 1 and out[1].tokens_removed == 15
+    # whitespace tokenization => punctuation-sensitive: "LICENSE text!"
+    # with different punctuation would NOT have matched — pinned by the
+    # surviving punctuation above
+
+
+def test_span_scrub_is_whitespace_token_exact(spark):
+    """Positions index WHITESPACE tokens of the original text (not the
+    normalized tokens the audit uses): a case-variant copy of the
+    passage is NOT byte-verbatim and must survive."""
+    from cloudbrush_spark.operators.guard import span_scrub
+    p = " ".join(f"tok{i}" for i in range(14))
+    docs = spark.createDataFrame([
+        (1, f"a {p} b"),
+        (2, f"c {p} d"),
+        (3, f"e {p.upper()} f"),      # case-variant: not verbatim
+    ], "doc_id long, text string")
+    out = {r.doc_id: r.clean_text
+           for r in span_scrub(docs, n=13, min_df=2).collect()}
+    assert out[1] == "a b" and out[2] == "c d"
+    assert out[3] == f"e {p.upper()} f"
+
+
+def test_span_scrub_empty_and_one_row_per_input(spark):
+    from cloudbrush_spark.operators.guard import span_scrub
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "solo words only")],
+        "doc_id long, text string")
+    rows = span_scrub(docs).collect()
+    assert len(rows) == 3
+    assert all(r.spans_removed == 0 for r in rows)

@@ -288,3 +288,64 @@ def test_release_audit_spans_writes_repeated_content(spark, tmp_path):
     span_docs = {r.doc_id for r in spans.collect()}
     assert span_docs == pub and len(pub) > 0   # residual repetition is real
     assert spans.filter("span_start = 1").count() == 0  # bases differ
+
+
+PLANTED = ("this work is licensed under the creative commons attribution "
+           "share alike four point zero international license terms")
+
+
+def test_release_span_scrub_stage(spark, tmp_path):
+    """scrub_spans_min_df wires guard.span_scrub as stage 0b (pre-curate):
+    a passage planted verbatim across every doc is ABSENT from the
+    published corpus, and because the scrub runs before curate, every
+    manifest ws_tokens equals the whitespace token count of the text the
+    corpus actually shipped — packing weights stay consistent."""
+    docs = _docs(spark, 12).withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.lit(PLANTED)))
+    out = str(tmp_path / "rel_spanscrub")
+    pipe = ReleasePipeline(spark)
+    # min_df=7: the planted passage (df=12) is scrubbed; the GOOD/GOOD2
+    # bases (df=6 each) are NOT — the scrub is targeted, not a dedup
+    rel = pipe.run(docs, out, max_tokens=2000, scrub_spans_min_df=7)
+    assert pipe.counters.get("ran_spanscrub") == 1
+    assert rel.count() > 0
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert corpus.filter(F.col("text").contains("creative commons")).count() == 0
+    # bases survived the scrub
+    assert corpus.filter(
+        F.col("text").contains("quick brown fox") |
+        F.col("text").contains("story about the sea")).count() == corpus.count()
+    # token-count consistency: manifest ws_tokens == whitespace count of
+    # the PUBLISHED text, row for row
+    mismatched = corpus.filter(
+        F.size(F.split(F.trim("text"), r"\s+")) != F.col("ws_tokens")
+    ).count() if "ws_tokens" in corpus.columns else None
+    if mismatched is None:
+        man = spark.read.parquet(os.path.join(out, "release_manifest.parquet"))
+        mismatched = (corpus.join(man.select("doc_id", "copy", "ws_tokens"),
+                                  ["doc_id", "copy"])
+                      .filter(F.size(F.split(F.trim("text"), r"\s+"))
+                              != F.col("ws_tokens")).count())
+    assert mismatched == 0
+    # negative control: without the scrub the passage ships
+    out2 = str(tmp_path / "rel_nospanscrub")
+    release(spark, docs, out2, max_tokens=2000)
+    corpus2 = spark.read.parquet(os.path.join(out2, "corpus"))
+    assert corpus2.filter(F.col("text").contains("creative commons")).count() > 0
+
+
+def test_release_span_scrub_checkpoints(spark, tmp_path):
+    docs = _docs(spark, 8).withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.lit(PLANTED)))
+    ck = str(tmp_path / "ck_spans")
+    kw = dict(max_tokens=2000, scrub_spans_min_df=5)
+    p1 = ReleasePipeline(spark, checkpoint_dir=ck)
+    first = {(r.doc_id, r.copy)
+             for r in p1.run(docs, str(tmp_path / "s1"), **kw).collect()}
+    assert p1.counters.get("ran_spanscrub") == 1
+    p2 = ReleasePipeline(spark, checkpoint_dir=ck)
+    second = {(r.doc_id, r.copy)
+              for r in p2.run(docs, str(tmp_path / "s2"), **kw).collect()}
+    assert p2.counters.get("loaded_spanscrub") == 1
+    assert "ran_spanscrub" not in p2.counters
+    assert first == second
