@@ -880,6 +880,21 @@ def q_corpus_report_only(spark, sf_dir):
     return corpus_report(_t(spark, sf_dir, "documents"))
 
 
+def q_pack_sequences_only(spark, sf_dir):
+    """Fixed-length training-sequence packing
+    (sampling.pack_sequences): concatenate the corpus's whitespace
+    token stream along the md5 permutation and cut every 512 tokens,
+    splitting boundary-crossing documents — one row per (doc, sequence)
+    chunk.  Same two-phase cumsum as pack_shards; the bounded explode
+    adds no shuffle."""
+    from cloudbrush_spark.operators import sampling
+    docs = _t(spark, sf_dir, "documents")
+    wdf = docs.select(
+        "doc_id", textfn.token_count("text").cast("long").alias("n_tokens"))
+    return sampling.pack_sequences(wdf, "n_tokens", max_len=512,
+                                   buckets=1024)
+
+
 def q_shard_pack(spark, sf_dir):
     """Token-budget operators in one tagged-union row (r8).  'pack' =
     the r7 shard-packing leg unchanged (q_shard_pack_only — still the
@@ -887,15 +902,21 @@ def q_shard_pack(spark, sf_dir):
     (q_budget_select_only).  The distributed form is the range-bucketed
     two-phase cumsum with budget-pruned buckets; the oracle is a single
     sequential window over the same quality twin — the hash pins the
-    exact selected set and each doc's start offset.  Canonical
-    (op, doc_id, v1, v2, v3) BIGINT columns."""
+    exact selected set and each doc's start offset.  'seq' (r9) =
+    sampling.pack_sequences (q_pack_sequences_only) — the hash pins
+    every (doc, sequence) chunk's (seq_id, seq_offset, n_toks), i.e.
+    the exact token-stream concatenation-and-cut a training loader
+    would replay.  Canonical (op, doc_id, v1, v2, v3) BIGINT columns."""
     pack = q_shard_pack_only(spark, sf_dir).select(
         F.lit("pack").alias("op"), "doc_id", F.col("wt").alias("v1"),
         F.col("shard_id").alias("v2"), F.col("offset").alias("v3"))
     budget = q_budget_select_only(spark, sf_dir).select(
         F.lit("budget").alias("op"), "doc_id", F.col("wt").alias("v1"),
         F.col("start").alias("v2"), F.lit(0).cast("long").alias("v3"))
-    return pack.unionByName(budget)
+    seq = q_pack_sequences_only(spark, sf_dir).select(
+        F.lit("seq").alias("op"), "doc_id", F.col("seq_id").alias("v1"),
+        F.col("seq_offset").alias("v2"), F.col("n_toks").alias("v3"))
+    return pack.unionByName(budget).unionByName(seq)
 
 
 def q_sink_formats(spark, sf_dir):
@@ -1207,19 +1228,217 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7-shaped volume shipping: revenue flowing between two
+    nations (supplier nation x customer nation, both directions), per
+    shipment year.  Two independent dimension chains hang off the same
+    fact row — supplier->nation and orders->customer->nation — plus a
+    pair-set filter and a date-part group key.  Both dim chains
+    broadcast; the fact shuffles once for the final 3-key aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    pair_ok = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01")))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(pair_ok)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10-shaped returned-item ranking: revenue lost to 'R'
+    (returned) lineitems per customer over one quarter's orders, top 20.
+    Join+aggregate+global-top-k; ORDER is on the EXACT decimal revenue
+    (tie-broken by key) so the cut line is engine-independent — ordering
+    a double sum would make rank 20/21 float-dependent."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))) \
+        .select("o_orderkey", "o_custkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+            .select("c_custkey", "n_name"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey", "n_name")
+        .agg(F.sum(rev).alias("rev_exact"))
+        .orderBy(F.col("rev_exact").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "n_name",
+                F.col("rev_exact").cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12-shaped late-shipment priority split: lineitems shipped
+    more than 30 days after their order date (standing in for the
+    benchmark's commit/receipt lag — those columns are absent here),
+    counted per (linestatus, priority class).  The CASE-bucketed
+    conditional count is the plan shape q4/q13 never exercise."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    prio_class = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        F.lit("high")).otherwise(F.lit("low"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus", prio_class.alias("prio_class"))
+        .agg(F.count(F.lit(1)).alias("line_count"))
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14-shaped promo share: revenue from PROMO-type parts vs
+    total revenue for one shipment month.  Emitted DIVISION-FREE as
+    (numerator, denominator) — the percentage would be a double divide
+    whose last bit differs across engines; callers divide client-side."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01")))
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                  .otherwise(F.lit(0).cast("decimal(18,2)")))
+            .cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"))
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15-shaped top supplier: per-supplier revenue over one
+    quarter, keeping every supplier tied at the MAX (the view + scalar
+    max shape).  The argmax equality runs on the EXACT decimal sum — a
+    double max would make ties engine-dependent.  The 1-row max
+    broadcasts back onto the per-supplier aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01")))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    mx = per_supp.agg(F.max("total_rev").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", F.col("total_rev").cast("double").alias("total_rev"))
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three OR'd
+    (brand, size-range, quantity-range) clauses over the part join — the
+    multi-clause boolean pushdown shape (Catalyst must keep the whole
+    disjunction on the scan side of the join where it prunes, not
+    evaluate it post-join)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & q.between(1, 11) & sz.between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & q.between(10, 20) & sz.between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & q.between(20, 30) & sz.between(1, 15)))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(clause)
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21-shaped suppliers-who-kept-orders-waiting: for finalized
+    ('F') orders, count lineitems whose supplier shipped LATE (>30 days
+    after the order date) in a multi-supplier order where NO OTHER
+    supplier was late — the sole-blame attribution.  The semi join
+    ("another supplier exists") and anti join ("no other late supplier")
+    run on the SAME fact self-join key, the hardest correlated-EXISTS
+    shape in the benchmark; both plan as single-shuffle joins on the
+    order key with no match-multiplicity blowup."""
+    orders = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late1 = lines.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    others = li.select(F.col("l_orderkey").alias("k_ord"),
+                       F.col("l_suppkey").alias("k_supp"))
+    late_others = late1.select(F.col("l_orderkey").alias("k_ord"),
+                               F.col("l_suppkey").alias("k_supp"))
+    blamed = (
+        late1
+        .join(others, (F.col("l_orderkey") == F.col("k_ord"))
+              & (F.col("l_suppkey") != F.col("k_supp")), "left_semi")
+        .join(late_others, (F.col("l_orderkey") == F.col("k_ord"))
+              & (F.col("l_suppkey") != F.col("k_supp")), "left_anti"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def q_tpch_suite(spark, sf_dir):
     """TPC-H-shaped SQL surface in ONE hash-checked tagged union — the
     ``relational_extras`` pattern, restoring driver verification for
     q3/q5/q6 which round 5 pruned from the 50-capped registry (a result
-    regression in any leg now flips this row).  Round 8 widens the union
-    from four to ten legs so every relational plan shape is driver
-    verified: q1 aggregate, q3 join+top-k, q4 EXISTS semi-join, q5
-    6-table join, q6 pushdown filter-agg, q13 outer-join distribution,
-    q16 anti-join + count-distinct, q17 division-free correlated
-    average, q18 HAVING-subquery enrichment, q22 scalar-subquery +
-    anti-join.  Shared schema (op, k1, v1..v3 double, v4 long); unused
-    measures pinned to 0 so both engines hash identical cells.  The
-    single-query forms above remain the bench/test surface."""
+    regression in any leg now flips this row).  Round 8 widened the
+    union from four to ten legs; round 9 takes it to seventeen so every
+    relational plan shape is driver verified: q1 aggregate, q3
+    join+top-k, q4 EXISTS semi-join, q5 6-table join, q6 pushdown
+    filter-agg, q7 dual dimension chains + date-part key, q10 exact-
+    decimal-ordered top-20, q12 CASE-bucketed conditional counts, q13
+    outer-join distribution, q14 division-free conditional share, q15
+    exact-decimal argmax, q16 anti-join + count-distinct, q17
+    division-free correlated average, q18 HAVING-subquery enrichment,
+    q19 disjunctive predicate pushdown, q21 semi+anti on the same
+    self-join, q22 scalar-subquery + anti-join.  Shared schema (op, k1,
+    v1..v3 double, v4 long); unused measures pinned to 0 so both
+    engines hash identical cells.  The single-query forms above remain
+    the bench/test surface."""
     z = F.lit(0.0).alias  # noqa: E731
     q1 = q_tpch_q1(spark, sf_dir).select(
         F.lit("q1").alias("op"),
@@ -1266,9 +1485,41 @@ def q_tpch_suite(spark, sf_dir):
         F.lit("q22").alias("op"), F.col("c_nationkey").cast("string").alias("k1"),
         F.col("totacctbal").alias("v1"), z("v2"), z("v3"),
         F.col("numcust").cast("long").alias("v4"))
+    q7 = q_tpch_q7(spark, sf_dir).select(
+        F.lit("q7").alias("op"),
+        F.concat_ws("|", "supp_nation", "cust_nation",
+                    F.col("l_year").cast("string")).alias("k1"),
+        F.col("revenue").alias("v1"), z("v2"), z("v3"), zl("v4"))
+    q10 = q_tpch_q10(spark, sf_dir).select(
+        F.lit("q10").alias("op"),
+        F.concat_ws("|", F.col("c_custkey").cast("string"), "n_name").alias("k1"),
+        F.col("revenue").alias("v1"), z("v2"), z("v3"), zl("v4"))
+    q12 = q_tpch_q12(spark, sf_dir).select(
+        F.lit("q12").alias("op"),
+        F.concat_ws("|", "l_linestatus", "prio_class").alias("k1"),
+        z("v1"), z("v2"), z("v3"),
+        F.col("line_count").cast("long").alias("v4"))
+    q14 = q_tpch_q14(spark, sf_dir).select(
+        F.lit("q14").alias("op"), F.lit("").alias("k1"),
+        F.col("promo_revenue").alias("v1"),
+        F.col("total_revenue").alias("v2"), z("v3"), zl("v4"))
+    q15 = q_tpch_q15(spark, sf_dir).select(
+        F.lit("q15").alias("op"), F.col("s_name").alias("k1"),
+        F.col("total_rev").alias("v1"), z("v2"), z("v3"), zl("v4"))
+    q19 = q_tpch_q19(spark, sf_dir).select(
+        F.lit("q19").alias("op"), F.lit("").alias("k1"),
+        F.col("revenue").alias("v1"), z("v2"), z("v3"),
+        F.col("n_rows").cast("long").alias("v4"))
+    q21 = q_tpch_q21(spark, sf_dir).select(
+        F.lit("q21").alias("op"), F.col("s_name").alias("k1"),
+        z("v1"), z("v2"), z("v3"),
+        F.col("numwait").cast("long").alias("v4"))
     return (q1.unionByName(q3).unionByName(q5).unionByName(q6)
             .unionByName(q4).unionByName(q13).unionByName(q16)
-            .unionByName(q17).unionByName(q18).unionByName(q22))
+            .unionByName(q17).unionByName(q18).unionByName(q22)
+            .unionByName(q7).unionByName(q10).unionByName(q12)
+            .unionByName(q14).unionByName(q15).unionByName(q19)
+            .unionByName(q21))
 
 
 def q_ann_topk(spark, sf_dir):
@@ -3841,6 +4092,105 @@ _ORACLES["tpch_suite"] = """
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate >= TIMESTAMP '2001-01-01')
     GROUP BY c.c_nationkey
+    UNION ALL
+    SELECT 'q7', sn.n_name || '|' || cn.n_name || '|'
+               || CAST(year(l_shipdate) AS VARCHAR),
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+           0.0, 0.0, CAST(0 AS BIGINT)
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+           OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY 2
+    UNION ALL
+    SELECT 'q10', CAST(c_custkey AS VARCHAR) || '|' || n_name,
+           CAST(rev_exact AS DOUBLE), 0.0, 0.0, CAST(0 AS BIGINT)
+    FROM (
+        SELECT c_custkey, n_name,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_exact
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+        GROUP BY 1, 2
+        ORDER BY rev_exact DESC, c_custkey
+        LIMIT 20)
+    UNION ALL
+    SELECT 'q12', l_linestatus || '|'
+               || CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 'high' ELSE 'low' END,
+           0.0, 0.0, 0.0, count(*)
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY 2
+    UNION ALL
+    SELECT 'q14', '',
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE),
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+           0.0, CAST(0 AS BIGINT)
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    UNION ALL
+    SELECT 'q15', s_name, CAST(total_rev AS DOUBLE),
+           0.0, 0.0, CAST(0 AS BIGINT)
+    FROM (
+        WITH r AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1)
+        SELECT s_name, total_rev FROM r
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM r))
+    UNION ALL
+    SELECT 'q19', '',
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+           0.0, 0.0, count(*)
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+           AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+           AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+           AND p_size BETWEEN 1 AND 15)
+    UNION ALL
+    SELECT 'q21', s_name, 0.0, 0.0, 0.0, count(*)
+    FROM lineitem l1
+    JOIN orders ON l1.l_orderkey = o_orderkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY s_name
 """
 
 # Batch recomputation of the three streaming forms (see
@@ -4207,6 +4557,36 @@ _ORACLES["shard_pack"] = f"""
             FROM q),
         b AS (SELECT CAST(sum(n_tokens) AS BIGINT) * 3 // 10 AS lim FROM q)
         SELECT doc_id, wt, start FROM s, b WHERE start + wt <= lim)
+    UNION ALL
+    SELECT 'seq' AS op, doc_id, seq_id AS v1, seq_offset AS v2, n_toks AS v3
+    FROM (
+        -- sequential twin of pack_sequences: same md5-order exclusive
+        -- cumsum as the 'pack' leg, then per-doc chunk enumeration over
+        -- the crossed 512-token boundaries via generate_series
+        WITH w AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS wt,
+                   CAST(list_sum(list_transform(generate_series(1, 8),
+                        i -> (strpos('0123456789abcdef',
+                                     substring(md5('pack|' || doc_id::VARCHAR), i, 1)) - 1)
+                             * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) AS h
+            FROM documents),
+        s AS (
+            SELECT doc_id, CAST(wt AS BIGINT) AS wt,
+                   CAST(coalesce(sum(wt) OVER (ORDER BY h % 1024, h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+            FROM w),
+        c AS (
+            SELECT doc_id, wt, start,
+                   unnest(generate_series(start // 512,
+                                          (start + wt - 1) // 512)) AS sid
+            FROM s WHERE wt > 0)
+        SELECT doc_id, CAST(sid AS BIGINT) AS seq_id,
+               CAST(greatest(start, sid * 512) - sid * 512 AS BIGINT) AS seq_offset,
+               CAST(least(start + wt, (sid + 1) * 512)
+                    - greatest(start, sid * 512) AS BIGINT) AS n_toks
+        FROM c)
 """
 
 from cloudbrush_spark.oracle_fixtures import SQL_OVERLAP_EDGES  # noqa: E402
@@ -4277,7 +4657,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 6 ---
     "curation_pipeline": q_curation_pipeline,    # end-to-end curation
     "event_windows": q_event_windows,            # tumble + sessionize union
-    "tpch_suite": q_tpch_suite,                  # q1/q3/q5/q6 union
+    "tpch_suite": q_tpch_suite,                  # 17-leg TPC-H union
     "stream_equivalence": q_stream_equivalence,  # stream tumble/sess/dedup
     "dedup_clusters": q_dedup_clusters,          # linear cluster product
     "g5g6_pairmark_merge": q_g5g6_pairmark_merge,

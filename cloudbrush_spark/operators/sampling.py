@@ -231,6 +231,38 @@ def _md5_long(id_col: str, seed: str) -> Column:
     ).cast("long")
 
 
+def _md5_order_start(df: DataFrame, weight_col: str, id_col: str,
+                     buckets: int, seed: str) -> DataFrame:
+    """(id, wt, start) where ``start`` is the exclusive prefix sum of
+    ``weight_col`` along the deterministic md5 permutation — the shared
+    two-phase cumsum under :func:`pack_shards` and
+    :func:`pack_sequences`: per-bucket totals (map-side, ``buckets``
+    rows) -> driver-scale bucket-prefix window -> within-bucket window.
+    No global one-task sort; see pack_shards for the full argument."""
+    h = _md5_long(id_col, seed)
+    wdf = (
+        df.select(
+            F.col(id_col),
+            # NULL weight = zero-width row (kept, costs nothing) — an
+            # un-coalesced NULL would silently vanish from the window
+            # sums and desynchronize the assignment from the oracle's
+            F.coalesce(F.col(weight_col).cast("long"), F.lit(0)).alias("wt"),
+            h.alias("h"))
+        .withColumn("b", (F.col("h") % buckets).cast("int"))
+    )
+    totals = wdf.groupBy("b").agg(F.sum("wt").alias("tot"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.withColumn(
+        "pre", F.coalesce(F.sum("tot").over(wb), F.lit(0)))
+    ww = (Window.partitionBy("b").orderBy("h", id_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        wdf.join(F.broadcast(prefix.select("b", "pre")), "b")
+        .withColumn("start",
+                    F.col("pre") + F.coalesce(F.sum("wt").over(ww), F.lit(0)))
+    )
+
+
 def pack_shards(df: DataFrame, weight_col: str, id_col: str = "doc_id",
                 budget: int = 1_000_000, buckets: int = 1024,
                 seed: str = "pack") -> DataFrame:
@@ -256,28 +288,7 @@ def pack_shards(df: DataFrame, weight_col: str, id_col: str = "doc_id",
     comfortably (~rows/1e5); the per-bucket sort is the same work a
     repartitionByRange+sortWithinPartitions shuffle would do, with no
     skew because the hash is uniform."""
-    h = _md5_long(id_col, seed)
-    wdf = (
-        df.select(
-            F.col(id_col),
-            # NULL weight = zero-width row (kept, costs nothing) — an
-            # un-coalesced NULL would silently vanish from the window
-            # sums and desynchronize the assignment from the oracle's
-            F.coalesce(F.col(weight_col).cast("long"), F.lit(0)).alias("wt"),
-            h.alias("h"))
-        .withColumn("b", (F.col("h") % buckets).cast("int"))
-    )
-    totals = wdf.groupBy("b").agg(F.sum("wt").alias("tot"))
-    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    prefix = totals.withColumn(
-        "pre", F.coalesce(F.sum("tot").over(wb), F.lit(0)))
-    ww = (Window.partitionBy("b").orderBy("h", id_col)
-          .rowsBetween(Window.unboundedPreceding, -1))
-    packed = (
-        wdf.join(F.broadcast(prefix.select("b", "pre")), "b")
-        .withColumn("start",
-                    F.col("pre") + F.coalesce(F.sum("wt").over(ww), F.lit(0)))
-    )
+    packed = _md5_order_start(df, weight_col, id_col, buckets, seed)
     return packed.select(
         id_col, "wt",
         # integer division (DIV), never long/int -> double: floor(x / b)
@@ -286,6 +297,52 @@ def pack_shards(df: DataFrame, weight_col: str, id_col: str = "doc_id",
         # mis-assign shards there
         F.expr(f"start div {int(budget)}").cast("long").alias("shard_id"),
         (F.col("start") % budget).cast("long").alias("offset"),
+    )
+
+
+def pack_sequences(df: DataFrame, weight_col: str, max_len: int = 2048,
+                   id_col: str = "doc_id", buckets: int = 1024,
+                   seed: str = "pack") -> DataFrame:
+    """Pack documents into fixed-length TRAINING SEQUENCES (the
+    GPT-style contiguous-stream packing a pretraining loader runs):
+    concatenate all documents along the deterministic md5 permutation
+    and cut every ``max_len`` tokens; a document crossing a boundary is
+    SPLIT across consecutive sequences (no padding, no token dropped) —
+    the semantics of packing one token stream, vs :func:`pack_shards`
+    which never splits a row and pads shards implicitly.
+
+    Output: one row per (document, sequence) CHUNK —
+    (id, seq_id, seq_offset, doc_offset, n_toks): tokens
+    [doc_offset, doc_offset + n_toks) of the document land at
+    [seq_offset, seq_offset + n_toks) of sequence ``seq_id``.  Every
+    sequence except the last is exactly full; chunk rows for one doc are
+    contiguous in both coordinate systems.  Zero-weight rows emit no
+    chunk (an empty document contributes no tokens to the stream).
+
+    Scale shape: the same two-phase bucketed cumsum as ``pack_shards``
+    (shared ``_md5_order_start`` — no global one-task sort), then a
+    per-row bounded explode (ceil(wt / max_len) + 1 chunks at most).
+    All boundary arithmetic is integer DIV on longs — exact past 2^53
+    cumulative tokens, the same overflow note as pack_shards."""
+    if max_len <= 0:
+        raise ValueError(f"max_len must be positive, got {max_len}")
+    ml = int(max_len)
+    packed = _md5_order_start(df, weight_col, id_col, buckets, seed) \
+        .filter(F.col("wt") > 0)
+    chunks = packed.select(
+        F.col(id_col), "wt", "start",
+        F.explode(F.sequence(
+            F.expr(f"start div {ml}"),
+            F.expr(f"(start + wt - 1) div {ml}"))).alias("seq_id"))
+    chunk_lo = F.greatest(F.col("start"), F.col("seq_id") * ml)
+    chunk_hi = F.least(F.col("start") + F.col("wt"),
+                       (F.col("seq_id") + 1) * ml)
+    return chunks.select(
+        id_col,
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (chunk_lo - F.col("seq_id") * ml).cast("long").alias("seq_offset"),
+        (chunk_lo - F.col("start")).cast("long").alias("doc_offset"),
+        (chunk_hi - chunk_lo).cast("long").alias("n_toks"),
     )
 
 

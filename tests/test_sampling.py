@@ -292,3 +292,74 @@ def test_calibrated_quality_never_one_task_per_source(spark):
     assert "__src" in plan and " b#" in plan
     got = {r.doc_id: r.q_rank for r in out.collect()}
     assert got[99] == 1 and got[0] == 100  # q=0.99 best, q=0.0 worst
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    """Chunk rows equal a single-threaded token-stream walk over the md5
+    order: documents concatenate, every max_len tokens a cut, crossing
+    docs split — no token dropped or duplicated."""
+    import hashlib
+
+    rows = [(i, (i * 37) % 90 + 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    ml, buckets = 256, 16
+    got = {}
+    for r in sampling.pack_sequences(df, "n_tokens", max_len=ml,
+                                     buckets=buckets).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.seq_id, r.seq_offset, r.doc_offset, r.n_toks))
+
+    def h(i):
+        return int(hashlib.md5(f"pack|{i}".encode()).hexdigest()[:8], 16)
+
+    ordered = sorted(rows, key=lambda r: (h(r[0]) % buckets, h(r[0]), r[0]))
+    start = 0
+    for doc_id, wt in ordered:
+        want = []
+        for s in range(start // ml, (start + wt - 1) // ml + 1):
+            lo, hi = max(start, s * ml), min(start + wt, (s + 1) * ml)
+            want.append((s, lo - s * ml, lo - start, hi - lo))
+        assert sorted(got[doc_id]) == want, doc_id
+        start += wt
+    assert len(got) == 300
+
+
+def test_pack_sequences_stream_invariants(spark):
+    """Every sequence except the last is exactly full; per-doc chunks
+    tile [0, wt); total chunk tokens == total weight."""
+    rows = [(i, w) for i, w in enumerate([5, 700, 3, 260, 1, 512, 130])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = sampling.pack_sequences(df, "n_tokens", max_len=128).collect()
+    total = sum(w for _, w in rows)
+    assert sum(r.n_toks for r in out) == total
+    per_seq = {}
+    for r in out:
+        per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.n_toks
+    last = max(per_seq)
+    assert set(per_seq) == set(range(last + 1))      # no empty sequence
+    for s, n in per_seq.items():
+        assert n == 128 if s < last else 0 < n <= 128
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append((r.doc_offset, r.n_toks))
+    for doc_id, w in rows:
+        chunks = sorted(per_doc[doc_id])
+        assert chunks[0][0] == 0
+        pos = 0
+        for off, n in chunks:
+            assert off == pos and n > 0
+            pos += n
+        assert pos == w
+
+
+def test_pack_sequences_zero_weight_and_validation(spark):
+    import pytest as _pytest
+    df = spark.createDataFrame(
+        [(1, 0), (2, None), (3, 10)], "doc_id long, n_tokens long")
+    out = sampling.pack_sequences(df, "n_tokens", max_len=8).collect()
+    assert {r.doc_id for r in out} == {3}            # empty docs: no chunk
+    assert [(r.seq_id, r.seq_offset, r.doc_offset, r.n_toks)
+            for r in sorted(out, key=lambda r: r.seq_id)] == \
+        [(0, 0, 0, 8), (1, 0, 8, 2)]
+    with _pytest.raises(ValueError):
+        sampling.pack_sequences(df, "n_tokens", max_len=0)
