@@ -460,7 +460,7 @@ def q_stream_equivalence(spark, sf_dir):
         stream_tumbling_window as s_tumble,
     )
 
-    def canon(tumble, sess, ded, rj):
+    def canon(tumble, sess, ded, rj, psess):
         s = lambda c: F.col(c).cast("string")  # noqa: E731
         return (
             tumble.select(
@@ -483,6 +483,11 @@ def q_stream_equivalence(spark, sf_dir):
                 F.col("l_us").cast("long").alias("k2"),
                 F.col("r_us").cast("long").alias("v1"),
                 F.lit(0).cast("long").alias("v2")))
+            .unionByName(psess.select(
+                F.lit("psess").alias("op"), s("user_id").alias("k1"),
+                F.col("start_us").cast("long").alias("k2"),
+                F.col("end_us").cast("long").alias("v1"),
+                F.col("n_events").cast("long").alias("v2")))
         )
 
     def rjoin_batch(spark, sf_dir):
@@ -496,6 +501,64 @@ def q_stream_equivalence(spark, sf_dir):
                       & (F.col("r_us") <= F.col("l_us") + 3600_000_000)) \
             .select("user_id", "l_us", "r_us")
 
+    def psess_stream():
+        """The r9 custom-stateful leg: ``stream_sessionize_stateful``
+        (applyInPandasWithState + EVENT-TIME TIMEOUT) must emit the
+        exact batch session set.  The operator only finalizes a session
+        once ``end + gap < watermark``, so the leg appends two
+        far-future SENTINEL batches (user_id -1, filtered back out)
+        whose only job is to push the watermark past every real
+        session's close and give the timeouts a batch to fire in —
+        maxFilesPerTrigger=1 with mtime-ordered files makes the
+        sentinel batches run last.  The watermark DELAY is sized to the
+        full event-time span, so no real event is ever late relative to
+        it and arrival order cannot change the result."""
+        import glob as _glob
+        import shutil
+        import tempfile
+        import time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        mn, mx = _events(spark, sf_dir).agg(
+            F.min("tus"), F.max("tus")).first()
+        gap_us = 30 * 60 * 1_000_000
+        delay_us = (mx - mn) + 3600 * 1_000_000
+        tmp = tempfile.mkdtemp(prefix="cb_psess_")
+        src = os.path.join(sf_dir, "events.parquet")
+        files = ([src] if os.path.isfile(src)
+                 else sorted(_glob.glob(os.path.join(src, "*.parquet"))))
+        now = time.time()
+        for i, f in enumerate(files):
+            dst = os.path.join(tmp, f"data_{i}.parquet")
+            shutil.copyfile(f, dst)
+            os.utime(dst, (now + i, now + i))
+        s1 = mx + delay_us + gap_us + 3600 * 1_000_000
+        for j, ts_us in enumerate((s1, s1 + 3600 * 1_000_000)):
+            tbl = pa.table({
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([ts_us], pa.timestamp("us")),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["sentinel"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            })
+            dst = os.path.join(tmp, f"sentinel_{j}.parquet")
+            pq.write_table(tbl, dst)
+            os.utime(dst, (now + 1000 + j, now + 1000 + j))
+        from cloudbrush_spark.streaming import stream_sessionize_stateful
+        stream = (spark.readStream.schema(_EVENTS_TS_SCHEMA)
+                  .option("maxFilesPerTrigger", "1").parquet(tmp))
+        out = run(stream_sessionize_stateful(
+            stream, watermark=f"{delay_us // 1_000_000} seconds"),
+            "se_psess", "append")
+        return (out.filter(F.col("user_id") >= 0)
+                .select("user_id",
+                        F.unix_micros("session_start").alias("start_us"),
+                        F.unix_micros("session_end").alias("end_us"),
+                        "n_events"))
+
     path = os.path.join(sf_dir, "events.parquet")
     if _events_ts_unit(path) == "ns":
         # TIMESTAMP(NANOS) has no TimestampType read; batch twins cover it
@@ -503,7 +566,8 @@ def q_stream_equivalence(spark, sf_dir):
             q_tumbling_window(spark, sf_dir),
             q_sessionize(spark, sf_dir),
             _events(spark, sf_dir).select("event_type", "user_id").distinct(),
-            rjoin_batch(spark, sf_dir))
+            rjoin_batch(spark, sf_dir),
+            q_sessionize(spark, sf_dir))
 
     def run(stream_df, name, mode):
         q = (stream_df.writeStream.format("memory").queryName(name)
@@ -532,7 +596,7 @@ def q_stream_equivalence(spark, sf_dir):
             "se_rjoin", "append").select(
             "user_id", F.unix_micros("left_ts").alias("l_us"),
             F.unix_micros("right_ts").alias("r_us"))
-        return canon(tumble, sess, ded, rj)
+        return canon(tumble, sess, ded, rj, psess_stream())
     finally:
         spark.conf.set(key, prev)
 
@@ -4208,6 +4272,26 @@ _ORACLES["stream_equivalence"] = """
     UNION ALL
     SELECT 'sess', CAST(user_id AS VARCHAR), start_us, end_us, n_events
     FROM (
+        WITH lagged AS (
+            SELECT user_id, tus,
+                   CASE WHEN tus - lag(tus) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+        ), sess AS (
+            SELECT user_id, tus,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM lagged
+        )
+        SELECT user_id, CAST(min(tus) AS BIGINT) AS start_us,
+               CAST(max(tus) AS BIGINT) AS end_us, count(*) AS n_events
+        FROM sess GROUP BY user_id, sid)
+    UNION ALL
+    SELECT 'psess', CAST(user_id AS VARCHAR), start_us, end_us, n_events
+    FROM (
+        -- same batch sessionization as 'sess': the applyInPandasWithState
+        -- stateful sessionizer must converge to the identical session set
+        -- once the sentinel-advanced watermark finalizes every session
         WITH lagged AS (
             SELECT user_id, tus,
                    CASE WHEN tus - lag(tus) OVER w > 1800000000

@@ -18,5 +18,6 @@ from cloudbrush_spark.streaming.windows import (  # noqa: F401
     stream_range_join,
     stream_running_counts,
     stream_sessionize,
+    stream_sessionize_stateful,
     stream_tumbling_window,
 )

@@ -77,6 +77,99 @@ def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def stream_sessionize_stateful(events: DataFrame, gap: str = "30 minutes",
+                               watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState`` +
+    EVENT-TIME TIMEOUT — the hand-rolled twin of
+    :func:`stream_sessionize`, for session semantics ``session_window``
+    cannot express (arbitrary per-session Python aggregates, custom
+    merge rules).  Semantically identical to the batch ``sessionize``
+    here so the equivalence is checkable.
+
+    Watermark-correct by construction, independent of arrival order:
+    per user, RAW event times are buffered in state; each invocation
+    (new data or timeout) re-walks the sorted buffer into gap-sessions
+    and emits only sessions provably FINAL — ``end + gap < watermark``
+    (no acceptable future event can extend such a session, and any
+    event that could bridge into it is already below the watermark and
+    therefore either buffered or dropped).  Non-final sessions keep
+    their raw times in state, with an event-time timeout set to the
+    earliest moment the oldest one could finalize — so closed sessions
+    flow out as the watermark advances even if the user goes silent.
+
+    State is bounded by the watermark delay: buffered times span at
+    most (delay + gap) of event time per user, the same bound
+    ``session_window`` state carries.  Output (append): (user_id,
+    session_start ts, session_end ts, n_events)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = _duration_us(gap)
+
+    def update(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+        pending = list(state.get[0]) if state.exists else []
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                # normalize to int64 MICROS regardless of the pandas
+                # datetime resolution Arrow hands over (ns vs us)
+                pending.extend(
+                    int(v) for v in
+                    pdf["ts"].astype("datetime64[us]").astype("int64").tolist())
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        pending.sort()
+        sessions: list[list[int]] = []  # [start_us, end_us, n]
+        for t in pending:
+            if sessions and t - sessions[-1][1] <= gap_us:
+                sessions[-1][1] = t
+                sessions[-1][2] += 1
+            else:
+                sessions.append([t, t, 1])
+        final = [s for s in sessions if s[1] + gap_us < wm_us]
+        retained = [s for s in sessions if s[1] + gap_us >= wm_us]
+        if retained:
+            keep_lo = retained[0][0]
+            state.update(([t for t in pending if t >= keep_lo],))
+            # fire when the oldest retained session could finalize;
+            # ceil to ms so the timestamp is strictly past the watermark
+            first_close_ms = -(-(retained[0][1] + gap_us) // 1000) + 1
+            state.setTimeoutTimestamp(first_close_ms)
+        else:
+            state.remove()
+        if final:
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(final),
+                "start_us": [s[0] for s in final],
+                "end_us": [s[1] for s in final],
+                "n_events": [s[2] for s in final],
+            })
+
+    out = (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, start_us long, end_us long, "
+                             "n_events long",
+            stateStructType="pending array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return out.select(
+        "user_id",
+        F.timestamp_micros("start_us").alias("session_start"),
+        F.timestamp_micros("end_us").alias("session_end"),
+        "n_events")
+
+
+def _duration_us(spec: str) -> int:
+    """'30 minutes' / '2 hours' / '90 seconds' -> microseconds."""
+    n, unit = spec.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
+    return int(n) * mult[unit] * 1_000_000
+
+
 def stream_running_counts(events: DataFrame) -> DataFrame:
     """Custom stateful operator: running per-user totals across
     micro-batches via ``applyInPandasWithState`` — the pattern for

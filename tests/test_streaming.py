@@ -450,3 +450,95 @@ def test_compact_batches_bounds_files_and_skips_uncommitted(spark, tmp_path):
     rows = sorted(r.doc_id for r in spark.read.parquet(compacted).collect())
     assert rows == list(range(4)) + list(range(10, 14)) + list(range(20, 24))
     assert 999 not in rows
+
+
+def _write_ordered_files(spark, base, batches, schema):
+    """One parquet part file per batch, mtimes strictly increasing so the
+    file source forms micro-batches in this exact order."""
+    import os
+    import time as _time
+    os.makedirs(base, exist_ok=True)
+    t0 = _time.time()
+    for i, rows in enumerate(batches):
+        sub = f"{base}/f{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(sub)
+        for name in os.listdir(sub):
+            if name.endswith(".parquet"):
+                os.utime(f"{sub}/{name}", (t0 + i, t0 + i))
+    return base
+
+
+_EV = "ts timestamp, user_id long, event_type string, value double"
+
+
+def test_stateful_sessionize_matches_batch_even_out_of_order(spark, tmp_path):
+    """applyInPandasWithState sessionizer == batch sessionize on the
+    finalized set, INCLUDING an event that arrives a micro-batch late
+    (but within the watermark): raw times are buffered in state and
+    sessions only finalize once end + gap < watermark, so arrival order
+    cannot change the result.  Trailing far-future sentinel batches push
+    the watermark past everything so every real session finalizes."""
+    from cloudbrush_spark.streaming import stream_sessionize_stateful
+    far1, far2, far3 = _ts(20, 0), _ts(21, 0), _ts(22, 0)
+    batches = [
+        [(_ts(9, 0), 1, "click", 1.0), (_ts(9, 40), 2, "click", 1.0)],
+        # user 1's 9:10 event arrives one batch LATE: it must merge into
+        # the 9:00 session, not start its own
+        [(_ts(9, 10), 1, "click", 1.0), (_ts(10, 15), 1, "buy", 1.0)],
+        [(far1, -1, "s", 0.0)],
+        [(far2, -1, "s", 0.0)],
+        [(far3, -1, "s", 0.0)],
+    ]
+    path = _write_ordered_files(spark, str(tmp_path / "ooo"), batches, _EV)
+    events = read_event_stream(spark, path + "/*", max_files_per_trigger=1)
+    out = _run_stream(
+        spark,
+        stream_sessionize_stateful(events, watermark="2 hours"),
+        "t_psess", "append").filter("user_id >= 0")
+    got = sorted((r.user_id, r.session_start, r.session_end, r.n_events)
+                 for r in out.collect())
+    batch = sessions.sessionize(
+        spark.read.schema(_EV).option("recursiveFileLookup", "true")
+        .parquet(path).filter("user_id >= 0"))
+    want = sorted((r.user_id, r.session_start, r.session_end, r.n_events)
+                  for r in batch.collect())
+    assert got == want and len(got) == 3
+    # the late event DID merge: user 1's first session is 9:00-9:10, n=2
+    assert (1, _ts(9, 0), _ts(9, 10), 2) in got
+
+
+def test_stateful_sessionize_timeout_emits_silent_user(spark, tmp_path):
+    """A user who goes silent still gets their session emitted — the
+    EVENT-TIME TIMEOUT fires when the advancing watermark (driven by
+    OTHER users' events) passes session_end + gap."""
+    from cloudbrush_spark.streaming import stream_sessionize_stateful
+    batches = [
+        [(_ts(9, 0), 5, "click", 1.0), (_ts(9, 5), 5, "click", 1.0)],
+        [(_ts(14, 0), 6, "click", 1.0)],   # watermark mover only
+        [(_ts(15, 0), 6, "click", 1.0)],   # timeout-processing batch
+    ]
+    path = _write_ordered_files(spark, str(tmp_path / "silent"), batches, _EV)
+    events = read_event_stream(spark, path + "/*", max_files_per_trigger=1)
+    out = _run_stream(
+        spark,
+        stream_sessionize_stateful(events, watermark="1 hours"),
+        "t_psess_to", "append")
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in out.collect()}
+    # user 5 never spoke again, yet the session is out (via timeout)
+    assert (5, _ts(9, 0), _ts(9, 5), 2) in got
+
+
+def test_stateful_sessionize_withholds_unfinalized(spark, tmp_path):
+    """Sessions the watermark has not passed are NOT emitted (append
+    correctness): a single batch leaves the watermark at 0, so nothing
+    finalizes and nothing is emitted."""
+    from cloudbrush_spark.streaming import stream_sessionize_stateful
+    rows = [(_ts(9, 0), 1, "click", 1.0), (_ts(9, 5), 1, "click", 1.0)]
+    path = str(tmp_path / "open")
+    spark.createDataFrame(rows, _EV).coalesce(1).write.parquet(path)
+    out = _run_stream(
+        spark,
+        stream_sessionize_stateful(read_event_stream(spark, path)),
+        "t_psess_open", "append")
+    assert out.count() == 0
