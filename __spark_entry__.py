@@ -891,6 +891,19 @@ def q_repeated_spans_only(spark, sf_dir):
                                 n=13, min_df=2)
 
 
+def q_span_scrub_only(spark, sf_dir):
+    """Repeated-passage REMOVAL (guard.span_scrub) bench/probe form: the
+    repeated_spans detection on the raw whitespace token stream plus the
+    mask join + higher-order token filter — what the release chain's
+    stage 0b actually costs.  An aggregate over the scrubbed text (not
+    the text itself) keeps the bench row's collect bounded."""
+    from cloudbrush_spark.operators import guard
+    out = guard.span_scrub(_t(spark, sf_dir, "documents"), n=13, min_df=2)
+    return out.select(
+        "doc_id", "spans_removed", "tokens_removed",
+        F.length("clean_text").alias("clean_len"))
+
+
 def q_corpus_guard(spark, sf_dir):
     """The DRIVER correctness row: the base guard union plus the late-r8
     'spans' leg (cross-document repeated-passage detection over the
@@ -2613,6 +2626,20 @@ def q_s5_csv_roundtrip(spark, sf_dir):
         spark, d, "doc_id long, text string, lang string, source string"))
 
 
+def q_s6_orc_roundtrip(spark, sf_dir):
+    """ORC source round-trip (write_orc/read_orc): the Hive-ecosystem
+    columnar interchange format, stripe-splittable with pushdown —
+    binary-safe, so the adversarial suffix rides through with no escape
+    convention in play (the leg still catches a truncating/normalizing
+    reader or a schema-mapping slip)."""
+    import tempfile
+    from cloudbrush_spark.sources import textfiles
+    d = tempfile.mkdtemp(prefix="orc_rt_")
+    textfiles.write_orc(_rt_docs(spark, sf_dir), d)
+    return _rt_canonical(textfiles.read_orc(
+        spark, d, "doc_id long, text string, lang string, source string"))
+
+
 def q_source_roundtrips(spark, sf_dir):
     """S1+S2 source round-trips in one tagged union row (merged r7 to free
     a registry slot for corpus_guard; both legs unchanged and still fully
@@ -2621,7 +2648,8 @@ def q_source_roundtrips(spark, sf_dir):
     'csv' write->read round-trips over documents salted with an
     adversarial suffix (quotes/commas/tabs/newlines/non-ASCII), hashed
     content on the driver row — a broken escape convention in either
-    sink/scanner pair flips the seq md5."""
+    sink/scanner pair flips the seq md5.  r9 adds 'orc' (the Hive-
+    ecosystem columnar format, stripe-splittable, binary-safe)."""
     fq = q_s1_fastq_roundtrip(spark, sf_dir).select(
         F.lit("fastq").alias("op"), "read_id", "seq")
     sfa = q_s2_sfa_roundtrip(spark, sf_dir).select(
@@ -2630,7 +2658,10 @@ def q_source_roundtrips(spark, sf_dir):
         F.lit("jsonl").alias("op"), "read_id", "seq")
     cs = q_s5_csv_roundtrip(spark, sf_dir).select(
         F.lit("csv").alias("op"), "read_id", "seq")
-    return fq.unionByName(sfa).unionByName(js).unionByName(cs)
+    orc = q_s6_orc_roundtrip(spark, sf_dir).select(
+        F.lit("orc").alias("op"), "read_id", "seq")
+    return fq.unionByName(sfa).unionByName(js).unionByName(cs) \
+        .unionByName(orc)
 
 
 def q_overlap_graph(spark, sf_dir):
@@ -4394,6 +4425,9 @@ _ORACLES["source_roundtrips"] = f"""
            {_RT_SEQ_SQL} AS seq FROM documents
     UNION ALL
     SELECT 'csv' AS op, 'd' || CAST(doc_id AS VARCHAR) AS read_id,
+           {_RT_SEQ_SQL} AS seq FROM documents
+    UNION ALL
+    SELECT 'orc' AS op, 'd' || CAST(doc_id AS VARCHAR) AS read_id,
            {_RT_SEQ_SQL} AS seq FROM documents
 """
 

@@ -54,6 +54,9 @@ HEADLINE = [
     "json_props_agg",
     "heavy_tokens",
     "repeated_spans",
+    # added round 9 (appended; single-op forms)
+    "pack_sequences",
+    "span_scrub",
 ]
 
 
@@ -83,6 +86,8 @@ def main() -> None:
     # leg as its own appended entry
     qs["corpus_guard"] = entrymod.q_corpus_guard_base
     qs["repeated_spans"] = entrymod.q_repeated_spans_only
+    qs["pack_sequences"] = entrymod.q_pack_sequences_only
+    qs["span_scrub"] = entrymod.q_span_scrub_only
     # warm the JVM + parquet footers with one cheap action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     # host-health probe: record the parallel/single ratio so a run under

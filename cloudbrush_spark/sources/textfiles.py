@@ -76,3 +76,20 @@ def read_csv_quoted(spark: SparkSession, path: str, schema: str,
             .option("escape", '"').option("multiLine", multi_line)
             .option("mode", "PERMISSIVE")
             .csv(path))
+
+
+def write_orc(df: DataFrame, path: str, files: int = 4) -> None:
+    """Write ORC (zlib-striped columnar) — the Hive-ecosystem interchange
+    format a warehouse drop often arrives in.  Binary-safe: string
+    columns round-trip byte-exact with no escape convention to get
+    wrong, unlike the line formats above."""
+    df.coalesce(files).write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Explicit-schema ORC scan (same discipline as the other readers:
+    never infer on 100 TB; a schema mismatch surfaces as NULL columns,
+    not a job abort).  ORC is natively splittable by stripe, so a single
+    large file still fans out across executors, and predicate pushdown /
+    column pruning work like parquet's."""
+    return spark.read.schema(schema).orc(path)

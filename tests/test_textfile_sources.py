@@ -163,3 +163,34 @@ def test_jsonl_scan_prunes_columns(spark, tmp_path):
     df = textfiles.read_jsonl(spark, d, SCHEMA).select("text")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_orc_roundtrip_byte_exact_and_nulls(spark, tmp_path):
+    from cloudbrush_spark.sources import textfiles
+    rows = [
+        (1, ' |"q,uote"\t\nmixed \'line\'|é', "en"),
+        (2, "", "de"),          # empty string stays empty (not NULL)
+        (3, None, None),        # NULLs survive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    d = str(tmp_path / "orc")
+    textfiles.write_orc(df, d)
+    back = {r.doc_id: (r.text, r.lang) for r in textfiles.read_orc(
+        spark, d, "doc_id long, text string, lang string").collect()}
+    assert back[1] == (' |"q,uote"\t\nmixed \'line\'|é', "en")
+    assert back[2] == ("", "de")
+    assert back[3] == (None, None)
+
+
+def test_orc_scan_pushes_filters_and_prunes_columns(spark, tmp_path):
+    from cloudbrush_spark.sources import textfiles
+    df = spark.createDataFrame(
+        [(i, f"t{i}", "en") for i in range(100)],
+        "doc_id long, text string, lang string")
+    d = str(tmp_path / "orc_push")
+    textfiles.write_orc(df, d)
+    q = (textfiles.read_orc(spark, d, "doc_id long, text string, lang string")
+         .filter("doc_id > 50").select("doc_id"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split("PushedFilters")[1][:80]
+    assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1][:120]
