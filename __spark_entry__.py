@@ -2011,7 +2011,9 @@ def q_relational_extras(spark, sf_dir):
     """SURVEY §2.8 relational extensions in ONE hash-checked union — as-of
     join, bounded range join, ROLLUP, grouped top-k, EXCEPT DISTINCT,
     and (r8) INTERSECT DISTINCT plus the analytic window-function family
-    (row_number / running sum / rank / lag, see q_window_suite), CUBE
+    (row_number / running sum / rank / lag, see q_window_suite; r9 adds
+    the distribution family — ntile(4) with a total-order tiebreak and
+    first_value, see q_window_dist), CUBE
     (both single-axis margins ROLLUP lacks) and PIVOT (explicit value
     list, melted back via stack; absent cells survive as REAL zero rows
     so the densification semantics sit on the hash — the DuckDB twin
@@ -2079,6 +2081,10 @@ def q_relational_extras(spark, sf_dir):
         F.lit("pivot").alias("op"), "k1", "k2",
         F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("v1"),
         F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("v2"))
+    ntl = q_window_dist(spark, sf_dir).select(
+        F.lit("win_ntile").alias("op"), s("o_custkey").alias("k1"),
+        s("o_orderkey").alias("k2"), F.col("tile").cast("long").alias("v1"),
+        F.col("first_ok").cast("long").alias("v2"))
     sal = q_salted_join(spark, sf_dir).select(
         F.lit("salted").alias("op"), F.col("o_orderstatus").alias("k1"),
         F.lit("").alias("k2"), F.col("qty_cents").alias("v1"),
@@ -2086,7 +2092,8 @@ def q_relational_extras(spark, sf_dir):
     return asof.unionByName(rng).unionByName(rol) \
         .unionByName(top).unionByName(exc).unionByName(uni) \
         .unionByName(win).unionByName(lag) \
-        .unionByName(cub).unionByName(piv).unionByName(sal)
+        .unionByName(cub).unionByName(piv).unionByName(sal) \
+        .unionByName(ntl)
 
 
 def q_g1_pwm_consensus(spark, sf_dir):
@@ -2327,6 +2334,28 @@ def q_window_suite(spark, sf_dir):
             F.datediff(F.col("o_orderdate"),
                        F.lag("o_orderdate").over(seq)),
             F.lit(-1)).cast("long").alias("gap_days"))
+
+
+def q_window_dist(spark, sf_dir):
+    """Distribution-family window functions over the same order-history
+    slice as q_window_suite: ntile(4) by order value (TOTAL order — the
+    (cents DESC, orderkey) tiebreak makes the bucket assignment
+    engine-independent; ntile's floor/ceil bucket-size rule is ANSI) and
+    first_value over the date sequence (default frame; the sort key is
+    unique so the value is deterministic)."""
+    from pyspark.sql import Window
+    orders = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_custkey") % 7 == 0) \
+        .select("o_custkey", "o_orderkey", "o_orderdate",
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long").alias("cents"))
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    byval = Window.partitionBy("o_custkey").orderBy(
+        F.col("cents").desc(), F.col("o_orderkey"))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.ntile(4).over(byval).alias("tile"),
+        F.first_value(F.col("o_orderkey")).over(seq).alias("first_ok"))
 
 
 def _blob_fixture(spark, sf_dir):
@@ -4043,6 +4072,16 @@ _ORACLES["relational_extras"] = """
                  rank() OVER (PARTITION BY o_custkey
                               ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DESC)
                      AS val_rank
+          FROM orders WHERE o_custkey % 7 = 0)
+    UNION ALL
+    SELECT 'win_ntile', CAST(o_custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR),
+           CAST(tile AS BIGINT), CAST(first_ok AS BIGINT)
+    FROM (SELECT o_custkey, o_orderkey,
+                 ntile(4) OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DESC,
+                                         o_orderkey) AS tile,
+                 first_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate, o_orderkey) AS first_ok
           FROM orders WHERE o_custkey % 7 = 0)
     UNION ALL
     SELECT 'cube',

@@ -242,3 +242,35 @@ def test_boilerplate_scrub_no_nested_loop_no_global_exchange(spark):
     plan = plans.explain_str(guard.boilerplate_scrub(df))
     assert "BroadcastNestedLoop" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_tpch_r9_legs_keep_their_join_shapes(spark):
+    """q21's correlated EXISTS / NOT EXISTS must plan as one LEFT SEMI
+    plus one LEFT ANTI on the order-key self-join (never inner+distinct
+    — the match fan-out of a 7-line order would shuffle 7x at 100 TB);
+    q15's scalar max and q19's part dimension must broadcast."""
+    import __spark_entry__ as entry
+    q21 = plans.explain_str(entry.q_tpch_q21(spark, SF))
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    q15 = plans.explain_str(entry.q_tpch_q15(spark, SF))
+    assert "BroadcastNestedLoopJoin" in q15 or "BroadcastExchange" in q15
+    assert plans.has_broadcast_join(entry.q_tpch_q19(spark, SF))
+
+
+def test_pack_sequences_single_exchange_no_global_sort(spark):
+    """pack_sequences must keep pack_shards' two-phase shape: the only
+    unpartitioned window is the buckets-row totals frame; the corpus
+    itself never passes through a SinglePartition exchange or a global
+    Sort."""
+    from cloudbrush_spark.operators import sampling
+    df = spark.createDataFrame(
+        [(i, i % 50 + 1) for i in range(200)], "doc_id long, n_tokens long")
+    plan = plans.explain_str(
+        sampling.pack_sequences(df, "n_tokens", max_len=64, buckets=8))
+    # the bucket-totals frame is the one allowed SinglePartition window;
+    # it must be fed by the AGGREGATED buckets-row frame, never the rows
+    segs = plan.split("SinglePartition")
+    assert len(segs) <= 2
+    if len(segs) == 2:
+        assert "HashAggregate" in segs[0].rsplit("Exchange", 2)[-2] \
+            or "HashAggregate" in plan.split("SinglePartition")[0][-2000:]
