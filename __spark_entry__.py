@@ -2010,6 +2010,7 @@ def q_probe_json_agg(spark, sf_dir):
 def q_relational_extras(spark, sf_dir):
     """SURVEY §2.8 relational extensions in ONE hash-checked union — as-of
     join, bounded range join, ROLLUP, grouped top-k, EXCEPT DISTINCT,
+    (r9) snapshot MERGE (insert/update/keep/delete + version bump),
     and (r8) INTERSECT DISTINCT plus the analytic window-function family
     (row_number / running sum / rank / lag, see q_window_suite; r9 adds
     the distribution family — ntile(4) with a total-order tiebreak and
@@ -2081,6 +2082,10 @@ def q_relational_extras(spark, sf_dir):
         F.lit("pivot").alias("op"), "k1", "k2",
         F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("v1"),
         F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("v2"))
+    mrg = q_merge_upsert(spark, sf_dir).select(
+        F.lit("merge").alias("op"), s("doc_id").alias("k1"),
+        F.col("action").alias("k2"), F.col("version").alias("v1"),
+        F.lit(0).cast("long").alias("v2"))
     ntl = q_window_dist(spark, sf_dir).select(
         F.lit("win_ntile").alias("op"), s("o_custkey").alias("k1"),
         s("o_orderkey").alias("k2"), F.col("tile").cast("long").alias("v1"),
@@ -2093,7 +2098,7 @@ def q_relational_extras(spark, sf_dir):
         .unionByName(top).unionByName(exc).unionByName(uni) \
         .unionByName(win).unionByName(lag) \
         .unionByName(cub).unionByName(piv).unionByName(sal) \
-        .unionByName(ntl)
+        .unionByName(ntl).unionByName(mrg)
 
 
 def q_g1_pwm_consensus(spark, sf_dir):
@@ -2334,6 +2339,25 @@ def q_window_suite(spark, sf_dir):
             F.datediff(F.col("o_orderdate"),
                        F.lag("o_orderdate").over(seq)),
             F.lit(-1)).cast("long").alias("gap_days"))
+
+
+def q_merge_upsert(spark, sf_dir):
+    """Snapshot MERGE (operators/joins.merge_upsert, SURVEY §2.8): base
+    snapshot = documents with doc_id % 3 != 0, incoming crawl =
+    doc_id % 2 == 0 with every fifth document's text changed — so all
+    four actions (insert / update / keep / delete) occur, and the
+    version bump rides the driver hash.  The engine compares md5
+    digests computed BEFORE the full-outer join (the shuffle carries
+    hashes, not text); the oracle re-derives the actions from the
+    residues alone, so a digest-comparison bug cannot hide."""
+    from cloudbrush_spark.operators import joins as _joins
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    updates = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" v2")))
+         .otherwise(F.col("text")).alias("text"))
+    return _joins.merge_upsert(base, updates, delete_missing=True)
 
 
 def q_window_dist(spark, sf_dir):
@@ -4073,6 +4097,25 @@ _ORACLES["relational_extras"] = """
                               ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DESC)
                      AS val_rank
           FROM orders WHERE o_custkey % 7 = 0)
+    UNION ALL
+    SELECT 'merge', CAST(doc_id AS VARCHAR), action,
+           CAST(version AS BIGINT), CAST(0 AS BIGINT)
+    FROM (
+        -- re-derived from the residues, independent of the engine's
+        -- digest comparison
+        WITH b AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+             u AS (SELECT doc_id,
+                          CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS m
+                   FROM documents WHERE doc_id % 2 = 0)
+        SELECT coalesce(b.doc_id, u.doc_id) AS doc_id,
+               CASE WHEN b.doc_id IS NULL THEN 'insert'
+                    WHEN u.doc_id IS NULL THEN 'delete'
+                    WHEN u.m = 1 THEN 'update'
+                    ELSE 'keep' END AS action,
+               CASE WHEN b.doc_id IS NULL THEN 1
+                    WHEN u.doc_id IS NOT NULL AND u.m = 1 THEN 2
+                    ELSE 1 END AS version
+        FROM b FULL OUTER JOIN u ON b.doc_id = u.doc_id)
     UNION ALL
     SELECT 'win_ntile', CAST(o_custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR),
            CAST(tile AS BIGINT), CAST(first_ok AS BIGINT)

@@ -150,3 +150,62 @@ def salted_equijoin(left: DataFrame, right: DataFrame, on: list[str] | str,
         "__salt", F.explode(F.array(*[F.lit(i).cast("int")
                                       for i in range(salt)])))
     return l_s.join(r_s, on_cols + ["__salt"], how).drop("__salt")
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame,
+                 id_col: str = "doc_id",
+                 cmp_cols: tuple[str, ...] = ("text",),
+                 version_col: str = "version",
+                 delete_missing: bool = False) -> DataFrame:
+    """Snapshot MERGE (the MERGE INTO shape the reference never had,
+    SURVEY §2.8): reconcile a corpus snapshot with an incoming one by
+    key — the incremental-ingest step between crawls.
+
+    Per key the action is:
+
+    - ``insert`` — key only in ``updates`` (version 1);
+    - ``update`` — key in both and any ``cmp_cols`` value differs
+      (version = base version + 1);
+    - ``keep``   — key in both, content identical (version unchanged);
+    - ``delete`` — key only in ``base`` AND ``delete_missing`` (version
+      unchanged; with ``delete_missing=False`` absent keys are ``keep``
+      — an incremental crawl is a partial view, not a tombstone list).
+
+    Content comparison runs on ``md5(concat_ws ...)`` of ``cmp_cols``
+    (NULL-safe: a literal separator pins column boundaries), computed
+    BEFORE the join so the shuffle carries a 32-char digest instead of
+    document bodies — at 100 TB the full-outer join moves keys + hashes
+    + versions, never text.  One shuffle on the key (both sides), no
+    skew beyond the key distribution itself.
+
+    Output: (id_col, action string, version long) — the decision
+    manifest; callers join it back to whichever side holds the winning
+    payload (``updates`` for insert/update, ``base`` otherwise)."""
+    def digest(df: DataFrame):
+        parts = []
+        for c in cmp_cols:
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
+            parts.append(F.lit("\x01"))
+        return F.md5(F.concat(*parts))
+
+    b = base.select(
+        F.col(id_col),
+        digest(base).alias("__bh"),
+        F.coalesce(F.col(version_col).cast("long"), F.lit(1)).alias("__bv")
+        if version_col in base.columns else F.lit(1).alias("__bv"))
+    u = updates.select(F.col(id_col), digest(updates).alias("__uh"))
+    j = b.join(u, id_col, "full_outer")
+    action = (
+        F.when(F.col("__bh").isNull(), F.lit("insert"))
+        .when(F.col("__uh").isNull(),
+              F.lit("delete") if delete_missing else F.lit("keep"))
+        .when(F.col("__bh") != F.col("__uh"), F.lit("update"))
+        .otherwise(F.lit("keep")))
+    version = (
+        F.when(F.col("__bh").isNull(), F.lit(1))
+        .when(F.col("__uh").isNotNull() & (F.col("__bh") != F.col("__uh")),
+              F.col("__bv") + 1)
+        .otherwise(F.col("__bv")))
+    return j.select(
+        F.col(id_col), action.alias("action"),
+        version.cast("long").alias(version_col))

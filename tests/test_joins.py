@@ -218,3 +218,35 @@ def test_salted_join_property_random_frames(spark):
             assert got == want, how
 
     check()
+
+
+def test_merge_upsert_four_actions_and_version_bump(spark):
+    from cloudbrush_spark.operators.joins import merge_upsert
+    base = spark.createDataFrame(
+        [(1, "same", 3), (2, "old", 1), (3, "gone", 2)],
+        "doc_id long, text string, version long")
+    updates = spark.createDataFrame(
+        [(1, "same"), (2, "new"), (4, "fresh")], "doc_id long, text string")
+    got = {r.doc_id: (r.action, r.version)
+           for r in merge_upsert(base, updates, version_col="version",
+                                 delete_missing=True).collect()}
+    assert got == {1: ("keep", 3), 2: ("update", 2),
+                   3: ("delete", 2), 4: ("insert", 1)}
+    # partial-view mode: absent keys are keep, not delete
+    got2 = {r.doc_id: r.action
+            for r in merge_upsert(base, updates, version_col="version").collect()}
+    assert got2[3] == "keep"
+
+
+def test_merge_upsert_digest_is_null_safe_and_boundary_pinned(spark):
+    from cloudbrush_spark.operators.joins import merge_upsert
+    # NULL vs empty string must differ; ("x","") vs ("","x") must differ
+    base = spark.createDataFrame(
+        [(1, None, "z"), (2, "x", ""), (3, "a", "b")],
+        "doc_id long, a string, b string")
+    updates = spark.createDataFrame(
+        [(1, "", "z"), (2, "", "x"), (3, "a", "b")],
+        "doc_id long, a string, b string")
+    got = {r.doc_id: r.action
+           for r in merge_upsert(base, updates, cmp_cols=("a", "b")).collect()}
+    assert got == {1: "update", 2: "update", 3: "keep"}
