@@ -1498,21 +1498,99 @@ def q_tpch_q21(spark, sf_dir):
     )
 
 
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8-shaped national market share: of the STANDARD-part
+    revenue sold into ASIA-region customers over 1996-1997, how much was
+    supplied from NATION_9 — per order year.  Emitted DIVISION-FREE as
+    (nation_revenue, total_revenue) per year; the share itself would be
+    a double divide whose last bit can differ across engines.  Both
+    dimension chains (customer->nation->region and supplier->nation)
+    broadcast; the fact shuffles once for the year aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part") \
+        .filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))) \
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA") \
+        .select("r_regionkey")
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+            .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+            .select("c_custkey"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat.select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey, "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_9", rev)
+                  .otherwise(zero)).cast("double").alias("nation_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"))
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9-shaped product-line profit: per (supplier nation, order
+    year), sum of  extendedprice*(1-discount) - retailprice*quantity
+    over lineitems of 'red'-named parts.  The benchmark prices cost from
+    partsupp.ps_supplycost, absent in this dataset — part.p_retailprice
+    is the unit-cost stand-in, which preserves the plan shape (a SECOND
+    per-row measure priced off the part dimension, so the part join must
+    carry a numeric column through the fact aggregate, not just filter).
+    All arithmetic exact decimal until the final double cast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part") \
+        .filter(F.col("p_name").like("%red%")) \
+        .select("p_partkey", "p_retailprice")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+            .select("s_suppkey", F.col("n_name").alias("nation")))
+    amount = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)")
+           - F.col("l_discount").cast("decimal(18,2)"))
+        - F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
 def q_tpch_suite(spark, sf_dir):
     """TPC-H-shaped SQL surface in ONE hash-checked tagged union — the
     ``relational_extras`` pattern, restoring driver verification for
     q3/q5/q6 which round 5 pruned from the 50-capped registry (a result
     regression in any leg now flips this row).  Round 8 widened the
-    union from four to ten legs; round 9 takes it to seventeen so every
+    union from four to ten legs; round 9 takes it to nineteen so every
     relational plan shape is driver verified: q1 aggregate, q3
     join+top-k, q4 EXISTS semi-join, q5 6-table join, q6 pushdown
-    filter-agg, q7 dual dimension chains + date-part key, q10 exact-
-    decimal-ordered top-20, q12 CASE-bucketed conditional counts, q13
-    outer-join distribution, q14 division-free conditional share, q15
-    exact-decimal argmax, q16 anti-join + count-distinct, q17
-    division-free correlated average, q18 HAVING-subquery enrichment,
-    q19 disjunctive predicate pushdown, q21 semi+anti on the same
-    self-join, q22 scalar-subquery + anti-join.  Shared schema (op, k1,
+    filter-agg, q7 dual dimension chains + date-part key, q8
+    division-free market share over a region semi-join, q9 dimension-
+    priced profit measure, q10 exact-decimal-ordered top-20, q12
+    CASE-bucketed conditional counts, q13 outer-join distribution, q14
+    division-free conditional share, q15 exact-decimal argmax, q16
+    anti-join + count-distinct, q17 division-free correlated average,
+    q18 HAVING-subquery enrichment, q19 disjunctive predicate pushdown,
+    q21 semi+anti on the same self-join, q22 scalar-subquery +
+    anti-join.  Shared schema (op, k1,
     v1..v3 double, v4 long); unused measures pinned to 0 so both
     engines hash identical cells.  The single-query forms above remain
     the bench/test surface."""
@@ -1591,12 +1669,20 @@ def q_tpch_suite(spark, sf_dir):
         F.lit("q21").alias("op"), F.col("s_name").alias("k1"),
         z("v1"), z("v2"), z("v3"),
         F.col("numwait").cast("long").alias("v4"))
+    q8 = q_tpch_q8(spark, sf_dir).select(
+        F.lit("q8").alias("op"), F.col("o_year").cast("string").alias("k1"),
+        F.col("nation_revenue").alias("v1"),
+        F.col("total_revenue").alias("v2"), z("v3"), zl("v4"))
+    q9 = q_tpch_q9(spark, sf_dir).select(
+        F.lit("q9").alias("op"),
+        F.concat_ws("|", "nation", F.col("o_year").cast("string")).alias("k1"),
+        F.col("sum_profit").alias("v1"), z("v2"), z("v3"), zl("v4"))
     return (q1.unionByName(q3).unionByName(q5).unionByName(q6)
             .unionByName(q4).unionByName(q13).unionByName(q16)
             .unionByName(q17).unionByName(q18).unionByName(q22)
             .unionByName(q7).unionByName(q10).unionByName(q12)
             .unionByName(q14).unionByName(q15).unionByName(q19)
-            .unionByName(q21))
+            .unionByName(q21).unionByName(q8).unionByName(q9))
 
 
 def q_ann_topk(spark, sf_dir):
@@ -4368,6 +4454,42 @@ _ORACLES["tpch_suite"] = """
                         AND l3.l_suppkey <> l1.l_suppkey
                         AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
     GROUP BY s_name
+    UNION ALL
+    SELECT 'q8', CAST(year(o_orderdate) AS VARCHAR),
+           CAST(sum(CASE WHEN sn.n_name = 'NATION_9'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE),
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+           0.0, CAST(0 AS BIGINT)
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE p_type = 'STANDARD'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND o_custkey IN (SELECT c_custkey FROM customer
+                        JOIN nation ON c_nationkey = n_nationkey
+                        JOIN region ON n_regionkey = r_regionkey
+                        WHERE r_name = 'ASIA')
+    GROUP BY 2
+    UNION ALL
+    SELECT 'q9', n_name || '|' || CAST(year(o_orderdate) AS VARCHAR),
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                    - CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+           0.0, 0.0, CAST(0 AS BIGINT)
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 2
 """
 
 # Batch recomputation of the three streaming forms (see

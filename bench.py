@@ -57,6 +57,9 @@ HEADLINE = [
     # added round 9 (appended; single-op forms)
     "pack_sequences",
     "span_scrub",
+    # added late round 9: the two join-heaviest new tpch_suite legs
+    "tpch_q8",
+    "tpch_q9",
 ]
 
 

@@ -255,6 +255,16 @@ def test_tpch_r9_legs_keep_their_join_shapes(spark):
     q15 = plans.explain_str(entry.q_tpch_q15(spark, SF))
     assert "BroadcastNestedLoopJoin" in q15 or "BroadcastExchange" in q15
     assert plans.has_broadcast_join(entry.q_tpch_q19(spark, SF))
+    # q8: the region-restricted customer set must stay a broadcast LEFT
+    # SEMI (an inner join would duplicate fact rows for no reason and a
+    # shuffled semi would move the 100 TB fact for a dimension filter);
+    # every dimension chain broadcasts.
+    q8 = plans.explain_str(entry.q_tpch_q8(spark, SF))
+    assert "LeftSemi" in q8 and "BroadcastExchange" in q8
+    # q9: part carries p_retailprice through the aggregate — the part
+    # and supplier dims must broadcast, never shuffle the fact twice.
+    q9 = plans.explain_str(entry.q_tpch_q9(spark, SF))
+    assert "BroadcastExchange" in q9
 
 
 def test_pack_sequences_single_exchange_no_global_sort(spark):
