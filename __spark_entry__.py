@@ -1955,13 +1955,14 @@ def q_emb_near_dup_lsh(spark, sf_dir):
 
 
 def q_ann_contracts(spark, sf_dir):
-    """Merged soundness/recall contracts for the three APPROXIMATE
-    similarity scale paths — ANN-LSH (16 tables x 6 hyperplanes), ANN-IVF
-    (driver-trained coarse quantizer, 16 centroids, nprobe=2) and
-    embedding near-dup LSH (16 tables x 4 hyperplanes) — one row per
-    variant so all three keep a driver CORRECTNESS row inside the
-    50-query window (they shared the same contract shape as three
-    separate entries through round 4).
+    """Merged soundness/recall contracts for the APPROXIMATE similarity
+    scale paths — ANN-LSH (16 tables x 6 hyperplanes), ANN-IVF
+    (driver-trained coarse quantizer, 16 centroids, nprobe=2), int8
+    scalar-quantized two-stage top-k (r9: select on array<tinyint>
+    codes, exact re-rank of the winners) and embedding near-dup LSH
+    (16 tables x 4 hyperplanes) — one row per variant so each keeps a
+    driver CORRECTNESS row inside the 50-query window (they shared the
+    same contract shape as separate entries through round 4).
 
     Row schema (variant, n_base, invalid_rows, bad_cosine, recall_ok):
     ``n_base`` is recomputed INDEPENDENTLY by the DuckDB oracle from the
@@ -1971,7 +1972,8 @@ def q_ann_contracts(spark, sf_dir):
     (ranks in [1,5] / no self pairs / reported cosine == recomputed
     exact cosine / emitted pair passes the exact filter), and
     ``recall_ok`` compares against the in-Spark brute-force twin
-    (>=25% / >=20% / >=50%; measured ~0.52 / ~0.40 / ~0.95)."""
+    (>=25% / >=20% / >=90% / >=50%; measured ~0.52 / ~0.40 / ~0.99 /
+    ~0.95)."""
     emb = _emb(spark, sf_dir)
     lsh = similarity.cosine_topk_lsh(emb, dim=64, k=5, planes=6, seed=42,
                                      tables=16)
@@ -1985,6 +1987,14 @@ def q_ann_contracts(spark, sf_dir):
         )
     r_lsh = tag(_ann_contract(emb, lsh, recall_pct=25), "ann_lsh")
     r_ivf = tag(_ann_contract(emb, ivf, recall_pct=20), "ann_ivf")
+    # r9: int8 scalar-quantized two-stage top-k (select on array<tinyint>
+    # codes — 4x fewer vector bytes on the scan/shuffle — exact re-rank
+    # of the k winners only).  bad_cosine==0 is load-bearing here: the
+    # re-rank projection must reproduce the exact double cosine bitwise,
+    # proving the quantization never leaks into the reported score.
+    # recall@5 >= 90% vs the exact twin (measured 0.986 at sf0.01).
+    quant = similarity.cosine_topk_quantized(emb, emb, k=5)
+    r_q8 = tag(_ann_contract(emb, quant, recall_pct=90), "ann_q8")
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
     exact = (
@@ -2051,8 +2061,8 @@ def q_ann_contracts(spark, sf_dir):
              <= F.col("n_vec")).alias("recall_ok"),
         )
     )
-    return (r_lsh.unionByName(r_ivf).unionByName(r_emb)
-            .unionByName(r_embc))
+    return (r_lsh.unionByName(r_ivf).unionByName(r_q8)
+            .unionByName(r_emb).unionByName(r_embc))
 
 
 def q_probe_emb_near_dup(spark, sf_dir):
@@ -4101,6 +4111,10 @@ _ORACLES["ann_contracts"] = """
     FROM nq
     UNION ALL
     SELECT 'ann_ivf', CAST(nq.n AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), TRUE
+    FROM nq
+    UNION ALL
+    SELECT 'ann_q8', CAST(nq.n AS BIGINT), CAST(0 AS BIGINT),
            CAST(0 AS BIGINT), TRUE
     FROM nq
     UNION ALL

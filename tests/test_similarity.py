@@ -232,3 +232,48 @@ def test_ivf_topk_end_to_end_on_sorted_corpus(spark):
     assert {r.query_id for r in rowsd} == set(range(2100))
     same = sum(1 for r in rowsd if truth[r.query_id] == truth[r.neighbor_id])
     assert same / len(rowsd) > 0.95
+
+
+def test_quantize_embeddings_error_bound_and_types(spark, clustered):
+    """Codes are array<tinyint> within [-127,127]; reconstruction error
+    per component is bounded by scale/2 (+ float slack); zero vectors
+    quantize to zero codes at scale 1 (no divide-by-zero)."""
+    q = similarity.quantize_embeddings(clustered)
+    assert dict(q.dtypes)["q_codes"] == "array<tinyint>"
+    withz = clustered.union(
+        spark.createDataFrame([(999, 0, [0.0] * 8)], clustered.schema))
+    rows = similarity.quantize_embeddings(withz).collect()
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r.q_codes)
+        for x, c in zip(r.embedding, r.q_codes):
+            assert abs(x - c * r.q_scale) <= r.q_scale / 2 + 1e-9
+    z = [r for r in rows if r.vec_id == 999][0]
+    assert z.q_scale == 1.0 and all(c == 0 for c in z.q_codes)
+
+
+def test_quantized_topk_matches_exact_on_separated_clusters(spark, clustered):
+    """On well-separated clusters the int8 selection recovers the exact
+    top-5 neighbor SET, and the reported cosine is the exact double
+    cosine (bitwise — the re-rank projection must not leak quantized
+    scores)."""
+    q = clustered.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk_bruteforce(clustered, q, k=5)
+    quant = similarity.cosine_topk_quantized(clustered, q, k=5)
+    e = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    g = {(r.query_id, r.neighbor_id): r.cosine for r in quant.collect()}
+    hits = len(set(e) & set(g))
+    assert hits >= 23  # >=92% recall@5 on 5 queries
+    for k in set(e) & set(g):
+        assert e[k] == g[k]  # exact re-rank, bitwise
+
+
+def test_quantized_selection_rank_is_deterministic(spark):
+    """Integer-score ties break by neighbor_id: identical vectors must
+    yield the same ranked list on every run (retry-safe cut line)."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out1 = similarity.cosine_topk_quantized(df, df.filter(F.col("vec_id") == 0), k=3)
+    out2 = similarity.cosine_topk_quantized(df, df.filter(F.col("vec_id") == 0), k=3)
+    assert sorted((r.rank, r.neighbor_id) for r in out1.collect()) == \
+        sorted((r.rank, r.neighbor_id) for r in out2.collect()) == \
+        [(1, 1), (2, 2), (3, 3)]
