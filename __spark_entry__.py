@@ -2111,7 +2111,9 @@ def q_relational_extras(spark, sf_dir):
     (row_number / running sum / rank / lag, see q_window_suite; r9 adds
     the distribution family — ntile(4) with a total-order tiebreak and
     first_value, see q_window_dist), CUBE
-    (both single-axis margins ROLLUP lacks) and PIVOT (explicit value
+    (both single-axis margins ROLLUP lacks), explicit GROUPING SETS
+    (late r9 — margins WITHOUT the two-key cells, the form neither
+    ROLLUP nor CUBE expresses) and PIVOT (explicit value
     list, melted back via stack; absent cells survive as REAL zero rows
     so the densification semantics sit on the hash — the DuckDB twin
     rebuilds them with a cross join + coalesce) —
@@ -2168,6 +2170,12 @@ def q_relational_extras(spark, sf_dir):
                     F.coalesce(F.col("l_returnflag"), F.lit("(null)"))).alias("k1"),
         F.coalesce(F.col("l_linestatus"), F.lit("(null)")).alias("k2"),
         cents("sum_qty").alias("v1"), F.col("cnt").alias("v2"))
+    gst = q_grouping_sets(spark, sf_dir).select(
+        F.lit("gsets").alias("op"),
+        F.concat_ws(":", F.col("gid").cast("string"),
+                    F.coalesce(F.col("l_returnflag"), F.lit("(null)"))).alias("k1"),
+        F.coalesce(F.col("l_linestatus"), F.lit("(null)")).alias("k2"),
+        cents("sum_qty").alias("v1"), F.col("cnt").alias("v2"))
     # melt the pivot's dense matrix back to canonical rows; absent cells
     # are REAL zero rows here (pivot's densification is the semantics
     # under test — the oracle rebuilds them with a cross join + coalesce)
@@ -2193,8 +2201,8 @@ def q_relational_extras(spark, sf_dir):
     return asof.unionByName(rng).unionByName(rol) \
         .unionByName(top).unionByName(exc).unionByName(uni) \
         .unionByName(win).unionByName(lag) \
-        .unionByName(cub).unionByName(piv).unionByName(sal) \
-        .unionByName(ntl).unionByName(mrg)
+        .unionByName(cub).unionByName(gst).unionByName(piv) \
+        .unionByName(sal).unionByName(ntl).unionByName(mrg)
 
 
 def q_g1_pwm_consensus(spark, sf_dir):
@@ -2350,6 +2358,25 @@ def q_cube_qty(spark, sf_dir):
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS ((l_returnflag), (l_linestatus), ()) —
+    the grouping-family form ROLLUP/CUBE can't express (single-axis
+    margins WITHOUT the two-key cells).  Same one-shuffle map-side
+    expansion as cube; margin rows keyed by grouping_id like the
+    rollup/cube legs (bit order: first listed column = MSB, pinned in
+    tests/test_pivot_cube.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gsets_lineitem")
+    return spark.sql("""
+        SELECT grouping_id() AS gid, l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty,
+               count(*) AS cnt
+        FROM __gsets_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
 
 
 def q_pivot_status(spark, sf_dir):
@@ -4234,6 +4261,15 @@ _ORACLES["relational_extras"] = """
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT),
            count(*)
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'gsets',
+           CAST(GROUPING(l_returnflag, l_linestatus) AS VARCHAR) || ':' ||
+               coalesce(l_returnflag, '(null)'),
+           coalesce(l_linestatus, '(null)'),
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT),
+           count(*)
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     UNION ALL
     SELECT 'pivot', k1, k2,
            CAST(coalesce(cents, 0) AS BIGINT), CAST(coalesce(cnt, 0) AS BIGINT)

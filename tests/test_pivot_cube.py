@@ -92,3 +92,36 @@ def test_grouping_id_disambiguates_null_group_values(spark):
         "FROM (VALUES ('R','O',1.0),('R','O',2.0),(NULL,'O',4.0)) "
         "t(flag, status, qty) GROUP BY ROLLUP (flag, status)").fetchall()
     assert {(k1, k2): q for k1, k2, q in duck} == got
+
+
+def test_grouping_sets_gid_bit_order_matches_duckdb(spark):
+    """Explicit GROUPING SETS ((flag),(status),()) — every output row is a
+    margin (gid in {1,2,3}, never the two-key 0), and Spark's
+    grouping_id() bit order (first listed column = MSB) agrees with
+    DuckDB's GROUPING(flag, status) row for row."""
+    df = spark.createDataFrame(
+        [("R", "O", 1), ("R", "F", 2), (None, "O", 4)],
+        "flag string, status string, qty long")
+    df.createOrReplaceTempView("__gsets_pin")
+    got = {(r.k1, r.k2): r.qty for r in spark.sql("""
+        SELECT concat_ws(':', CAST(grouping_id() AS STRING),
+                         coalesce(flag, '(null)')) AS k1,
+               coalesce(status, '(null)') AS k2, sum(qty) AS qty
+        FROM __gsets_pin
+        GROUP BY GROUPING SETS ((flag), (status), ())
+    """).collect()}
+    assert got[("1:R", "(null)")] == 3       # flag-only rows: status bit set
+    assert got[("1:(null)", "(null)")] == 4  # genuine NULL flag group
+    assert got[("2:(null)", "O")] == 5       # status-only rows: flag bit set
+    assert got[("3:(null)", "(null)")] == 7  # grand total
+    assert all(k1.split(":")[0] in {"1", "2", "3"} for k1, _ in got)
+
+    import duckdb
+    duck = duckdb.sql(
+        "SELECT CAST(GROUPING(flag, status) AS VARCHAR) || ':' || "
+        "coalesce(flag, '(null)') AS k1, "
+        "coalesce(status, '(null)') AS k2, CAST(sum(qty) AS BIGINT) AS qty "
+        "FROM (VALUES ('R','O',1),('R','F',2),(NULL,'O',4)) "
+        "t(flag, status, qty) "
+        "GROUP BY GROUPING SETS ((flag), (status), ())").fetchall()
+    assert {(k1, k2): q for k1, k2, q in duck} == got
