@@ -2483,6 +2483,22 @@ def q_merge_upsert(spark, sf_dir):
     return _joins.merge_upsert(base, updates, delete_missing=True)
 
 
+def q_probe_merge_upsert(spark, sf_dir):
+    """Scale-probe leg (NOT in ``queries()``): the snapshot MERGE alone
+    at fixture scale — same base/update split as the driver leg.  The
+    cost is one full-outer hash join whose shuffle carries (key, 32-char
+    digest) rows, never text, so bytes track row count, not corpus
+    bytes; expected ~linear."""
+    from cloudbrush_spark.operators import joins as _joins
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    updates = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" v2")))
+         .otherwise(F.col("text")).alias("text"))
+    return _joins.merge_upsert(base, updates, delete_missing=True)
+
+
 def q_window_dist(spark, sf_dir):
     """Distribution-family window functions over the same order-history
     slice as q_window_suite: ntile(4) by order value (TOTAL order — the
