@@ -144,6 +144,26 @@ def _build_parser() -> argparse.ArgumentParser:
                          "audit (guard.repeated_spans — maximal cross-"
                          "document repeated passages, the memorization-"
                          "risk appendix) to OUT/spans.parquet")
+    ap.add_argument("-base", default=None, metavar="PARQUET",
+                    help="release: previous snapshot corpus — upgrades "
+                         "the release to an INCREMENTAL release "
+                         "(pipeline/release.incremental_release): a "
+                         "merge_upsert delta against -curate's input "
+                         "decides insert/update/keep/delete, per-doc "
+                         "gate features recompute only for the delta, "
+                         "and every cross-document stage reruns "
+                         "globally (output identical to a from-scratch "
+                         "release of the new snapshot)")
+    ap.add_argument("-prev_features", default=None, metavar="PARQUET",
+                    help="release: the previous release's feature cache "
+                         "(OUT/features.parquet, written by "
+                         "-cache_features or a prior incremental run) — "
+                         "kept documents reuse these rows instead of "
+                         "re-running the gate projection")
+    ap.add_argument("-cache_features", action="store_true",
+                    help="release: write the per-document gate-feature "
+                         "cache to OUT/features.parquet so the next "
+                         "crawl can release incrementally")
     ap.add_argument("-prior", default=None, metavar="PARQUET",
                     help="curation: previous-release corpus (doc_id, "
                          "text) — drop gated docs that near-duplicate "
@@ -250,30 +270,49 @@ def main(argv: list[str] | None = None) -> int:
         if (args.mixture is not None or args.budget is not None
                 or args.token_budget is not None
                 or args.src_budget is not None):
-            from cloudbrush_spark.pipeline.release import ReleasePipeline
+            from cloudbrush_spark.pipeline.release import (
+                ReleasePipeline, incremental_release)
             weights = json.loads(args.mixture) if args.mixture else None
             src_budgets = (json.loads(args.src_budget)
                            if args.src_budget else None)
-            pipe = ReleasePipeline(spark, checkpoint_dir=args.ckpt,
-                                   verbose=True)
-            rel = pipe.run(
-                docs, args.out, mixture_weights=weights, budget=args.budget,
+            rel_kw = dict(
+                mixture_weights=weights, budget=args.budget,
                 token_budget=args.token_budget,
                 source_token_budgets=src_budgets,
                 report=args.report, audit_spans=args.audit_spans,
                 files_per_split=args.files_per_split, benchmark=bench,
-                boilerplate_max_df=args.boiler_df,
-                scrub_spans_min_df=args.scrub_spans_df,
                 quality_min=args.quality_min, lang=args.lang,
                 min_tokens=args.min_tokens, max_tokens=args.max_tokens,
                 decontam_n=args.decontam_n, **sem_kw)
+            extra_info: dict = {}
+            if args.base:
+                prev = (spark.read.parquet(args.prev_features)
+                        if args.prev_features else None)
+                rel = incremental_release(
+                    spark, spark.read.parquet(args.base), docs, args.out,
+                    prev_features=prev, checkpoint_dir=args.ckpt,
+                    verbose=True, boilerplate_max_df=args.boiler_df,
+                    scrub_spans_min_df=args.scrub_spans_df, **rel_kw)
+                delta = spark.read.parquet(
+                    os.path.join(args.out, "delta.parquet"))
+                extra_info["delta"] = {
+                    r.action: r.n for r in delta.groupBy("action")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+            else:
+                pipe = ReleasePipeline(spark, checkpoint_dir=args.ckpt,
+                                       verbose=True)
+                rel = pipe.run(
+                    docs, args.out, boilerplate_max_df=args.boiler_df,
+                    scrub_spans_min_df=args.scrub_spans_df,
+                    cache_features=args.cache_features, **rel_kw)
+                extra_info["stages"] = pipe.counters
             counts = {r.split: r.n for r in rel.groupBy("split")
                       .agg(F.count(F.lit(1)).alias("n")).collect()}
             n_shards = rel.agg(F.count_distinct("shard_id").alias("n")) \
                 .collect()[0].n
             print("released:", json.dumps(
-                {"splits": counts, "shards": n_shards,
-                 "stages": pipe.counters}, sort_keys=True))
+                {"splits": counts, "shards": n_shards, **extra_info},
+                sort_keys=True))
             return 0
         if args.boiler_df is not None:
             # plain-curate path: scrub the corpus itself so the

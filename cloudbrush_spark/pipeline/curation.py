@@ -38,6 +38,24 @@ from cloudbrush_spark.functions import text
 from cloudbrush_spark.operators import dedup, sampling, textops
 
 
+def gate_features(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """The curate gate's per-document feature projection as a standalone
+    product: (id, __toks, ws_tokens, quality, lang_pred).  Every column
+    is a PURE function of the document's own text — no cross-document
+    state — which is what makes these features cacheable across
+    releases: an incremental release recomputes them only for inserted/
+    updated documents and reuses the previous release's rows for
+    unchanged ones (see ``release.incremental_release``).  One narrow
+    projection, zero shuffle."""
+    return docs.select(
+        F.col(id_col),
+        text.tokens(text_col).alias("__toks"),
+        text.token_count(text_col).cast("long").alias("ws_tokens"),
+        textops.quality_col(text_col).alias("quality"),
+        textops.lang_pred_col(text_col).alias("lang_pred"))
+
+
 def curate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
            *, quality_min: float = 0.5, lang: str = "en",
            min_tokens: int = 10, max_tokens: int = 1000,
@@ -51,7 +69,8 @@ def curate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
            corpus_vectors: DataFrame | None = None,
            semantic_threshold: float = 0.95,
            vec_id_col: str = "vec_id",
-           reference_docs: DataFrame | None = None) -> DataFrame:
+           reference_docs: DataFrame | None = None,
+           features: DataFrame | None = None) -> DataFrame:
     """Curated-corpus manifest: one row per surviving document with its
     split assignment and headline features.
 
@@ -69,12 +88,12 @@ def curate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # the tokenizer regex over the survivors; the raw text column is
     # dropped after the gate, so the checkpoint carries tokens in its
     # place rather than both
-    feats = docs.select(
-        F.col(id_col),
-        text.tokens(text_col).alias("__toks"),
-        text.token_count(text_col).cast("long").alias("ws_tokens"),
-        textops.quality_col(text_col).alias("quality"),
-        textops.lang_pred_col(text_col).alias("lang_pred"))
+    # ``features`` short-circuits the projection with a PRECOMPUTED
+    # frame of the same schema (gate_features output) — the incremental-
+    # release path, where unchanged documents' features come from the
+    # previous release's cache and only the delta was recomputed.
+    feats = features if features is not None \
+        else gate_features(docs, id_col, text_col)
     kept = feats.filter(
         (F.col("quality") >= quality_min) & (F.col("lang_pred") == lang)
         & F.col("ws_tokens").between(min_tokens, max_tokens))

@@ -122,6 +122,7 @@ class ReleasePipeline:
             scrub_spans_n: int = 13,
             report: bool = False,
             audit_spans: bool = False,
+            cache_features: bool = False,
             **curate_kw) -> DataFrame:
         """Run the full release; returns the RELEASE MANIFEST — one row
         per published row: (id, copy, split, shard_id, offset, ws_tokens,
@@ -178,6 +179,15 @@ class ReleasePipeline:
                         F.col("clean_text").alias(text_col)),
                     id_col)
             docs = self._stage("spanscrub", _spanscrub)
+        if cache_features and curate_kw.get("features") is None:
+            # seed the per-document feature cache an incremental_release
+            # consumes next crawl: compute the gate projection once here
+            # (curate reuses it — no double tokenization) and persist it
+            # alongside the release outputs
+            curate_kw["features"] = self._stage(
+                "features",
+                lambda: curation.gate_features(docs, id_col=id_col,
+                                               text_col=text_col))
         manifest = self._stage(
             "curate",
             lambda: curation.curate(docs, id_col=id_col, text_col=text_col,
@@ -264,6 +274,9 @@ class ReleasePipeline:
                 carry_cols=("copy", "shard_id", "offset"))
             rel_manifest.write.mode("overwrite").parquet(
                 os.path.join(out_path, "release_manifest.parquet"))
+            if cache_features:
+                curate_kw["features"].write.mode("overwrite").parquet(
+                    os.path.join(out_path, "features.parquet"))
             return self.spark.read.parquet(
                 os.path.join(out_path, "release_manifest.parquet"))
 
@@ -315,3 +328,90 @@ def release(spark: SparkSession, docs: DataFrame, out_path: str,
     :meth:`ReleasePipeline.run` for the stage chain and keyword surface."""
     return ReleasePipeline(spark, checkpoint_dir=checkpoint_dir,
                            verbose=verbose).run(docs, out_path, **kw)
+
+
+def incremental_release(spark: SparkSession, base_docs: DataFrame,
+                        crawl_docs: DataFrame, out_path: str, *,
+                        prev_features: DataFrame | None = None,
+                        delete_missing: bool = True,
+                        checkpoint_dir: str | None = None,
+                        verbose: bool = False,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        **kw) -> DataFrame:
+    """Release N+1 from release N's snapshot plus an incoming crawl —
+    the "don't re-tokenize the world per crawl" form of :func:`release`.
+
+    1. **delta** — ``joins.merge_upsert`` reconciles the snapshots by
+       key over pre-join md5 digests (the shuffle carries hashes, never
+       text): insert / update / keep / delete per document.
+    2. **snapshot** — the new corpus: crawl rows win for insert/update,
+       base rows survive for keep, deletes drop (``delete_missing=False``
+       treats the crawl as a partial view — absent keys keep).
+    3. **features** — the curate gate's per-document projection
+       (``curation.gate_features``: tokens / ws_tokens / quality /
+       lang_pred) is recomputed ONLY for inserted/updated documents;
+       unchanged documents reuse ``prev_features`` (the cache the
+       previous release wrote to ``out_path/features.parquet``).  Sound
+       because every gate feature is a pure function of the document's
+       own text — at 100 TB this is the dominant per-byte cost (the
+       regex/tokenizer pass), and a crawl that touches 1% of the corpus
+       re-pays 1% of it.
+    4. The standard release chain runs on the snapshot with the cached
+       features injected — every CROSS-document stage (exact dedup,
+       near-dup clusters, mixture, budget, packing, publish) recomputes
+       globally, so the output is IDENTICAL to a from-scratch release of
+       the same snapshot (pytest-pinned in tests/test_release.py).
+
+    The corpus-wide scrub stages are incompatible with the feature
+    cache — ``boilerplate_scrub``/``span_scrub`` rewrite OLD documents'
+    text when the delta shifts a line/passage's document frequency, so
+    cached per-document features would be stale; passing either scrub
+    option raises.
+
+    Returns the release manifest (see :meth:`ReleasePipeline.run`); also
+    writes ``out_path/delta.parquet`` (the action manifest) and
+    ``out_path/features.parquet`` (the feature cache for release N+2)."""
+    if kw.get("boilerplate_max_df") is not None \
+            or kw.get("scrub_spans_min_df") is not None:
+        raise ValueError(
+            "incremental_release cannot combine the cross-document scrub "
+            "stages with feature caching: a delta changes other "
+            "documents' scrubbed text, so cached per-document features "
+            "would be stale — run a full release() for scrubbed corpora")
+    from cloudbrush_spark.operators.joins import merge_upsert
+    pipe = ReleasePipeline(spark, checkpoint_dir=checkpoint_dir,
+                           verbose=verbose)
+    actions = pipe._stage("delta", lambda: merge_upsert(
+        base_docs.select(id_col, text_col),
+        crawl_docs.select(id_col, text_col),
+        id_col=id_col, cmp_cols=(text_col,),
+        delete_missing=delete_missing))
+    changed = actions.filter(F.col("action").isin("insert", "update")) \
+        .select(id_col)
+    kept = actions.filter(F.col("action") == "keep").select(id_col)
+    snapshot = (
+        crawl_docs.join(changed, id_col, "left_semi")
+        .unionByName(base_docs.join(kept, id_col, "left_semi")))
+
+    def _features() -> DataFrame:
+        from cloudbrush_spark.pipeline import curation as _cur
+        fresh = _cur.gate_features(
+            crawl_docs.join(changed, id_col, "left_semi"),
+            id_col=id_col, text_col=text_col)
+        if prev_features is None:
+            # no cache (first increment): the kept side computes too
+            return fresh.unionByName(_cur.gate_features(
+                base_docs.join(kept, id_col, "left_semi"),
+                id_col=id_col, text_col=text_col))
+        return fresh.unionByName(
+            prev_features.join(kept, id_col, "left_semi")
+            .select(*fresh.columns))
+
+    feats = pipe._stage("features", _features)
+    manifest = pipe.run(snapshot, out_path, id_col=id_col,
+                        text_col=text_col, features=feats, **kw)
+    actions.write.mode("overwrite").parquet(
+        os.path.join(out_path, "delta.parquet"))
+    feats.write.mode("overwrite").parquet(
+        os.path.join(out_path, "features.parquet"))
+    return manifest

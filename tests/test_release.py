@@ -349,3 +349,127 @@ def test_release_span_scrub_checkpoints(spark, tmp_path):
     assert p2.counters.get("loaded_spanscrub") == 1
     assert "ran_spanscrub" not in p2.counters
     assert first == second
+
+
+def _snapshot_and_crawl(spark):
+    """Base corpus (ids 0..39) and a crawl that updates ids 0,2 (text
+    change), inserts 100,101, resends 4..38 unchanged, and omits 1,3
+    (deleted under delete_missing=True)."""
+    base = _docs(spark)
+    crawl_rows = []
+    for r in base.collect():
+        if r.doc_id in (1, 3):
+            continue  # dropped from the new crawl
+        txt = r.text + " refreshed content" if r.doc_id in (0, 2) else r.text
+        crawl_rows.append((r.doc_id, txt, r.source))
+    crawl_rows.append((100, f"{GOOD} {FILLER} brand new document one hundred",
+                       "webcrawl"))
+    crawl_rows.append((101, f"{GOOD2} {FILLER} brand new document one oh one",
+                       "curated"))
+    crawl = spark.createDataFrame(
+        crawl_rows, "doc_id long, text string, source string")
+    return base, crawl
+
+
+def test_incremental_release_equals_full_release_of_snapshot(spark, tmp_path):
+    """The incremental path (delta detect + cached features for keeps)
+    must produce the IDENTICAL release a from-scratch run over the same
+    snapshot produces — every cross-document stage recomputes."""
+    from cloudbrush_spark.pipeline.release import incremental_release
+    base, crawl = _snapshot_and_crawl(spark)
+    kw = dict(mixture_weights={"curated": 2.0, "webcrawl": 0.5},
+              budget=100, max_tokens=2000)
+    # release N seeds the feature cache
+    out0 = str(tmp_path / "rel0")
+    release(spark, base, out0, cache_features=True, **kw)
+    prev = spark.read.parquet(os.path.join(out0, "features.parquet"))
+
+    out1 = str(tmp_path / "rel1")
+    inc = incremental_release(spark, base, crawl, out1,
+                              prev_features=prev, **kw)
+    key = lambda r: (r.doc_id, r.copy, r.split, r.shard_id, r.offset,  # noqa: E731
+                     r.ws_tokens, r.quality)
+    got = sorted(key(r) for r in inc.collect())
+
+    # from-scratch release of the same snapshot (crawl wins, 1/3 deleted)
+    snapshot = crawl  # crawl resent everything it kept; 1,3 are gone
+    out2 = str(tmp_path / "rel2")
+    want = sorted(key(r) for r in
+                  release(spark, snapshot, out2, **kw).collect())
+    assert got == want
+    # the delta manifest recorded all four actions
+    delta = {r.doc_id: r.action for r in spark.read.parquet(
+        os.path.join(out1, "delta.parquet")).collect()}
+    assert delta[0] == delta[2] == "update"
+    assert delta[100] == delta[101] == "insert"
+    assert delta[1] == delta[3] == "delete"
+    assert delta[4] == "keep"
+    # deleted docs are not in the published release
+    assert not {1, 3} & {t[0] for t in got}
+    # the next-increment feature cache was written and covers the snapshot
+    feats = spark.read.parquet(os.path.join(out1, "features.parquet"))
+    assert feats.count() == crawl.count()
+
+
+def test_incremental_release_actually_reuses_cached_features(spark, tmp_path):
+    """Poisoned cache rows for KEPT docs must flow through (proving the
+    gate projection was NOT recomputed for them), while changed docs get
+    fresh features."""
+    from cloudbrush_spark.pipeline import curation
+    from cloudbrush_spark.pipeline.release import incremental_release
+    base, crawl = _snapshot_and_crawl(spark)
+    poisoned = curation.gate_features(base).withColumn(
+        "quality", F.lit(0.654321))  # marker value (above the 0.5 gate)
+    out = str(tmp_path / "inc")
+    inc = incremental_release(spark, base, crawl, out,
+                              prev_features=poisoned, max_tokens=2000)
+    q = {r.doc_id: r.quality for r in inc.collect()}
+    kept_ids = [i for i in q if i not in (0, 2, 100, 101)]
+    assert kept_ids and all(q[i] == 0.654321 for i in kept_ids)
+    assert all(q[i] != 0.654321 for i in (0, 2, 100, 101) if i in q)
+
+
+def test_incremental_release_refuses_scrub_with_cache(spark, tmp_path):
+    """Cross-document scrubs invalidate cached per-document features —
+    the combination must raise, not silently ship stale features."""
+    import pytest
+    from cloudbrush_spark.pipeline.release import incremental_release
+    base, crawl = _snapshot_and_crawl(spark)
+    with pytest.raises(ValueError, match="scrub"):
+        incremental_release(spark, base, crawl, str(tmp_path / "x"),
+                            scrub_spans_min_df=2)
+
+
+def test_release_cli_incremental(tmp_path, spark, capsys):
+    """-base upgrades -curate+-mixture to the incremental release: the
+    delta summary prints, deleted docs vanish from the corpus, and the
+    feature cache written by -cache_features is consumed via
+    -prev_features."""
+    from cloudbrush_spark.__main__ import main
+    base, crawl = _snapshot_and_crawl(spark)
+    base_p = str(tmp_path / "base.parquet")
+    crawl_p = str(tmp_path / "crawl.parquet")
+    base.write.parquet(base_p)
+    crawl.write.parquet(crawl_p)
+    out0, out1 = str(tmp_path / "rel0"), str(tmp_path / "rel1")
+    rc = main(["-curate", base_p, "-out", out0, "-files_per_split", "1",
+               "-max_tokens", "2000",
+               "-mixture", '{"curated": 1.0, "webcrawl": 1.0}',
+               "-cache_features"])
+    assert rc == 0 and os.path.exists(os.path.join(out0, "features.parquet"))
+    capsys.readouterr()
+    rc = main(["-curate", crawl_p, "-out", out1, "-files_per_split", "1",
+               "-max_tokens", "2000",
+               "-mixture", '{"curated": 1.0, "webcrawl": 1.0}',
+               "-base", base_p,
+               "-prev_features", os.path.join(out0, "features.parquet")])
+    assert rc == 0
+    line = capsys.readouterr().out
+    assert '"delta"' in line and '"insert": 2' in line \
+        and '"delete": 2' in line and '"update": 2' in line
+    corpus = spark.read.parquet(os.path.join(out1, "corpus"))
+    ids = {r.doc_id for r in corpus.select("doc_id").distinct().collect()}
+    # deleted docs are gone; the near-dup cluster dedup RERAN on the new
+    # snapshot (the _docs fixture collapses to one rep per base text, so
+    # the odd cluster's min-id rep moves 1 -> 5 once 1 and 3 are deleted)
+    assert not {1, 3} & ids and 5 in ids
