@@ -5045,7 +5045,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 6 ---
     "curation_pipeline": q_curation_pipeline,    # end-to-end curation
     "event_windows": q_event_windows,            # tumble + sessionize union
-    "tpch_suite": q_tpch_suite,                  # 17-leg TPC-H union
+    "tpch_suite": q_tpch_suite,                  # 19-leg TPC-H union
     "stream_equivalence": q_stream_equivalence,  # stream tumble/sess/dedup
     "dedup_clusters": q_dedup_clusters,          # linear cluster product
     "g5g6_pairmark_merge": q_g5g6_pairmark_merge,
