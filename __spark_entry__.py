@@ -435,11 +435,18 @@ def q_stream_equivalence(spark, sf_dir):
     hash-checked tagged union: tumbling window (``F.window`` state agg),
     session windows (``F.session_window`` — the exact-gap merge tie with
     the batch form is pinned by tests/test_streaming.py), bounded-state
-    exact dedup (``dropDuplicatesWithinWatermark``), and (late r8) the
+    exact dedup (``dropDuplicatesWithinWatermark``), (late r8) the
     STREAM-STREAM event-time range join (``stream_range_join``: clicks x
     purchases within one hour, watermark-bounded join state; the
     cross-micro-batch buffering is pinned by
-    tests/test_streaming.py::test_stream_range_join_matches_across_micro_batches).
+    tests/test_streaming.py::test_stream_range_join_matches_across_micro_batches),
+    and (late r9) the continuously-MAINTAINED rollup table
+    (``stream_rollup_maintain`` — the hypertable continuous-aggregate
+    shape: update-mode windowed totals upserted into a versioned parquet
+    table with an atomic ``_CURRENT`` pointer; the 'roll' leg reads the
+    MAINTAINED TABLE back, so a drop/double/staleness bug in the upsert
+    sink flips the row; upsert-across-micro-batches and replay
+    idempotence pinned in tests/test_streaming.py).
     Each form runs as a
     REAL readStream query (file source, availableNow, memory sink); the
     driver's DuckDB oracle recomputes the batch semantics, so this row is
@@ -460,7 +467,7 @@ def q_stream_equivalence(spark, sf_dir):
         stream_tumbling_window as s_tumble,
     )
 
-    def canon(tumble, sess, ded, rj, psess):
+    def canon(tumble, sess, ded, rj, psess, roll):
         s = lambda c: F.col(c).cast("string")  # noqa: E731
         return (
             tumble.select(
@@ -488,6 +495,11 @@ def q_stream_equivalence(spark, sf_dir):
                 F.col("start_us").cast("long").alias("k2"),
                 F.col("end_us").cast("long").alias("v1"),
                 F.col("n_events").cast("long").alias("v2")))
+            .unionByName(roll.select(
+                F.lit("roll").alias("op"), s("event_type").alias("k1"),
+                F.col("window_start").cast("long").alias("k2"),
+                F.col("cnt").cast("long").alias("v1"),
+                F.round(F.col("value_sum") * 100).cast("long").alias("v2")))
         )
 
     def rjoin_batch(spark, sf_dir):
@@ -567,7 +579,8 @@ def q_stream_equivalence(spark, sf_dir):
             q_sessionize(spark, sf_dir),
             _events(spark, sf_dir).select("event_type", "user_id").distinct(),
             rjoin_batch(spark, sf_dir),
-            q_sessionize(spark, sf_dir))
+            q_sessionize(spark, sf_dir),
+            q_tumbling_window(spark, sf_dir))
 
     def run(stream_df, name, mode):
         q = (stream_df.writeStream.format("memory").queryName(name)
@@ -596,7 +609,26 @@ def q_stream_equivalence(spark, sf_dir):
             "se_rjoin", "append").select(
             "user_id", F.unix_micros("left_ts").alias("l_us"),
             F.unix_micros("right_ts").alias("r_us"))
-        return canon(tumble, sess, ded, rj, psess_stream())
+        # r9 sixth form: the continuously-MAINTAINED rollup table
+        # (stream_rollup_maintain — update-mode windowed agg upserted
+        # into a versioned parquet table via foreachBatch).  Reading the
+        # maintained table back and hashing it against the same batch
+        # tumbling oracle proves the upsert sink neither drops, doubles,
+        # nor staleness-skews any (window, type) total.
+        import tempfile as _tf
+        from cloudbrush_spark.streaming import (read_rollup,
+                                                stream_rollup_maintain)
+        tdir = _tf.mkdtemp(prefix="cb_roll_")
+        rq = (stream_rollup_maintain(_events_stream_source(spark, sf_dir),
+                                     tdir)
+              .option("checkpointLocation", _tf.mkdtemp(prefix="cb_rollck_"))
+              .trigger(availableNow=True).start())
+        rq.awaitTermination()
+        roll = read_rollup(spark, tdir).select(
+            (F.unix_micros(F.col("window_start")) / 1_000_000)
+            .cast("long").alias("window_start"),
+            "event_type", "cnt", "value_sum")
+        return canon(tumble, sess, ded, rj, psess_stream(), roll)
     finally:
         spark.conf.set(key, prev)
 
@@ -4569,6 +4601,16 @@ _ORACLES["stream_equivalence"] = """
            CAST(tus // 3600000000 * 3600 AS BIGINT) AS k2,
            count(*) AS v1,
            CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v2
+    FROM ev GROUP BY 1, 2, 3
+    UNION ALL
+    -- 'roll' = the same tumbling totals, but the Spark side reads them
+    -- back from the continuously-MAINTAINED rollup table
+    -- (stream_rollup_maintain's versioned upsert sink): the maintained
+    -- table must converge to exactly the batch aggregate
+    SELECT 'roll', event_type,
+           CAST(tus // 3600000000 * 3600 AS BIGINT),
+           count(*),
+           CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
     FROM ev GROUP BY 1, 2, 3
     UNION ALL
     SELECT 'sess', CAST(user_id AS VARCHAR), start_us, end_us, n_events

@@ -9,6 +9,7 @@ bounding state.
 from cloudbrush_spark.streaming.windows import (  # noqa: F401
     read_document_stream,
     read_event_stream,
+    read_rollup,
     stream_boiler_scrub,
     stream_curate,
     stream_curation_gate,
@@ -16,6 +17,7 @@ from cloudbrush_spark.streaming.windows import (  # noqa: F401
     stream_guard,
     stream_publish,
     stream_range_join,
+    stream_rollup_maintain,
     stream_running_counts,
     stream_sessionize,
     stream_sessionize_stateful,

@@ -494,3 +494,93 @@ def stream_publish(docs: DataFrame, out_dir: str):
         open(marker, "w").close()
 
     return docs.writeStream.foreachBatch(write_batch)
+
+
+def stream_rollup_maintain(events: DataFrame, table_dir: str,
+                           window: str = "1 hour",
+                           watermark: str = "10 minutes"):
+    """Continuously-maintained tumbling rollup — the 'hypertable
+    continuous aggregate' shape: a long-lived queryable table of per
+    (window_start, event_type) totals that a stream keeps current, so
+    dashboards read a tiny aggregate table instead of re-scanning raw
+    events.
+
+    Mechanics: the windowed aggregate runs in UPDATE output mode, so
+    each micro-batch delivers the NEW TOTALS of only the keys that
+    changed; ``foreachBatch`` upserts them into a versioned parquet
+    table — write ``v<batch_id>/`` = (previous current table anti-joined
+    on the changed keys) + the changed rows, then ATOMICALLY repoint the
+    ``_CURRENT`` marker file (os.replace).  Readers (:func:`read_rollup`)
+    resolve ``_CURRENT``, so they always see a complete consistent
+    version and compaction of stale versions can run out of band.
+    Replays are idempotent: a re-delivered batch id recomputes the same
+    version content and repoints to the same place — the stream_publish
+    batch-id contract applied to upserts.
+
+    Scale shape: per trigger the sink rewrites only the AGGREGATE table
+    (bounded by distinct (window, type) keys — watermark-evicted state
+    upstream, hours x small type space), never the raw events; at a real
+    deployment the same foreachBatch body lands on a transactional table
+    format and the anti-join+union becomes MERGE INTO.  State in the
+    aggregation itself is watermark-bounded.  Local-FS marker/rename
+    here; object stores need the table-format variant.
+
+    Returns the DataStreamWriter; callers ``.start()`` with their
+    checkpointLocation and trigger.
+    """
+    import os
+
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double"), 2).alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "cnt", "value_sum")
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(table_dir, exist_ok=True)
+        version = os.path.join(table_dir, f"v{batch_id}")
+        current = os.path.join(table_dir, "_CURRENT")
+        changed = batch_df.persist()
+        try:
+            if os.path.exists(current):
+                with open(current) as fh:
+                    prev = spark.read.parquet(
+                        os.path.join(table_dir, fh.read().strip()))
+                keep = prev.join(
+                    changed.select("window_start", "event_type"),
+                    ["window_start", "event_type"], "left_anti")
+                out = keep.unionByName(
+                    changed.select(*prev.columns))
+            else:
+                out = changed
+            out.write.mode("overwrite").parquet(version)
+        finally:
+            changed.unpersist()
+        tmp = current + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"v{batch_id}")
+        os.replace(tmp, current)  # atomic repoint
+
+    return agg.writeStream.outputMode("update").foreachBatch(upsert)
+
+
+def read_rollup(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read the current version of a :func:`stream_rollup_maintain`
+    table — resolves the ``_CURRENT`` pointer, so a concurrent upsert
+    (which writes a NEW version dir before repointing) never tears a
+    read."""
+    import os
+
+    current = os.path.join(table_dir, "_CURRENT")
+    if not os.path.exists(current):
+        raise ValueError(f"no _CURRENT marker under {table_dir} — "
+                         "has the rollup stream committed a batch yet?")
+    with open(current) as fh:
+        return spark.read.parquet(os.path.join(table_dir, fh.read().strip()))

@@ -16,6 +16,9 @@ from cloudbrush_spark.streaming import (
 )
 
 
+EVENT_DDL = "ts timestamp, user_id long, event_type string, value double"
+
+
 def _ts(h, m=0, s=0):
     return datetime.datetime(2024, 1, 1, h, m, s)
 
@@ -613,3 +616,59 @@ def test_streamed_crawl_to_incremental_release_end_to_end(spark, tmp_path):
         str(tmp_path / "inc") + "/delta.parquet").collect()}
     assert all(delta[i] == "keep" for i in range(6, 12))
     assert delta[0] == "update" and delta[100] == "insert"
+
+
+# --- stream_rollup_maintain (late r9): continuous aggregate table ------------
+
+def test_stream_rollup_maintain_converges_to_batch_aggregate(spark, tmp_path):
+    """Micro-batches touching the SAME window must upsert (not append):
+    after three triggers the maintained table equals the batch tumbling
+    aggregate over all events, and intermediate versions stay readable
+    via the _CURRENT pointer."""
+    import os
+    from cloudbrush_spark.streaming.windows import (
+        read_event_stream, read_rollup, stream_rollup_maintain)
+    src = str(tmp_path / "ev")
+    # f0 and f2 hit the same (9:00, click) window — the second must
+    # UPDATE the first's totals, which an append-style sink would break
+    spark.createDataFrame([(_ts(9, 0), 1, "click", 1.0)],
+                          EVENT_DDL).coalesce(1).write.parquet(f"{src}/f0")
+    spark.createDataFrame([(_ts(10, 5), 2, "buy", 5.0)],
+                          EVENT_DDL).coalesce(1).write.parquet(f"{src}/f1")
+    spark.createDataFrame([(_ts(9, 30), 3, "click", 2.5)],
+                          EVENT_DDL).coalesce(1).write.parquet(f"{src}/f2")
+    table = str(tmp_path / "rollup")
+    q = (stream_rollup_maintain(
+            read_event_stream(spark, src + "/*", max_files_per_trigger=1),
+            table)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.window_start, r.event_type): (r.cnt, r.value_sum)
+           for r in read_rollup(spark, table).collect()}
+    batch = sessions.tumbling_window_agg(spark.read.parquet(src + "/*"))
+    want = {(r.window_start, r.event_type): (r.cnt, r.value_sum)
+            for r in batch.collect()}
+    assert got == want
+    assert got[(_ts(9, 0), "click")] == (2, 3.5)  # upserted, not doubled
+    assert os.path.exists(os.path.join(table, "_CURRENT"))
+
+    # replay with a fresh checkpoint: same batch ids, same versions,
+    # same final table — the upsert is idempotent
+    q2 = (stream_rollup_maintain(
+            read_event_stream(spark, src + "/*", max_files_per_trigger=1),
+            table)
+          .option("checkpointLocation", str(tmp_path / "ck2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    again = {(r.window_start, r.event_type): (r.cnt, r.value_sum)
+             for r in read_rollup(spark, table).collect()}
+    assert again == want
+
+
+def test_read_rollup_requires_committed_batch(spark, tmp_path):
+    import pytest as _pytest
+    from cloudbrush_spark.streaming.windows import read_rollup
+    with _pytest.raises(ValueError, match="_CURRENT"):
+        read_rollup(spark, str(tmp_path / "nothing"))
