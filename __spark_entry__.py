@@ -2138,6 +2138,10 @@ def q_probe_json_agg(spark, sf_dir):
 def q_relational_extras(spark, sf_dir):
     """SURVEY §2.8 relational extensions in ONE hash-checked union — as-of
     join, bounded range join, ROLLUP, grouped top-k, EXCEPT DISTINCT,
+    (late r9) BAG-semantics EXCEPT ALL / INTERSECT ALL canonicalized as
+    exact per-key multiplicities, and (late r9) a RANGE-frame window
+    (trailing-30-day spend on integer epoch-days — value-based frames
+    with peer-row tie semantics, the family ROWS frames can't express),
     (r9) snapshot MERGE (insert/update/keep/delete + version bump),
     and (r8) INTERSECT DISTINCT plus the analytic window-function family
     (row_number / running sum / rank / lag, see q_window_suite; r9 adds
@@ -2230,11 +2234,20 @@ def q_relational_extras(spark, sf_dir):
         F.lit("salted").alias("op"), F.col("o_orderstatus").alias("k1"),
         F.lit("").alias("k2"), F.col("qty_cents").alias("v1"),
         F.col("cnt").alias("v2"))
+    bag = q_bag_set_ops(spark, sf_dir).select(
+        F.col("bop").alias("op"), s("o_custkey").alias("k1"),
+        F.lit("").alias("k2"), F.col("mult").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"))
+    wrange = q_window_range_frame(spark, sf_dir).select(
+        F.lit("win_range").alias("op"), s("o_custkey").alias("k1"),
+        s("o_orderkey").alias("k2"), F.col("cents_30d").alias("v1"),
+        F.lit(0).cast("long").alias("v2"))
     return asof.unionByName(rng).unionByName(rol) \
         .unionByName(top).unionByName(exc).unionByName(uni) \
         .unionByName(win).unionByName(lag) \
         .unionByName(cub).unionByName(gst).unionByName(piv) \
-        .unionByName(sal).unionByName(ntl).unionByName(mrg)
+        .unionByName(sal).unionByName(ntl).unionByName(mrg) \
+        .unionByName(bag).unionByName(wrange)
 
 
 def q_g1_pwm_consensus(spark, sf_dir):
@@ -2462,6 +2475,50 @@ def q_intersect_ops(spark, sf_dir):
     y2001 = orders.filter(
         F.col("o_orderdate") >= F.lit("2001-01-01")).select("o_custkey")
     return y2000.intersect(y2001)
+
+
+def q_bag_set_ops(spark, sf_dir):
+    """BAG-semantics set operations (EXCEPT ALL / INTERSECT ALL) — the
+    multiplicity-preserving family the DISTINCT legs can't exercise: a
+    customer with 5 orders of which 2 are 'F' keeps exactly 3 rows under
+    EXCEPT ALL.  The result multiset is canonicalized as (key ->
+    multiplicity) counts so the driver hash pins every multiplicity
+    exactly.  Spark plans both as aggregate-then-join (count per side,
+    emit max(l-r,0) / min(l,r) copies) — one shuffle per side, no row
+    explosion."""
+    orders = _t(spark, sf_dir, "orders")
+    all_c = orders.select("o_custkey")
+    f_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    xall = all_c.exceptAll(f_c).groupBy("o_custkey") \
+        .agg(F.count(F.lit(1)).alias("mult")) \
+        .select(F.lit("xall").alias("bop"), "o_custkey", "mult")
+    iall = all_c.intersectAll(f_c).groupBy("o_custkey") \
+        .agg(F.count(F.lit(1)).alias("mult")) \
+        .select(F.lit("iall").alias("bop"), "o_custkey", "mult")
+    return xall.unionByName(iall)
+
+
+def q_window_range_frame(spark, sf_dir):
+    """RANGE-frame window — the VALUE-based frame family the ROWS legs
+    can't exercise: each order's trailing-30-day spend (sum of exact
+    cents over the customer's orders with ``order_day - 30 <= day <=
+    day``, RANGE BETWEEN 30 PRECEDING AND CURRENT ROW on epoch-days).
+    Unlike a ROWS frame, PEER rows (same day) all see the same total —
+    that tie semantics is the leg's point, and integer epoch-days make
+    the frame bound engine-exact."""
+    from pyspark.sql import Window
+    orders = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_custkey") % 7 == 0) \
+        .select("o_custkey", "o_orderkey",
+                F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+                .cast("long").alias("day"),
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long").alias("cents"))
+    w = (Window.partitionBy("o_custkey").orderBy("day")
+         .rangeBetween(-30, 0))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.sum("cents").over(w).alias("cents_30d"))
 
 
 def q_window_suite(spark, sf_dir):
@@ -4333,6 +4390,31 @@ _ORACLES["relational_extras"] = """
            count(*)
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 2
+    UNION ALL
+    SELECT 'xall', CAST(o_custkey AS VARCHAR), '', count(*), CAST(0 AS BIGINT)
+    FROM (SELECT o_custkey FROM orders
+          EXCEPT ALL
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    GROUP BY 2
+    UNION ALL
+    SELECT 'iall', CAST(o_custkey AS VARCHAR), '', count(*), CAST(0 AS BIGINT)
+    FROM (SELECT o_custkey FROM orders
+          INTERSECT ALL
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    GROUP BY 2
+    UNION ALL
+    SELECT 'win_range', CAST(o_custkey AS VARCHAR),
+           CAST(o_orderkey AS VARCHAR),
+           CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+                                 RANGE BETWEEN 30 PRECEDING
+                                       AND CURRENT ROW) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM (SELECT o_custkey, o_orderkey,
+                 CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                      AS BIGINT) AS day,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     AS cents
+          FROM orders WHERE o_custkey % 7 = 0)
 """
 
 # The true-streaming twin computes the identical hourly windows (F.window

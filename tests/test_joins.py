@@ -250,3 +250,28 @@ def test_merge_upsert_digest_is_null_safe_and_boundary_pinned(spark):
     got = {r.doc_id: r.action
            for r in merge_upsert(base, updates, cmp_cols=("a", "b")).collect()}
     assert got == {1: "update", 2: "update", 3: "keep"}
+
+
+def test_bag_set_ops_multiplicity_and_range_frame_peers(spark):
+    """EXCEPT ALL keeps max(l-r, 0) copies per key (bag semantics, not
+    the DISTINCT legs' set semantics); a RANGE frame gives PEER rows
+    (same order day) the identical trailing total, where a ROWS frame
+    would order-dependently split them."""
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+    left = spark.createDataFrame([(1,)] * 5 + [(2,)] * 2, "k long")
+    right = spark.createDataFrame([(1,)] * 2 + [(2,)] * 3, "k long")
+    xall = {r.k: r.n for r in left.exceptAll(right).groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    iall = {r.k: r.n for r in left.intersectAll(right).groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert xall == {1: 3} and iall == {1: 2, 2: 2}
+
+    rows = [(1, 10, 0, 100), (1, 11, 20, 50), (1, 12, 20, 70),
+            (1, 13, 60, 10)]
+    df = spark.createDataFrame(rows, "c long, o long, day long, cents long")
+    w = Window.partitionBy("c").orderBy("day").rangeBetween(-30, 0)
+    got = {r.o: r.t for r in
+           df.select("o", F.sum("cents").over(w).alias("t")).collect()}
+    # the two day-20 peers both see 100+50+70; day-60 sees only itself
+    assert got == {10: 100, 11: 220, 12: 220, 13: 10}
