@@ -1937,7 +1937,16 @@ def q_text_fp_split(spark, sf_dir):
         F.lit("calib").alias("op"), "doc_id",
         F.concat("source", F.lit("#"), F.col("q_rank").cast("string"),
                  F.lit("/"), F.col("n_src").cast("string")).alias("v"))
-    return w.unionByName(s).unionByName(m).unionByName(c)
+    # late r9: deterministic stratified sample — exactly the 7 smallest
+    # md5('strat|'||id) rows per source (the balanced eval-draw
+    # primitive); Spark's bucketed two-phase rank + prefix PRUNE vs the
+    # oracle's direct sequential window, so the exact selected set and
+    # every rank are on the hash
+    st = sampling.stratified_sample(docs, 7, seed="strat").select(
+        F.lit("strat").alias("op"), "doc_id",
+        F.concat("source", F.lit("#"),
+                 F.col("samp_rank").cast("string")).alias("v"))
+    return w.unionByName(s).unionByName(m).unionByName(c).unionByName(st)
 
 
 def q_emb_near_dup(spark, sf_dir):
@@ -3659,6 +3668,24 @@ _ORACLES["text_fp_split"] = f"""
                                     ORDER BY q.quality DESC, q.doc_id) AS rnk,
                  count(*) OVER (PARTITION BY d.source) AS n
           FROM ({_quality_sql()}) q JOIN documents d USING (doc_id))
+    UNION ALL
+    -- 'strat' = stratified_sample(n=7): the 7 smallest md5('strat|'||id)
+    -- rows per source — the twin is the DIRECT per-source window over
+    -- the same hash, so Spark's bucketed two-phase assembly (range
+    -- buckets + prefix prune + in-bucket rank) is hash-pinned rank for
+    -- rank against the sequential definition
+    SELECT 'strat' AS op, doc_id,
+           source || '#' || CAST(rk AS VARCHAR) AS v
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY hval, doc_id) AS rk
+          FROM (SELECT doc_id, source,
+                       CAST(list_sum(list_transform(generate_series(1, 8),
+                            i -> (strpos('0123456789abcdef',
+                                         substring(md5('strat|' || doc_id::VARCHAR), i, 1)) - 1)
+                                 * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) AS hval
+                FROM documents))
+    WHERE rk <= 7
 """
 
 # cluster-mode SimHash: brute-force Hamming pairs over DISTINCT signatures

@@ -399,3 +399,58 @@ def calibrated_quality(df: DataFrame, quality_col: str,
         .select(F.col(id_col), F.col("__src").alias(source_col),
                 "q_rank", F.col("n_src").cast("long").alias("n_src"))
     )
+
+
+def stratified_sample(df: DataFrame, n: int, source_col: str = "source",
+                      id_col: str = "doc_id", seed: str = "strat",
+                      buckets: int = 256) -> DataFrame:
+    """Deterministic stratified sample: the ``n`` smallest
+    ``md5(seed|id)`` rows per source — the reproducible, balanced draw
+    behind eval sets, holdouts, and per-domain QA samples ("give me 10k
+    docs from every domain, the same 10k every run, on any engine").
+
+    Why not ``df.sampleBy``: fraction-based sampling gives a BINOMIAL
+    count per stratum (a 10k target comes back 9,874 one day and 10,130
+    the next) and depends on partitioning; hash-ranked top-n is exact,
+    engine-portable, and stable under any repartitioning.
+
+    Scale shape: never ``Window.partitionBy(source)`` alone (one task
+    per domain).  The md5 key is uniform in [0, 2^32), so range buckets
+    over it are balanced: per-(source, bucket) counts -> a broadcast
+    bucket-prefix (bounded |sources| x ``buckets`` frame) -> buckets
+    whose prefix already exceeds ``n`` are PRUNED before any sort
+    (sampling 10k from a billion-row domain sorts ~10k rows per
+    surviving bucket, the budget_select prune applied to ranking) ->
+    within-bucket row_number; bucket order is monotone in the hash, so
+    prefix + in-bucket rank is the exact global within-source rank.
+
+    Output: (id_col, source_col, samp_rank) for the selected rows,
+    ``samp_rank`` in [1, n] per source.
+    """
+    if n < 0:
+        raise ValueError(f"sample size must be >= 0, got {n}")
+    h = _md5_long(id_col, seed)
+    wdf = (
+        df.select(F.col(id_col), F.col(source_col).alias("__src"),
+                  h.alias("h"))
+        # range bucket (monotone in h), NOT h % buckets — the prefix
+        # prune below needs bucket order to agree with hash order
+        .withColumn("b", (F.col("h") / F.lit(float(2 ** 32) / buckets))
+                    .cast("int"))
+    )
+    counts = wdf.groupBy("__src", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = (Window.partitionBy("__src").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = counts.withColumn(
+        "pre", F.coalesce(F.sum("cnt").over(wb), F.lit(0)))
+    ww = Window.partitionBy("__src", "b").orderBy("h", id_col)
+    return (
+        wdf.join(F.broadcast(prefix.select("__src", "b", "pre")
+                             .filter(F.col("pre") < n)),  # the prune
+                 ["__src", "b"])
+        .withColumn("samp_rank",
+                    (F.col("pre") + F.row_number().over(ww)).cast("long"))
+        .filter(F.col("samp_rank") <= n)
+        .select(F.col(id_col), F.col("__src").alias(source_col),
+                "samp_rank")
+    )

@@ -363,3 +363,43 @@ def test_pack_sequences_zero_weight_and_validation(spark):
         [(0, 0, 0, 8), (1, 0, 8, 2)]
     with _pytest.raises(ValueError):
         sampling.pack_sequences(df, "n_tokens", max_len=0)
+
+
+def test_stratified_sample_exact_n_deterministic(spark):
+    """Exactly n rows per large-enough source, the WHOLE stratum when it
+    is smaller than n, ranks 1..k contiguous, and the selected set is
+    identical across runs and across bucket counts (the two-phase
+    assembly with prefix prune is an implementation detail, never a
+    semantics knob)."""
+    from cloudbrush_spark.operators import sampling
+    rows = [(i, f"src{i % 3}") for i in range(60)] + \
+           [(1000 + i, "tiny") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.stratified_sample(df, 5, buckets=256).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.samp_rank)
+    assert {s: sorted(v) for s, v in by_src.items()} == {
+        "src0": [1, 2, 3, 4, 5], "src1": [1, 2, 3, 4, 5],
+        "src2": [1, 2, 3, 4, 5], "tiny": [1, 2]}
+    picked = {(r.doc_id, r.samp_rank) for r in out}
+    again = {(r.doc_id, r.samp_rank) for r in
+             sampling.stratified_sample(df, 5, buckets=256).collect()}
+    one_bucket = {(r.doc_id, r.samp_rank) for r in
+                  sampling.stratified_sample(df, 5, buckets=1).collect()}
+    assert picked == again == one_bucket
+    # python twin: the 5 smallest md5('strat|'||id) per source
+    import hashlib
+    def h(i):
+        return int(hashlib.md5(f"strat|{i}".encode()).hexdigest()[:8], 16)
+    want = set()
+    srcs = {}
+    for i, s in rows:
+        srcs.setdefault(s, []).append(i)
+    for s, ids in srcs.items():
+        for rk, i in enumerate(sorted(ids, key=lambda i: (h(i), i))[:5], 1):
+            want.add((i, rk))
+    assert picked == want
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match=">= 0"):
+        sampling.stratified_sample(df, -1)
