@@ -284,3 +284,19 @@ def test_pack_sequences_single_exchange_no_global_sort(spark):
     if len(segs) == 2:
         assert "HashAggregate" in segs[0].rsplit("Exchange", 2)[-2] \
             or "HashAggregate" in plan.split("SinglePartition")[0][-2000:]
+
+
+def test_stratified_sample_prunes_and_never_single_partitions(spark):
+    """stratified_sample's corpus-side work must stay partitioned: the
+    only unpartitioned frame is the bounded (source x bucket) prefix
+    window — the corpus itself never crosses a SinglePartition exchange
+    or a global Sort, and the bucket prune keeps past-n buckets out of
+    the rank entirely."""
+    from cloudbrush_spark.operators import sampling
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(400)], "doc_id long, source string")
+    plan = plans.explain_str(sampling.stratified_sample(df, 5))
+    # the in-bucket rank partitions by (source, bucket); a global Sort of
+    # the corpus would show as Sort [h ...] with no partitioning
+    assert "SinglePartition" not in plan.split("cnt")[0]  # corpus side
+    assert plan.count("Window") >= 1
