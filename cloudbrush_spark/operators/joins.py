@@ -171,22 +171,29 @@ def merge_upsert(base: DataFrame, updates: DataFrame,
       unchanged; with ``delete_missing=False`` absent keys are ``keep``
       — an incremental crawl is a partial view, not a tombstone list).
 
-    Content comparison runs on ``md5(concat_ws ...)`` of ``cmp_cols``
-    (NULL-safe: a literal separator pins column boundaries), computed
-    BEFORE the join so the shuffle carries a 32-char digest instead of
-    document bodies — at 100 TB the full-outer join moves keys + hashes
-    + versions, never text.  One shuffle on the key (both sides), no
-    skew beyond the key distribution itself.
+    Content comparison digests each ``cmp_cols`` column SEPARATELY
+    (``md5`` per column, NULL as a fixed-width non-hex sentinel) and
+    concatenates the fixed-width results — so column boundaries can
+    never shift, even when values contain separator-like control bytes
+    (crawled text does): ``('a\\x01','b')`` vs ``('a','\\x01b')`` hash
+    differently.  Digests are computed BEFORE the join so the shuffle
+    carries 32*len(cmp_cols) chars instead of document bodies — at
+    100 TB the full-outer join moves keys + hashes + versions, never
+    text.  One shuffle on the key (both sides), no skew beyond the key
+    distribution itself.
 
     Output: (id_col, action string, version long) — the decision
     manifest; callers join it back to whichever side holds the winning
     payload (``updates`` for insert/update, ``base`` otherwise)."""
     def digest(df: DataFrame):
-        parts = []
-        for c in cmp_cols:
-            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
-            parts.append(F.lit("\x01"))
-        return F.md5(F.concat(*parts))
+        # md5 each column, then concat the fixed-width (32-char) digests:
+        # unambiguous regardless of the values' bytes.  NULL becomes a
+        # 32-char non-hex sentinel no md5 can produce.
+        parts = [
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-" * 32))
+            for c in cmp_cols
+        ]
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
 
     b = base.select(
         F.col(id_col),

@@ -179,6 +179,22 @@ class ReleasePipeline:
                         F.col("clean_text").alias(text_col)),
                     id_col)
             docs = self._stage("spanscrub", _spanscrub)
+        if cache_features and (boilerplate_max_df is not None
+                               or scrub_spans_min_df is not None):
+            # provenance guard, mirror of incremental_release's: a cache
+            # written here would hold features of the SCRUBBED text, but
+            # the consumer (incremental_release) diffs RAW-text digests
+            # and would silently reuse them for 'keep' docs — ws_tokens/
+            # quality desync from the snapshot text and the 'identical
+            # to from-scratch' guarantee breaks.  Refuse at write time so
+            # a scrub-derived cache can never exist to be consumed.
+            raise ValueError(
+                "cache_features is incompatible with the cross-document "
+                "scrub stages (boilerplate_max_df / scrub_spans_min_df): "
+                "the cache would hold scrubbed-text features that a later "
+                "incremental_release — which compares raw-text digests — "
+                "would silently reuse; run scrubbed releases without the "
+                "feature cache")
         if cache_features and curate_kw.get("features") is None:
             # seed the per-document feature cache an incremental_release
             # consumes next crawl: compute the gate projection once here

@@ -80,10 +80,14 @@ def read_csv_quoted(spark: SparkSession, path: str, schema: str,
 
 def write_orc(df: DataFrame, path: str, files: int = 4) -> None:
     """Write ORC (zlib-striped columnar) — the Hive-ecosystem interchange
-    format a warehouse drop often arrives in.  Binary-safe: string
-    columns round-trip byte-exact with no escape convention to get
-    wrong, unlike the line formats above."""
-    df.coalesce(files).write.mode("overwrite").orc(path)
+    format a warehouse drop often arrives in; the codec is pinned to
+    zlib, ORC's universally-readable default, so the interchange
+    contract doesn't drift with the Spark session default (snappy on
+    3.x, zstd on 4.x).  Binary-safe: string columns round-trip
+    byte-exact with no escape convention to get wrong, unlike the line
+    formats above."""
+    (df.coalesce(files).write.mode("overwrite")
+     .option("compression", "zlib").orc(path))
 
 
 def read_orc(spark: SparkSession, path: str, schema: str) -> DataFrame:

@@ -513,9 +513,15 @@ def stream_rollup_maintain(events: DataFrame, table_dir: str,
     ``_CURRENT`` marker file (os.replace).  Readers (:func:`read_rollup`)
     resolve ``_CURRENT``, so they always see a complete consistent
     version and compaction of stale versions can run out of band.
-    Replays are idempotent: a re-delivered batch id recomputes the same
-    version content and repoints to the same place — the stream_publish
-    batch-id contract applied to upserts.
+    Replays are idempotent: if ``_CURRENT`` already points at
+    ``v<batch_id>`` the batch committed before the crash (the repoint is
+    the commit point), so the re-delivery returns without touching the
+    table — recomputing it would read ``v<batch_id>`` as the previous
+    version while overwriting the same directory, which Spark rejects
+    ("cannot overwrite a path that is also being read from") exactly in
+    the crash-recovery window the idempotence exists for.  A crash
+    BEFORE the repoint leaves ``_CURRENT`` on the prior version, and the
+    re-run rebuilds ``v<batch_id>`` from it as normal.
 
     Scale shape: per trigger the sink rewrites only the AGGREGATE table
     (bounded by distinct (window, type) keys — watermark-evicted state
@@ -542,33 +548,50 @@ def stream_rollup_maintain(events: DataFrame, table_dir: str,
                 "cnt", "value_sum")
     )
 
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        os.makedirs(table_dir, exist_ok=True)
-        version = os.path.join(table_dir, f"v{batch_id}")
-        current = os.path.join(table_dir, "_CURRENT")
-        changed = batch_df.persist()
-        try:
-            if os.path.exists(current):
-                with open(current) as fh:
-                    prev = spark.read.parquet(
-                        os.path.join(table_dir, fh.read().strip()))
-                keep = prev.join(
-                    changed.select("window_start", "event_type"),
-                    ["window_start", "event_type"], "left_anti")
-                out = keep.unionByName(
-                    changed.select(*prev.columns))
-            else:
-                out = changed
-            out.write.mode("overwrite").parquet(version)
-        finally:
-            changed.unpersist()
-        tmp = current + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(f"v{batch_id}")
-        os.replace(tmp, current)  # atomic repoint
+    return agg.writeStream.outputMode("update").foreachBatch(
+        lambda batch_df, batch_id: rollup_upsert(batch_df, batch_id,
+                                                 table_dir))
 
-    return agg.writeStream.outputMode("update").foreachBatch(upsert)
+
+def rollup_upsert(batch_df: DataFrame, batch_id: int,
+                  table_dir: str) -> None:
+    """One micro-batch of :func:`stream_rollup_maintain`'s versioned
+    upsert (factored out so the crash-recovery window is directly
+    testable).  See that docstring for the commit/replay contract."""
+    import os
+
+    spark = batch_df.sparkSession
+    os.makedirs(table_dir, exist_ok=True)
+    version = os.path.join(table_dir, f"v{batch_id}")
+    current = os.path.join(table_dir, "_CURRENT")
+    prev_version = None
+    if os.path.exists(current):
+        with open(current) as fh:
+            prev_version = fh.read().strip()
+        if prev_version == f"v{batch_id}":
+            # the repoint IS the commit: this batch already landed
+            # before a crash/restart — re-running would read and
+            # overwrite the same directory
+            return
+    changed = batch_df.persist()
+    try:
+        if prev_version is not None:
+            prev = spark.read.parquet(
+                os.path.join(table_dir, prev_version))
+            keep = prev.join(
+                changed.select("window_start", "event_type"),
+                ["window_start", "event_type"], "left_anti")
+            out = keep.unionByName(
+                changed.select(*prev.columns))
+        else:
+            out = changed
+        out.write.mode("overwrite").parquet(version)
+    finally:
+        changed.unpersist()
+    tmp = current + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(f"v{batch_id}")
+    os.replace(tmp, current)  # atomic repoint
 
 
 def read_rollup(spark: SparkSession, table_dir: str) -> DataFrame:

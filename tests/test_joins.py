@@ -252,6 +252,23 @@ def test_merge_upsert_digest_is_null_safe_and_boundary_pinned(spark):
     assert got == {1: "update", 2: "update", 3: "keep"}
 
 
+def test_merge_upsert_digest_immune_to_control_byte_values(spark):
+    """Values CONTAINING separator-like control bytes must not shift
+    column boundaries: ('a\\x01','b') vs ('a','\\x01b') are different
+    rows, and a literal '\\x00' value is not NULL.  Crawled text can
+    contain any byte."""
+    from cloudbrush_spark.operators.joins import merge_upsert
+    base = spark.createDataFrame(
+        [(1, "a\x01", "b"), (2, "\x00", "z"), (3, "s", "t")],
+        "doc_id long, a string, b string")
+    updates = spark.createDataFrame(
+        [(1, "a", "\x01b"), (2, None, "z"), (3, "s", "t")],
+        "doc_id long, a string, b string")
+    got = {r.doc_id: r.action
+           for r in merge_upsert(base, updates, cmp_cols=("a", "b")).collect()}
+    assert got == {1: "update", 2: "update", 3: "keep"}
+
+
 def test_bag_set_ops_multiplicity_and_range_frame_peers(spark):
     """EXCEPT ALL keeps max(l-r, 0) copies per key (bag semantics, not
     the DISTINCT legs' set semantics); a RANGE frame gives PEER rows

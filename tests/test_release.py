@@ -440,6 +440,21 @@ def test_incremental_release_refuses_scrub_with_cache(spark, tmp_path):
                             scrub_spans_min_df=2)
 
 
+def test_release_refuses_feature_cache_under_scrub(spark, tmp_path):
+    """The write-side half of the provenance guard: a full release with a
+    cross-document scrub must refuse cache_features — the cache would
+    hold SCRUBBED-text features that a later incremental_release (which
+    diffs RAW-text digests) would silently reuse for 'keep' docs,
+    desynchronizing ws_tokens/quality from the snapshot text."""
+    import pytest
+    base, _ = _snapshot_and_crawl(spark)
+    for scrub_kw in ({"boilerplate_max_df": 2},
+                     {"scrub_spans_min_df": 2}):
+        with pytest.raises(ValueError, match="cache_features"):
+            release(spark, base, str(tmp_path / "x"),
+                    cache_features=True, **scrub_kw)
+
+
 def test_release_cli_incremental(tmp_path, spark, capsys):
     """-base upgrades -curate+-mixture to the incremental release: the
     delta summary prints, deleted docs vanish from the corpus, and the

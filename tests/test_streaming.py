@@ -667,6 +667,32 @@ def test_stream_rollup_maintain_converges_to_batch_aggregate(spark, tmp_path):
     assert again == want
 
 
+def test_rollup_upsert_redelivery_of_committed_batch_is_noop(spark, tmp_path):
+    """The crash-recovery window: the process dies AFTER _CURRENT is
+    repointed to v{N} but BEFORE the streaming checkpoint commits batch
+    N, so restart re-delivers batch N.  The upsert must treat the batch
+    as committed (the repoint is the commit point) and return without
+    touching the table — recomputing would read v{N} as prev while
+    overwriting v{N}, which Spark rejects."""
+    from cloudbrush_spark.streaming.windows import read_rollup, rollup_upsert
+    table = str(tmp_path / "roll")
+    ddl = "window_start timestamp, event_type string, cnt long, value_sum double"
+    b0 = spark.createDataFrame([(_ts(9, 0), "click", 1, 1.0)], ddl)
+    rollup_upsert(b0, 0, table)
+    b1 = spark.createDataFrame([(_ts(9, 0), "click", 2, 3.5)], ddl)
+    rollup_upsert(b1, 1, table)
+    committed = {(r.window_start, r.event_type): (r.cnt, r.value_sum)
+                 for r in read_rollup(spark, table).collect()}
+    assert committed == {(_ts(9, 0), "click"): (2, 3.5)}
+    # re-delivery of the already-committed batch 1 (fresh recompute of
+    # the same totals) must not raise and must leave the table as-is
+    rollup_upsert(spark.createDataFrame([(_ts(9, 0), "click", 2, 3.5)], ddl),
+                  1, table)
+    again = {(r.window_start, r.event_type): (r.cnt, r.value_sum)
+             for r in read_rollup(spark, table).collect()}
+    assert again == committed
+
+
 def test_read_rollup_requires_committed_batch(spark, tmp_path):
     import pytest as _pytest
     from cloudbrush_spark.streaming.windows import read_rollup
