@@ -2036,6 +2036,19 @@ def q_ann_contracts(spark, sf_dir):
     # recall@5 >= 90% vs the exact twin (measured 0.986 at sf0.01).
     quant = similarity.cosine_topk_quantized(emb, emb, k=5)
     r_q8 = tag(_ann_contract(emb, quant, recall_pct=90), "ann_q8")
+    # r10: PERSISTED-codes variant — the corpus selection scans ONLY the
+    # int8 codes table written once by write_quantized_codes (its
+    # ReadSchema carries no double vector column — pinned in
+    # tests/test_plans.py — so the per-query full-corpus pass reads ~1/8
+    # the vector bytes); the <= queries*k winners re-rank against the
+    # doubles via an In() pushdown.  Same contract as ann_q8: bad_cosine
+    # == 0 proves the exact re-rank, recall@5 >= 90% vs the exact twin.
+    import tempfile as _tf
+    _cdir = _tf.mkdtemp(prefix="cb_q8p_") + "/codes"
+    similarity.write_quantized_codes(emb, _cdir)
+    _codes = similarity.read_quantized_codes(spark, _cdir)
+    quantp = similarity.cosine_topk_quantized(emb, emb, k=5, codes=_codes)
+    r_q8p = tag(_ann_contract(emb, quantp, recall_pct=90), "ann_q8p")
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
     exact = (
@@ -2102,7 +2115,7 @@ def q_ann_contracts(spark, sf_dir):
              <= F.col("n_vec")).alias("recall_ok"),
         )
     )
-    return (r_lsh.unionByName(r_ivf).unionByName(r_q8)
+    return (r_lsh.unionByName(r_ivf).unionByName(r_q8).unionByName(r_q8p)
             .unionByName(r_emb).unionByName(r_embc))
 
 
@@ -4274,6 +4287,10 @@ _ORACLES["ann_contracts"] = """
     FROM nq
     UNION ALL
     SELECT 'ann_q8', CAST(nq.n AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), TRUE
+    FROM nq
+    UNION ALL
+    SELECT 'ann_q8p', CAST(nq.n AS BIGINT), CAST(0 AS BIGINT),
            CAST(0 AS BIGINT), TRUE
     FROM nq
     UNION ALL

@@ -563,43 +563,147 @@ def _qdot(a, b):
         F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long"))
 
 
-def cosine_topk_quantized(vectors: DataFrame, queries: DataFrame, k: int = 10,
+def write_quantized_codes(vectors: DataFrame, path: str,
                           id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> DataFrame:
-    """Two-stage top-k: SELECT on int8 codes, RE-RANK the k winners with
-    the exact double cosine.
+                          vec_col: str = "embedding",
+                          mode: str = "overwrite") -> None:
+    """Persist the int8 codes TABLE: ``(id, q_scale float, q_codes
+    array<tinyint>)`` parquet, written once per corpus snapshot.
 
-    The selection pass — the one that touches every corpus vector — runs
-    entirely on the quantized codes (integer dot products over
-    ``array<tinyint>``, exact long arithmetic), so at scale the scan and
-    any shuffle carry 1/4 the vector bytes; the exact cosine is computed
-    only for the k survivors per query, making the reported score
-    identical to the brute-force path's (re-rank is a projection AFTER
-    the rank filter, never per candidate).  Candidate order ties on the
-    integer score break by neighbor_id, so the cut is deterministic
-    across retries.  Output: (query_id, neighbor_id, rank, cosine) with
-    rank = quantized-score rank and cosine = exact."""
-    q = quantize_embeddings(queries, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"), F.col("q_codes").alias("qc"),
+    This is what makes the quantization a storage/IO lever rather than a
+    compute trick: a selection pass that reads this table instead of the
+    double arrays scans ~1/8 the vector bytes (tinyint vs the double
+    Spark materializes; parquet byte ratio measured in
+    ``tests/test_similarity.py``).  Rows are sorted by id WITHIN files so
+    the re-rank's ``isin`` pushdown prunes row groups via min/max stats
+    — on a 100 TB corpus the exact re-rank touches only the row groups
+    holding the ≤ queries×k winners."""
+    codes = quantize_embeddings(vectors, id_col, vec_col) \
+        .select(id_col, "q_scale", "q_codes")
+    codes.sortWithinPartitions(id_col).write.mode(mode).parquet(path)
+
+
+def read_quantized_codes(spark, path: str) -> DataFrame:
+    """Scan a persisted codes table (see ``write_quantized_codes``)."""
+    return spark.read.parquet(path)
+
+
+# Winner-id lists are bounded by queries x k; past this many rows the
+# driver collect (used to push an In() filter into the doubles scan)
+# would become its own cliff and the re-rank joins distributed instead.
+RERANK_COLLECT_MAX = 100_000
+
+
+def quantized_select(codes: DataFrame, q: DataFrame, k: int,
+                     id_col: str = "vec_id") -> DataFrame:
+    """Selection stage of the persisted-codes two-stage top-k: integer
+    dot products over the codes TABLE only — by construction this plan
+    can never read a double vector column (plan-pinned in
+    ``tests/test_plans.py``).  ``q`` is the quantized-query frame
+    (query_id, qc, qcn, ...); returns (query_id, neighbor_id, rank)."""
+    c = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col("q_codes").alias("cc"),
         F.sqrt(_qdot(F.col("q_codes"), F.col("q_codes")).cast("double"))
-        .alias("qcn"))
-    c = quantize_embeddings(vectors, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"), F.col("q_codes").alias("cc"),
-        F.sqrt(_qdot(F.col("q_codes"), F.col("q_codes")).cast("double"))
-        .alias("ccn"))
+        .alias("ccn")).filter(F.col("ccn") > 0)
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(F.broadcast(q.select("query_id", "qc", "qcn")))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("qcos", _qdot(F.col("qc"), F.col("cc")).cast("double")
                     / (F.col("qcn") * F.col("ccn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(),
                                                F.col("neighbor_id"))
-    top = (scored.withColumn("rank", F.row_number().over(w))
-           .filter(F.col("rank") <= k))
-    return top.select(
-        "query_id", "neighbor_id", "rank",
-        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
-        .alias("cosine"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+def cosine_topk_quantized(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          codes: DataFrame | None = None,
+                          rerank_collect_max: int | None = None) -> DataFrame:
+    """Two-stage top-k: SELECT on int8 codes, RE-RANK the k winners with
+    the exact double cosine.
+
+    The selection pass — the one that touches every corpus vector — runs
+    entirely on the quantized codes (integer dot products over
+    ``array<tinyint>``, exact long arithmetic); the exact cosine is
+    computed only for the k survivors per query, making the reported
+    score identical to the brute-force path's (re-rank is a projection
+    AFTER the rank filter, never per candidate).  Candidate order ties on
+    the integer score break by neighbor_id, so the cut is deterministic
+    across retries.  Zero vectors (all-zero codes) have no meaningful
+    cosine direction and are excluded from BOTH sides before the cross
+    join — they can neither query nor match.  Output: (query_id,
+    neighbor_id, rank, cosine) with rank = quantized-score rank and
+    cosine = exact.
+
+    Two corpus forms:
+
+    - ``codes=None`` (inline): codes are computed on the fly FROM the
+      double arrays, so the scan still reads the doubles — a
+      compute-only variant; the byte saving below does not apply.
+    - ``codes=<persisted table>`` (from ``write_quantized_codes``): the
+      selection plan reads ONLY the codes parquet — its scan's
+      ReadSchema has no double vector column (plan-pinned in
+      ``tests/test_plans.py``) — so the per-query full-corpus pass
+      scans ~1/8 the vector bytes.  The ≤ queries×k winners are then
+      joined back to ``vectors`` for the exact re-rank: their id list
+      is collected (bounded by construction; cap
+      ``rerank_collect_max``) and pushed into the doubles scan as an
+      ``In`` filter for row-group pruning; past the cap the same join
+      runs distributed via a broadcast of the winner frame.
+    """
+    q = quantize_embeddings(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"), F.col("q_codes").alias("qc"),
+        F.sqrt(_qdot(F.col("q_codes"), F.col("q_codes")).cast("double"))
+        .alias("qcn")).filter(F.col("qcn") > 0)
+    if codes is None:
+        c = quantize_embeddings(vectors, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            _norm(F.col(vec_col)).alias("cn"), F.col("q_codes").alias("cc"),
+            F.sqrt(_qdot(F.col("q_codes"), F.col("q_codes")).cast("double"))
+            .alias("ccn")).filter(F.col("ccn") > 0)
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("qcos",
+                        _qdot(F.col("qc"), F.col("cc")).cast("double")
+                        / (F.col("qcn") * F.col("ccn")))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(),
+                                                   F.col("neighbor_id"))
+        top = (scored.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k))
+        return top.select(
+            "query_id", "neighbor_id", "rank",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+            .alias("cosine"))
+    # Persisted-codes path: the selection never touches `vectors`.
+    if rerank_collect_max is None:
+        rerank_collect_max = RERANK_COLLECT_MAX
+    top = quantized_select(codes, q, k)
+    # Stage-cut so the winner frame evaluates once (the id collect below
+    # plus the result join would otherwise each re-run the selection).
+    from cloudbrush_spark.operators.dedup import _stage_cut
+    top = _stage_cut(top)
+    ids = [r[0] for r in
+           top.select("neighbor_id").distinct()
+           .limit(rerank_collect_max + 1).collect()]
+    nbr = vectors
+    if len(ids) <= rerank_collect_max:
+        # Bounded winner set: push In(id, ...) into the doubles scan so
+        # parquet row-group min/max stats prune everything else.
+        nbr = nbr.filter(F.col(id_col).isin(ids))
+    nbr = nbr.select(F.col(id_col).alias("neighbor_id"),
+                     F.col(vec_col).alias("cv"), _norm(F.col(vec_col))
+                     .alias("cn"))
+    return (
+        nbr.join(F.broadcast(top), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")
+        .select("query_id", "neighbor_id", "rank",
+                (_dot(F.col("qv"), F.col("cv"))
+                 / (F.col("qn") * F.col("cn"))).alias("cosine"))
+    )

@@ -300,3 +300,40 @@ def test_stratified_sample_prunes_and_never_single_partitions(spark):
     # the corpus would show as Sort [h ...] with no partitioning
     assert "SinglePartition" not in plan.split("cnt")[0]  # corpus side
     assert plan.count("Window") >= 1
+
+
+def test_quantized_codes_selection_scan_never_reads_doubles(spark, tmp_path):
+    """The persisted-codes ANN's byte lever, pinned in the plan: the
+    codes-table scan's ReadSchema carries q_codes (tinyint array) and NO
+    double embedding column, and the doubles table is touched only by
+    the re-rank — with the bounded winner-id list pushed into its scan
+    as an In() filter for row-group pruning."""
+    import random as _rnd
+    from cloudbrush_spark.operators import similarity
+    rng = _rnd.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vec_path, codes_path = str(tmp_path / "v"), str(tmp_path / "c")
+    df.write.parquet(vec_path)
+    vecs = spark.read.parquet(vec_path)
+    similarity.write_quantized_codes(vecs, codes_path)
+    codes = similarity.read_quantized_codes(spark, codes_path)
+    q = vecs.filter(F.col("vec_id") < 3)
+    # query side as a literal frame (the 100 TB shape: queries broadcast
+    # from the driver) so the only file scan in the selection plan is the
+    # codes table itself
+    qrows = similarity.quantize_embeddings(q).select("vec_id", "q_codes") \
+        .collect()
+    qq = spark.createDataFrame(
+        [(int(r.vec_id), list(r.q_codes)) for r in qrows],
+        "query_id long, qc array<tinyint>").withColumn("qcn", F.lit(1.0))
+    sel = similarity.quantized_select(codes, qq, 4)
+    sel_schemas = plans.read_schema(sel)
+    assert sel_schemas and any("q_codes" in s for s in sel_schemas)
+    assert all("embedding" not in s and "array<double>" not in s
+               for s in sel_schemas), sel_schemas
+    # the doubles scan exists only for the re-rank and carries the In()
+    # winner filter (parquet row-group pruning)
+    out = similarity.cosine_topk_quantized(vecs, q, k=4, codes=codes)
+    pushed = plans.pushed_filters(out)
+    assert any("In(vec_id" in p for p in pushed), pushed

@@ -277,3 +277,91 @@ def test_quantized_selection_rank_is_deterministic(spark):
     assert sorted((r.rank, r.neighbor_id) for r in out1.collect()) == \
         sorted((r.rank, r.neighbor_id) for r in out2.collect()) == \
         [(1, 1), (2, 2), (3, 3)]
+
+
+def test_persisted_codes_topk_matches_inline(spark, clustered, tmp_path):
+    """The persisted-codes path (selection over the codes TABLE, winners
+    joined back to the doubles) returns the same ranked rows and the same
+    bitwise-exact cosines as the inline form — persistence is a plan/IO
+    change, never a semantic one."""
+    vec_path = str(tmp_path / "vecs")
+    codes_path = str(tmp_path / "codes")
+    clustered.select("vec_id", "embedding").write.parquet(vec_path)
+    vecs = spark.read.parquet(vec_path)
+    similarity.write_quantized_codes(vecs, codes_path)
+    codes = similarity.read_quantized_codes(spark, codes_path)
+    assert dict(codes.dtypes)["q_codes"] == "array<tinyint>"
+    q = vecs.filter(F.col("vec_id") < 5)
+    inline = similarity.cosine_topk_quantized(vecs, q, k=5)
+    persisted = similarity.cosine_topk_quantized(vecs, q, k=5, codes=codes)
+    a = sorted((r.query_id, r.rank, r.neighbor_id, r.cosine)
+               for r in inline.collect())
+    b = sorted((r.query_id, r.rank, r.neighbor_id, r.cosine)
+               for r in persisted.collect())
+    assert a == b
+
+
+def test_persisted_codes_rerank_distributed_over_cap(spark, clustered,
+                                                     tmp_path):
+    """rerank_collect_max=0 forces the distributed re-rank branch (no
+    driver id collect, broadcast winner join instead) — identical rows."""
+    vec_path = str(tmp_path / "vecs")
+    codes_path = str(tmp_path / "codes")
+    clustered.select("vec_id", "embedding").write.parquet(vec_path)
+    vecs = spark.read.parquet(vec_path)
+    similarity.write_quantized_codes(vecs, codes_path)
+    codes = similarity.read_quantized_codes(spark, codes_path)
+    q = vecs.filter(F.col("vec_id") < 3)
+    capped = similarity.cosine_topk_quantized(vecs, q, k=4, codes=codes)
+    dist = similarity.cosine_topk_quantized(vecs, q, k=4, codes=codes,
+                                            rerank_collect_max=0)
+    assert sorted(map(tuple, capped.collect())) == \
+        sorted(map(tuple, dist.collect()))
+
+
+def test_quantized_zero_vectors_excluded_not_nan(spark):
+    """Zero vectors (all-zero codes, zero code-norm) are excluded from
+    both sides before the cross join: a zero QUERY emits no rows and a
+    zero CORPUS vector never appears as a neighbor — previously they
+    produced NULL-ranked rows and NaN cosines."""
+    rows = [(i, [float(i + 1), 2.0, 3.0]) for i in range(4)]
+    rows.append((98, [0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.cosine_topk_quantized(df, df, k=3).collect()
+    assert all(r.query_id != 98 and r.neighbor_id != 98 for r in out)
+    assert all(r.cosine == r.cosine and r.cosine is not None for r in out)
+    assert {r.query_id for r in out} == {0, 1, 2, 3}
+    # persisted path honors the same guard
+    import tempfile
+    d = tempfile.mkdtemp(prefix="cb_q8z_")
+    similarity.write_quantized_codes(df, d + "/codes")
+    codes = similarity.read_quantized_codes(spark, d + "/codes")
+    outp = similarity.cosine_topk_quantized(df, df, k=3, codes=codes).collect()
+    assert all(r.query_id != 98 and r.neighbor_id != 98 for r in outp)
+    assert all(r.cosine == r.cosine for r in outp)
+
+
+def test_persisted_codes_parquet_bytes_are_fraction_of_doubles(spark,
+                                                               tmp_path):
+    """The byte lever, measured: the persisted codes table is a small
+    fraction of the doubles table on disk (tinyint+RLE vs
+    array<double>), so a selection scan over codes reads far fewer bytes
+    than one over the embeddings.  Asserted at <= 1/3 to be robust to
+    parquet overhead at toy scale; measured 1/3.9 at the x10 fixture's
+    float32 table (docs/SCALE.md) — this fixture is array<double>, so
+    the ratio here is larger."""
+    import os as _os
+    import random as _rnd
+    rng = _rnd.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vec_path = str(tmp_path / "vecs")
+    codes_path = str(tmp_path / "codes")
+    df.write.parquet(vec_path)
+    similarity.write_quantized_codes(df, codes_path)
+    def _bytes(p):
+        return sum(_os.path.getsize(_os.path.join(r, f))
+                   for r, _, fs in _os.walk(p) for f in fs
+                   if f.endswith(".parquet"))
+    vb, cb = _bytes(vec_path), _bytes(codes_path)
+    assert cb * 3 <= vb, (cb, vb)
