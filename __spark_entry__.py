@@ -2157,6 +2157,34 @@ def q_probe_json_agg(spark, sf_dir):
     return json_props_agg(_t(spark, sf_dir, "events"))
 
 
+RAWSQL_QUERY = """
+    SELECT 'rawsql' AS op, n.n_name AS k1, '' AS k2,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                AS BIGINT) AS v1,
+           count(*) AS v2
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+def q_rawsql(spark, sf_dir):
+    """Raw-SQL entry surface (SURVEY §2.8/§7 — 'the relational versions
+    come free from Spark SQL and should be exposed'): registers the
+    analytic tables as temp views (``cloudbrush_spark.sql.
+    register_table_views``) and executes a TEXTUAL ``spark.sql`` query —
+    the path a reference user's first ad-hoc query takes, and the same
+    text (shared dialect subset) runs on DuckDB as the twin.  The view
+    layer is purely logical: pushdown/pruning reach the parquet scans
+    through it (pinned in tests/test_cli.py).  CLI:
+    ``python -m cloudbrush_spark -sql 'SELECT ...' -data DIR``."""
+    from cloudbrush_spark import sql as cbsql
+    cbsql.register_table_views(spark, sf_dir,
+                               tables=("orders", "customer", "nation"))
+    return cbsql.run_sql(spark, RAWSQL_QUERY)
+
+
 def q_relational_extras(spark, sf_dir):
     """SURVEY §2.8 relational extensions in ONE hash-checked union — as-of
     join, bounded range join, ROLLUP, grouped top-k, EXCEPT DISTINCT,
@@ -2264,12 +2292,15 @@ def q_relational_extras(spark, sf_dir):
         F.lit("win_range").alias("op"), s("o_custkey").alias("k1"),
         s("o_orderkey").alias("k2"), F.col("cents_30d").alias("v1"),
         F.lit(0).cast("long").alias("v2"))
+    # r10: the raw-SQL entry surface — already canonical (op,k1,k2,v1,v2)
+    # straight from the textual query
+    raw = q_rawsql(spark, sf_dir)
     return asof.unionByName(rng).unionByName(rol) \
         .unionByName(top).unionByName(exc).unionByName(uni) \
         .unionByName(win).unionByName(lag) \
         .unionByName(cub).unionByName(gst).unionByName(piv) \
         .unionByName(sal).unionByName(ntl).unionByName(mrg) \
-        .unionByName(bag).unionByName(wrange)
+        .unionByName(bag).unionByName(wrange).unionByName(raw)
 
 
 def q_g1_pwm_consensus(spark, sf_dir):
@@ -4459,6 +4490,15 @@ _ORACLES["relational_extras"] = """
                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                      AS cents
           FROM orders WHERE o_custkey % 7 = 0)
+    UNION ALL
+    SELECT 'rawsql', n.n_name, '',
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                AS BIGINT),
+           count(*)
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 2
 """
 
 # The true-streaming twin computes the identical hourly windows (F.window

@@ -57,6 +57,22 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="A8 spaced-seed error correction before dedup")
     ap.add_argument("-ckpt", default=None,
                     help="stage-checkpoint dir (restartable partial runs)")
+    ap.add_argument("-sql", default=None, metavar="QUERY",
+                    help="raw-SQL entry point: run QUERY via spark.sql "
+                         "over the temp views registered from -data "
+                         "(analytic tables) and/or -release (published "
+                         "corpus + release_manifest); prints rows as "
+                         "JSON lines (capped by -limit) or writes "
+                         "parquet with -out")
+    ap.add_argument("-data", default=None, metavar="DIR",
+                    help="-sql: parquet table directory whose tables "
+                         "register as temp views (region/nation/.../"
+                         "documents/embeddings)")
+    ap.add_argument("-release", default=None, metavar="DIR",
+                    help="-sql: published release directory to register "
+                         "as corpus/release_manifest views")
+    ap.add_argument("-limit", type=int, default=100,
+                    help="-sql: max rows printed without -out")
     ap.add_argument("-run_stats", default=None, metavar="DIR",
                     help="stats-only entry point over DIR's nodes.parquet")
     ap.add_argument("-genome", type=int, default=None,
@@ -164,6 +180,19 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="release: write the per-document gate-feature "
                          "cache to OUT/features.parquet so the next "
                          "crawl can release incrementally")
+    ap.add_argument("-prev_release", default=None, metavar="DIR",
+                    help="incremental release: the previous release's "
+                         "output directory — the PUBLISH stage then "
+                         "rewrites only the bucket directories the "
+                         "delta touches and hardlinks the rest over "
+                         "(the previous release must have been "
+                         "published bucketed, e.g. via -bucket_width)")
+    ap.add_argument("-bucket_width", type=int, default=None,
+                    help="release: publish the corpus in the bucketed "
+                         "directory layout with id-range buckets of "
+                         "this width (floor(id/W)) — the layout "
+                         "incremental publish carries directories "
+                         "over from; omit for the classic flat layout")
     ap.add_argument("-prior", default=None, metavar="PARQUET",
                     help="curation: previous-release corpus (doc_id, "
                          "text) — drop gated docs that near-duplicate "
@@ -217,6 +246,25 @@ def main(argv: list[str] | None = None) -> int:
         extra["spark.sql.shuffle.partitions"] = str(args.slots)
     spark = get_spark("cloudbrush", extra_conf=extra or None)
 
+    if args.sql:
+        from cloudbrush_spark import sql as cbsql
+        views: list[str] = []
+        if args.data:
+            views += cbsql.register_table_views(spark, args.data)
+        if args.release:
+            views += cbsql.register_release_views(spark, args.release)
+        if not views:
+            raise SystemExit("-sql needs -data DIR and/or -release DIR "
+                             "to register views")
+        df = cbsql.run_sql(spark, args.sql)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            for r in df.limit(args.limit).collect():
+                print(json.dumps(r.asDict(), default=str))
+        return 0
+
     if args.run_stats:
         from cloudbrush_spark.pipeline.assembler import Assembler
         nodes = _load_nodes(spark, args.run_stats)
@@ -269,7 +317,9 @@ def main(argv: list[str] | None = None) -> int:
             sem_kw["reference_docs"] = spark.read.parquet(args.prior)
         if (args.mixture is not None or args.budget is not None
                 or args.token_budget is not None
-                or args.src_budget is not None):
+                or args.src_budget is not None
+                or args.bucket_width is not None
+                or args.prev_release is not None):
             from cloudbrush_spark.pipeline.release import (
                 ReleasePipeline, incremental_release)
             weights = json.loads(args.mixture) if args.mixture else None
@@ -285,12 +335,16 @@ def main(argv: list[str] | None = None) -> int:
                 min_tokens=args.min_tokens, max_tokens=args.max_tokens,
                 decontam_n=args.decontam_n, **sem_kw)
             extra_info: dict = {}
+            if args.bucket_width is not None:
+                rel_kw["bucketed_publish"] = True
+                rel_kw["publish_bucket_width"] = args.bucket_width
             if args.base:
                 prev = (spark.read.parquet(args.prev_features)
                         if args.prev_features else None)
                 rel = incremental_release(
                     spark, spark.read.parquet(args.base), docs, args.out,
                     prev_features=prev, checkpoint_dir=args.ckpt,
+                    prev_release_path=args.prev_release,
                     verbose=True, boilerplate_max_df=args.boiler_df,
                     scrub_spans_min_df=args.scrub_spans_df, **rel_kw)
                 delta = spark.read.parquet(

@@ -123,6 +123,11 @@ class ReleasePipeline:
             report: bool = False,
             audit_spans: bool = False,
             cache_features: bool = False,
+            bucketed_publish: bool = False,
+            publish_bucket_width: int | None = None,
+            prev_corpus_path: str | None = None,
+            prev_manifest: DataFrame | None = None,
+            publish_changed_ids: DataFrame | None = None,
             **curate_kw) -> DataFrame:
         """Run the full release; returns the RELEASE MANIFEST — one row
         per published row: (id, copy, split, shard_id, offset, ws_tokens,
@@ -143,7 +148,22 @@ class ReleasePipeline:
         ``scrub_spans_min_df`` likewise enables the repeated-passage
         scrub (``operators/guard.span_scrub``, word-``scrub_spans_n``
         grams shared by >= min_df docs) as stage 0b, with the same
-        before-everything placement and the same consistency argument."""
+        before-everything placement and the same consistency argument.
+
+        ``bucketed_publish`` writes the corpus in the directory-bucketed
+        layout (``corpus.publish_corpus(bucketed=True)``, optionally
+        id-range buckets via ``publish_bucket_width``) — required of a
+        release that will serve as the BASE of incremental publishes.
+        ``prev_corpus_path``/``prev_manifest``/``publish_changed_ids``
+        (all three together) switch the publish stage to
+        ``corpus.publish_corpus_incremental``: only bucket directories
+        the delta touches are rewritten, the rest hardlink over from the
+        previous release — rows pinned identical either way."""
+        if prev_corpus_path is not None and (
+                prev_manifest is None or publish_changed_ids is None):
+            raise ValueError(
+                "incremental publish needs prev_corpus_path, "
+                "prev_manifest AND publish_changed_ids together")
         if boilerplate_max_df is not None:
             def _scrub() -> DataFrame:
                 from cloudbrush_spark.operators import guard
@@ -284,10 +304,22 @@ class ReleasePipeline:
                     "ws_tokens", "quality"))
 
         def _publish() -> DataFrame:
-            corpus_sink.publish_corpus(
-                docs, rel_manifest, os.path.join(out_path, "corpus"),
-                id_col=id_col, files_per_split=files_per_split,
-                carry_cols=("copy", "shard_id", "offset"))
+            if prev_corpus_path is not None:
+                stats = corpus_sink.publish_corpus_incremental(
+                    docs, rel_manifest, os.path.join(out_path, "corpus"),
+                    prev_corpus_path, prev_manifest, publish_changed_ids,
+                    id_col=id_col, files_per_split=files_per_split,
+                    carry_cols=("copy", "shard_id", "offset"),
+                    bucket_width=publish_bucket_width)
+                self.counters["publish_rewritten"] = stats["rewritten"]
+                self.counters["publish_carried"] = stats["carried"]
+            else:
+                corpus_sink.publish_corpus(
+                    docs, rel_manifest, os.path.join(out_path, "corpus"),
+                    id_col=id_col, files_per_split=files_per_split,
+                    carry_cols=("copy", "shard_id", "offset"),
+                    bucketed=bucketed_publish,
+                    bucket_width=publish_bucket_width)
             rel_manifest.write.mode("overwrite").parquet(
                 os.path.join(out_path, "release_manifest.parquet"))
             if cache_features:
@@ -349,6 +381,7 @@ def release(spark: SparkSession, docs: DataFrame, out_path: str,
 def incremental_release(spark: SparkSession, base_docs: DataFrame,
                         crawl_docs: DataFrame, out_path: str, *,
                         prev_features: DataFrame | None = None,
+                        prev_release_path: str | None = None,
                         delete_missing: bool = True,
                         checkpoint_dir: str | None = None,
                         verbose: bool = False,
@@ -383,6 +416,17 @@ def incremental_release(spark: SparkSession, base_docs: DataFrame,
     text when the delta shifts a line/passage's document frequency, so
     cached per-document features would be stale; passing either scrub
     option raises.
+
+    ``prev_release_path`` additionally makes the PUBLISH stage
+    incremental: the previous release's manifest
+    (``<prev>/release_manifest.parquet``) and bucketed corpus
+    (``<prev>/corpus``) let ``corpus.publish_corpus_incremental``
+    rewrite only the bucket directories the delta touches and hardlink
+    the rest over — the previous release must have been published with
+    ``bucketed_publish=True`` (this call forces it for the new output,
+    so release N+2 can chain).  Published rows stay identical to a
+    from-scratch release (pytest-pinned); pass ``publish_bucket_width``
+    matching the base release's.
 
     Returns the release manifest (see :meth:`ReleasePipeline.run`); also
     writes ``out_path/delta.parquet`` (the action manifest) and
@@ -424,6 +468,13 @@ def incremental_release(spark: SparkSession, base_docs: DataFrame,
             .select(*fresh.columns))
 
     feats = pipe._stage("features", _features)
+    if prev_release_path is not None:
+        kw.setdefault("bucketed_publish", True)
+        kw["prev_corpus_path"] = os.path.join(prev_release_path, "corpus")
+        kw["prev_manifest"] = spark.read.parquet(
+            os.path.join(prev_release_path, "release_manifest.parquet"))
+        kw["publish_changed_ids"] = actions.filter(
+            F.col("action") != "keep").select(id_col)
     manifest = pipe.run(snapshot, out_path, id_col=id_col,
                         text_col=text_col, features=feats, **kw)
     actions.write.mode("overwrite").parquet(

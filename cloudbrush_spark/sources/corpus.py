@@ -39,6 +39,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _pbucket(id_col: str, files_per_split: int,
+             bucket_width: int | None):
+    """Deterministic id→directory bucket for the bucketed publish
+    layout: hash (bounded count, balanced) or id-range (delta-local)."""
+    if bucket_width is not None:
+        return F.floor(F.col(id_col) / F.lit(bucket_width)).cast("long")
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_split))
+
+
 def publish_corpus(docs: DataFrame, manifest: DataFrame, path: str,
                    id_col: str = "doc_id", split_col: str = "split",
                    files_per_split: int = 16,
@@ -46,7 +55,9 @@ def publish_corpus(docs: DataFrame, manifest: DataFrame, path: str,
                    max_records_per_file: int = 5_000_000,
                    broadcast_manifest: bool = False,
                    compression: str = "zstd",
-                   carry_cols: tuple[str, ...] = ()) -> None:
+                   carry_cols: tuple[str, ...] = (),
+                   bucketed: bool = False,
+                   bucket_width: int | None = None) -> None:
     """Join the curation manifest back to the raw corpus and write the
     published training set at ``path`` partitioned by split.
 
@@ -57,13 +68,48 @@ def publish_corpus(docs: DataFrame, manifest: DataFrame, path: str,
 
     ``carry_cols`` names extra manifest columns copied onto the published
     rows (e.g. the release pipeline's copy/shard_id/offset) — a manifest
-    id may then map to SEVERAL published rows (one per up-sampled copy)."""
+    id may then map to SEVERAL published rows (one per up-sampled copy).
+
+    ``bucketed=True`` materializes the file bucket as a PARTITION
+    directory (``split=X/pbucket=Y/``) instead of an internal file
+    split.  Same id-sorted files; the point is that the id→directory
+    mapping becomes deterministic and directory-granular, which is what
+    lets :func:`publish_corpus_incremental` carry UNCHANGED directories
+    over from the previous release instead of rewriting the world.  Two
+    bucket functions: the default ``pmod(xxhash64(id),
+    files_per_split)`` keeps the bounded balanced-file contract;
+    ``bucket_width=W`` uses ``floor(id / W)`` instead — id-RANGE
+    buckets that PRESERVE DELTA LOCALITY (a crawl that re-touches
+    recent documents and appends new ids dirties only the trailing
+    directories, where a hash bucket scatters the same delta over every
+    directory; directory count then grows with the id space, ~W docs
+    per directory).  A corpus meant to serve as the base of incremental
+    publishes must be written with ``bucketed=True`` and the SAME
+    bucket function; :func:`read_corpus` hides the helper column on
+    read-back."""
     if split_col in docs.columns:
         docs = docs.drop(split_col)
     m = manifest.select(id_col, split_col, *carry_cols)
     if broadcast_manifest:
         m = F.broadcast(m)
     out = docs.join(m, id_col)
+    if bucketed:
+        out = out.withColumn(
+            "pbucket", _pbucket(id_col, files_per_split, bucket_width))
+        parts = (n_splits * files_per_split if bucket_width is None
+                 else None)
+        out = (
+            (out.repartition(parts, F.col(split_col), F.col("pbucket"))
+             if parts is not None else
+             out.repartition(F.col(split_col), F.col("pbucket")))
+            .sortWithinPartitions(split_col, "pbucket", id_col)
+        )
+        (out.write.mode("overwrite")
+            .option("compression", compression)
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy(split_col, "pbucket")
+            .parquet(path))
+        return
     out = (
         out.repartitionByRange(
             n_splits * files_per_split,
@@ -82,6 +128,116 @@ def publish_corpus(docs: DataFrame, manifest: DataFrame, path: str,
         .parquet(path))
 
 
+def publish_corpus_incremental(docs: DataFrame, manifest: DataFrame,
+                               path: str, prev_path: str,
+                               prev_manifest: DataFrame,
+                               changed_ids: DataFrame,
+                               id_col: str = "doc_id",
+                               split_col: str = "split",
+                               files_per_split: int = 16,
+                               n_splits: int = 3,
+                               max_records_per_file: int = 5_000_000,
+                               compression: str = "zstd",
+                               carry_cols: tuple[str, ...] = (),
+                               bucket_width: int | None = None) -> dict:
+    """Publish release N+1 rewriting ONLY the bucket directories the
+    delta touches; every other ``split=X/pbucket=Y/`` directory is
+    carried over from release N's corpus byte-for-byte (hardlinks when
+    the filesystem allows, copies otherwise).
+
+    A directory must be rewritten iff ANY row in it changed, under
+    either release's assignment.  Dirty ids are (a) the symmetric
+    difference of the two release manifests over their common columns —
+    catches every split/copy/shard/offset/feature reassignment even for
+    documents whose text is untouched — UNION (b) ``changed_ids``, the
+    text-level delta (insert/update/delete ids from
+    ``joins.merge_upsert``), which catches a text update whose manifest
+    row happens to be identical.  Dirty ids map to dirty directories
+    under BOTH manifests (a doc that moved split dirties its old and
+    new directory); everything else is provably byte-identical: same
+    member rows, same manifest attributes, same id-sorted order.
+
+    The dirty-directory list is small (bounded by the bucket count), so
+    the driver-side bookkeeping never scales with the corpus.  BUCKET
+    FUNCTION MATTERS: with hash buckets a uniformly-scattered 1%% delta
+    dirties ``1 - 0.99^(docs_per_bucket)`` of directories (≈ all of
+    them past ~500 docs/bucket) — hash bucketing only skips on deltas
+    far sparser than the bucket size.  Real crawl deltas are CLUSTERED
+    (recent ids re-touched, new ids appended), which ``bucket_width``
+    id-range buckets preserve: the dirty directories are the touched id
+    ranges plus the appended tail, everything else carries over.  Use
+    the same ``bucket_width`` the base release was published with.
+
+    ``prev_path`` must have been written with ``bucketed=True`` layout
+    and the same bucket function.  Returns counters:
+    {"rewritten": n, "carried": n}."""
+    import os
+    import shutil
+
+    mcols = [c for c in manifest.columns if c in set(prev_manifest.columns)]
+    mm = manifest.select(*mcols)
+    pm = prev_manifest.select(*mcols)
+    diff_ids = (mm.exceptAll(pm).select(id_col)
+                .union(pm.exceptAll(mm).select(id_col)))
+    dirty = diff_ids.union(changed_ids.select(id_col)).distinct()
+    pb = _pbucket(id_col, files_per_split, bucket_width)
+    dirty_dirs = (
+        manifest.join(dirty, id_col, "left_semi")
+        .select(F.col(split_col).alias("s"), pb.alias("b"))
+        .union(prev_manifest.join(dirty, id_col, "left_semi")
+               .select(F.col(split_col).alias("s"), pb.alias("b")))
+        .distinct().collect())  # bounded by n_splits * files_per_split
+    dirty_set = {(r.s, int(r.b)) for r in dirty_dirs}
+    # rewrite the dirty directories from the new corpus
+    if split_col in docs.columns:
+        docs = docs.drop(split_col)
+    m = manifest.select(id_col, split_col, *carry_cols)
+    out = docs.join(m, id_col).withColumn("pbucket", pb)
+    if dirty_set:
+        # bounded literal membership test (a 3000-term OR tree would
+        # bloat the expression; one isin on the concatenated key stays
+        # a single predicate)
+        keys = [f"{s}\x00{b}" for s, b in sorted(dirty_set)]
+        cond = F.concat_ws("\x00", F.col(split_col),
+                           F.col("pbucket").cast("string")).isin(keys)
+        (out.filter(cond)
+            .repartition(max(1, min(len(dirty_set), 1024)),
+                         F.col(split_col), F.col("pbucket"))
+            .sortWithinPartitions(split_col, "pbucket", id_col)
+            .write.mode("overwrite")
+            .option("compression", compression)
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy(split_col, "pbucket")
+            .parquet(path))
+    else:
+        os.makedirs(path, exist_ok=True)
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+    # carry over every clean directory from the previous release
+    carried = 0
+    for sdir in sorted(os.listdir(prev_path)):
+        if not sdir.startswith(f"{split_col}="):
+            continue
+        sval = sdir.split("=", 1)[1]
+        for bdir in sorted(os.listdir(os.path.join(prev_path, sdir))):
+            if not bdir.startswith("pbucket="):
+                continue
+            bval = int(bdir.split("=", 1)[1])
+            if (sval, bval) in dirty_set:
+                continue
+            src = os.path.join(prev_path, sdir, bdir)
+            dst = os.path.join(path, sdir, bdir)
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                if not f.endswith(".parquet"):
+                    continue
+                try:
+                    os.link(os.path.join(src, f), os.path.join(dst, f))
+                except OSError:
+                    shutil.copy2(os.path.join(src, f), os.path.join(dst, f))
+            carried += 1
+    return {"rewritten": len(dirty_set), "carried": carried}
+
+
 def read_corpus(spark: SparkSession, path: str,
                 split: str | None = None,
                 split_col: str = "split") -> DataFrame:
@@ -91,6 +247,10 @@ def read_corpus(spark: SparkSession, path: str,
     df = spark.read.parquet(path)
     if split is not None:
         df = df.filter(F.col(split_col) == split)
+    if "pbucket" in df.columns:
+        # internal file-bucket partition column of the bucketed layout
+        # (see publish_corpus(bucketed=True)) — not part of the corpus
+        df = df.drop("pbucket")
     return df
 
 

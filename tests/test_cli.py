@@ -205,3 +205,59 @@ def test_cli_compact_streamed_output(tmp_path, spark, capsys):
     import pytest
     with pytest.raises(SystemExit):
         main(["-compact", streamed])  # -out required
+
+
+def test_cli_sql_runs_query_over_registered_views(tmp_path, spark, capsys):
+    """-sql executes a textual query over the -data views and prints
+    JSON rows; -out writes parquet instead."""
+    import json
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    rc = main(["-sql",
+               "SELECT n_name, count(*) AS n FROM nation "
+               "GROUP BY n_name ORDER BY n_name LIMIT 3",
+               "-data", sf])
+    assert rc == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    rows = [json.loads(ln) for ln in lines]
+    assert rows and all(r["n"] == 1 for r in rows)
+    assert rows == sorted(rows, key=lambda r: r["n_name"])
+    # -out writes parquet
+    outp = str(tmp_path / "sqlout")
+    rc = main(["-sql", "SELECT count(*) AS n FROM region",
+               "-data", sf, "-out", outp])
+    assert rc == 0
+    assert spark.read.parquet(outp).first().n == 5
+
+
+def test_cli_sql_release_views_and_pushdown(tmp_path, spark, capsys):
+    """-release registers corpus/release_manifest views; and the view
+    layer is purely logical — a filtered SQL over a table view still
+    pushes the predicate into the parquet scan (the temp view costs
+    nothing over the DataFrame API)."""
+    from cloudbrush_spark import sql as cbsql
+    from cloudbrush_spark import plans
+    from cloudbrush_spark.pipeline.release import release
+    from tests.test_release import _docs_distinct
+    out0 = str(tmp_path / "rel")
+    release(spark, _docs_distinct(spark, 12), out0, max_tokens=2000)
+    rc = main(["-sql",
+               "SELECT count(*) AS n FROM corpus JOIN release_manifest "
+               "USING (doc_id)", "-release", out0])
+    assert rc == 0
+    assert '"n":' in capsys.readouterr().out.replace(" ", "")
+    # pushdown through a view
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    cbsql.register_table_views(spark, sf, tables=("part",))
+    q = cbsql.run_sql(spark,
+                      "SELECT p_partkey FROM part WHERE p_size > 40")
+    pushed = plans.pushed_filters(q)
+    assert pushed and "p_size" in pushed[0]
+    schemas = plans.read_schema(q)
+    assert schemas and "p_name" not in schemas[0]
+
+
+def test_cli_sql_without_views_errors(tmp_path, spark):
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["-sql", "SELECT 1"])

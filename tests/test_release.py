@@ -488,3 +488,163 @@ def test_release_cli_incremental(tmp_path, spark, capsys):
     # snapshot (the _docs fixture collapses to one rep per base text, so
     # the odd cluster's min-id rep moves 1 -> 5 once 1 and 3 are deleted)
     assert not {1, 3} & ids and 5 in ids
+
+
+def _docs_distinct(spark, n=40):
+    """n gate-passing documents that are NOT near-duplicates of each
+    other: same English vocabulary (so lang/quality gates pass), but a
+    per-doc shuffled word ORDER, so 3-shingle Jaccard between any two
+    docs is ~0 and curation keeps every one (the `_docs` fixture's
+    shared-prefix texts collapse to one representative per base text)."""
+    import random as _rnd
+    from tests.test_curation import GOOD
+    words = (GOOD + " " + FILLER).split()
+    rows = []
+    for i in range(n):
+        rng = _rnd.Random(i)
+        w = words[:]
+        rng.shuffle(w)
+        rows.append((i, " ".join(w) + f" document number {i}",
+                     "webcrawl" if i < 20 else "curated"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+
+
+def _distinct_snapshot_and_crawl(spark):
+    """Crawl over `_docs_distinct`: updates 0,2; deletes 1,3; inserts
+    100,101; resends the rest unchanged — the delta is CLUSTERED in id
+    space (low ids + appended tail), the shape id-range buckets keep
+    local."""
+    base = _docs_distinct(spark)
+    crawl_rows = []
+    for r in base.collect():
+        if r.doc_id in (1, 3):
+            continue
+        txt = r.text + " refreshed content" if r.doc_id in (0, 2) else r.text
+        crawl_rows.append((r.doc_id, txt, r.source))
+    import random as _rnd
+    from tests.test_curation import GOOD
+    words = (GOOD + " " + FILLER).split()
+    for nid in (100, 101):
+        rng = _rnd.Random(1000 + nid)
+        w = words[:]
+        rng.shuffle(w)
+        crawl_rows.append((nid, " ".join(w) + f" document number {nid}",
+                           "webcrawl"))
+    crawl = spark.createDataFrame(
+        crawl_rows, "doc_id long, text string, source string")
+    return base, crawl
+
+
+def test_incremental_publish_skips_unchanged_buckets(spark, tmp_path):
+    """prev_release_path makes the publish stage incremental: with
+    id-range buckets (width 8), the delta (updates/deletes in ids 0-3,
+    inserts at 100-101) dirties only the buckets holding those ids;
+    every other bucket directory is carried over from release N
+    byte-for-byte, and the read-back rows are identical to a
+    from-scratch release of the same snapshot."""
+    from cloudbrush_spark.pipeline.release import incremental_release
+    from cloudbrush_spark.sources import corpus as corpus_sink
+    base, crawl = _distinct_snapshot_and_crawl(spark)
+    kw = dict(max_tokens=2000, publish_bucket_width=8)
+    out0 = str(tmp_path / "rel0")
+    release(spark, base, out0, cache_features=True,
+            bucketed_publish=True, **kw)
+    prev = spark.read.parquet(os.path.join(out0, "features.parquet"))
+
+    out1 = str(tmp_path / "rel1")
+    incremental_release(spark, base, crawl, out1, prev_features=prev,
+                        prev_release_path=out0, **kw)
+
+    def _dirs(p):
+        out = {}
+        root = os.path.join(p, "corpus")
+        for sd in os.listdir(root):
+            if not sd.startswith("split="):
+                continue
+            for bd in os.listdir(os.path.join(root, sd)):
+                if bd.startswith("pbucket="):
+                    files = sorted(
+                        (f, os.path.getsize(os.path.join(root, sd, bd, f)))
+                        for f in os.listdir(os.path.join(root, sd, bd))
+                        if f.endswith(".parquet"))
+                    out[(sd, bd)] = files
+        return out
+    d0, d1 = _dirs(out0), _dirs(out1)
+    carried = [k for k in d1 if k in d0 and d0[k] == d1[k]]
+    rewritten = [k for k in d1 if k not in carried]
+    assert carried, "no bucket directory carried over"
+    # the delta's buckets (0 for ids 0-3, 12 for 100-101) were rewritten
+    # wherever they exist; id 8..39 buckets carried
+    assert all(bd != "pbucket=0" for (_, bd) in carried)
+    assert any(bd == "pbucket=12" for (_, bd) in rewritten)
+    # read-back identical to a from-scratch release of the snapshot
+    out2 = str(tmp_path / "rel2")
+    release(spark, crawl, out2, max_tokens=2000)
+    cols = ["doc_id", "copy", "split", "shard_id", "offset", "text"]
+    back1 = corpus_sink.read_corpus(spark, os.path.join(out1, "corpus")) \
+        .select(*cols)
+    back2 = corpus_sink.read_corpus(spark, os.path.join(out2, "corpus")) \
+        .select(*cols)
+    assert back1.exceptAll(back2).count() == 0
+    assert back2.exceptAll(back1).count() == 0
+    assert "pbucket" not in back1.columns
+    # deleted ids are gone from the incremental corpus
+    assert back1.filter(F.col("doc_id").isin([1, 3])).count() == 0
+
+
+def test_incremental_publish_noop_delta_carries_everything(spark, tmp_path):
+    """A crawl that resends the base unchanged rewrites ZERO bucket
+    directories — the whole corpus carries over file-for-file."""
+    from cloudbrush_spark.pipeline.release import incremental_release
+    from cloudbrush_spark.sources import corpus as corpus_sink
+    base = _docs_distinct(spark)
+    kw = dict(max_tokens=2000, publish_bucket_width=8)
+    out0 = str(tmp_path / "rel0")
+    release(spark, base, out0, cache_features=True,
+            bucketed_publish=True, **kw)
+    prev = spark.read.parquet(os.path.join(out0, "features.parquet"))
+    out1 = str(tmp_path / "rel1")
+    incremental_release(spark, base, base, out1, prev_features=prev,
+                        prev_release_path=out0, **kw)
+    c0, c1 = os.path.join(out0, "corpus"), os.path.join(out1, "corpus")
+    n_files = 0
+    for root, _, files in os.walk(c1):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            n_files += 1
+            other = os.path.join(c0, os.path.relpath(root, c1), f)
+            assert os.path.exists(other), f"{f} not carried from base"
+            assert os.path.getsize(other) == \
+                os.path.getsize(os.path.join(root, f))
+    assert n_files > 0
+    b0 = corpus_sink.read_corpus(spark, c0)
+    b1 = corpus_sink.read_corpus(spark, c1)
+    assert b0.exceptAll(b1).count() == 0 and b1.exceptAll(b0).count() == 0
+
+
+def test_release_cli_incremental_publish(tmp_path, spark, capsys):
+    """-bucket_width publishes the bucketed layout; -prev_release makes
+    the next crawl's publish incremental through the CLI."""
+    from cloudbrush_spark.__main__ import main
+    from cloudbrush_spark.sources import corpus as corpus_sink
+    base, crawl = _distinct_snapshot_and_crawl(spark)
+    base_p, crawl_p = str(tmp_path / "b.parquet"), str(tmp_path / "c.parquet")
+    base.write.parquet(base_p)
+    crawl.write.parquet(crawl_p)
+    out0, out1 = str(tmp_path / "rel0"), str(tmp_path / "rel1")
+    rc = main(["-curate", base_p, "-out", out0, "-max_tokens", "2000",
+               "-bucket_width", "8", "-cache_features"])
+    assert rc == 0
+    assert any(d.startswith("pbucket=") for d in
+               os.listdir(os.path.join(out0, "corpus", "split=train")))
+    capsys.readouterr()
+    rc = main(["-curate", crawl_p, "-out", out1, "-max_tokens", "2000",
+               "-bucket_width", "8", "-base", base_p,
+               "-prev_features", os.path.join(out0, "features.parquet"),
+               "-prev_release", out0])
+    assert rc == 0
+    back = corpus_sink.read_corpus(spark, os.path.join(out1, "corpus"))
+    assert back.filter(F.col("doc_id").isin([1, 3])).count() == 0
+    assert back.filter(F.col("doc_id") == 100).count() == 1
