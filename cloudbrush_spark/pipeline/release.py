@@ -386,6 +386,7 @@ def incremental_release(spark: SparkSession, base_docs: DataFrame,
                         checkpoint_dir: str | None = None,
                         verbose: bool = False,
                         id_col: str = "doc_id", text_col: str = "text",
+                        counters: dict | None = None,
                         **kw) -> DataFrame:
     """Release N+1 from release N's snapshot plus an incoming crawl —
     the "don't re-tokenize the world per crawl" form of :func:`release`.
@@ -481,4 +482,6 @@ def incremental_release(spark: SparkSession, base_docs: DataFrame,
         os.path.join(out_path, "delta.parquet"))
     feats.write.mode("overwrite").parquet(
         os.path.join(out_path, "features.parquet"))
+    if counters is not None:
+        counters.update(pipe.counters)
     return manifest
