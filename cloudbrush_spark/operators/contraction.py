@@ -37,6 +37,38 @@ from pyspark.sql import functions as F
 from cloudbrush_spark.functions import dna
 from cloudbrush_spark.operators.graph import compressible
 
+
+def _cut(df: DataFrame) -> DataFrame:
+    """Round boundary: localCheckpoint + ORIGIN-PLAN SEVERING.
+
+    ``localCheckpoint`` truncates the visible lineage, but the returned
+    LogicalRDD retains the pre-checkpoint logical plan (origin stats /
+    constraints), and that reference CHAINS across rounds: round r's
+    origin plan contains round r-1's LogicalRDD, whose origin contains
+    r-2's, ...  Catalyst passes that re-walk the plan per round —
+    stats estimation (``SizeInBytesOnlyStatsPlanVisitor.visitJoin``),
+    InjectRuntimeFilter, constant folding — then run over an
+    ever-deepening join tree, and per-round DRIVER time grows
+    geometrically even though the data shrinks: measured on a 600k-node
+    chain, rounds 10/11/12 cost 1.8s/3.5s/11.9s with plain
+    localCheckpoint and 1.3s flat with this cut (a 1.5M-node chain's
+    round 14 cost 345s before the fix).  Severing rebuilds the frame
+    from the materialized internal RDD (zero-copy — ``toRdd`` on a
+    checkpointed frame IS the checkpoint RDD), so no Catalyst walk can
+    recurse into history.  The severed frame has no origin stats, which
+    suppresses static broadcast planning downstream — inside the loop
+    every join is either hinted or AQE-converted from actual runtime
+    sizes, so plans are unchanged (and measured faster end-to-end)."""
+    ck = df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    try:
+        jdf = spark._jsparkSession.internalCreateDataFrame(
+            ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False)
+        return DataFrame(jdf, spark)
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect: no JVM handle
+        return ck
+
+
 def D1():
     return F.substring("et", 1, 1)
 
@@ -364,7 +396,7 @@ def contract_chains(nodes: DataFrame, edges: DataFrame, seed: int = 42,
     rounds = 0
     for rnd in range(max_rounds):
         t0 = time.time()
-        links = compressible(nodes, edges).localCheckpoint(eager=True)
+        links = _cut(compressible(nodes, edges))
         n_links = links.count()
         if n_links == 0:
             break
@@ -377,7 +409,7 @@ def contract_chains(nodes: DataFrame, edges: DataFrame, seed: int = 42,
                 print(f"contract serial finish: {n_links} links "
                       f"({time.time() - t0:.1f}s)", flush=True)
             break
-        merges = _pick_merges(links, seed + rnd, coin).localCheckpoint(eager=True)
+        merges = _cut(_pick_merges(links, seed + rnd, coin))
         n_merges = merges.count()
         if n_merges == 0:
             # all-same-coin pathology on a residual chain: next seed reshuffles
@@ -386,8 +418,8 @@ def contract_chains(nodes: DataFrame, edges: DataFrame, seed: int = 42,
         nodes = _merge_nodes(nodes, merges)
         edges = _rewrite_edges(edges, merges)
         if (rnd + 1) % checkpoint_every == 0:
-            nodes = nodes.localCheckpoint(eager=True)
-            edges = edges.localCheckpoint(eager=True)
+            nodes = _cut(nodes)
+            edges = _cut(edges)
         rounds += 1
         if verbose:
             print(f"contract round {rnd}: {n_merges} merges "

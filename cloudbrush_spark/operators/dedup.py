@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from cloudbrush_spark.functions import dna, text
 
 
-def _stage_cut(df: DataFrame) -> DataFrame:
+def _stage_cut(df: DataFrame, sever: bool = False) -> DataFrame:
     """Materialize a small intermediate frame so a fanned-out DAG reads it
     instead of re-executing (and racing) the expensive upstream pipeline.
 
@@ -36,11 +36,33 @@ def _stage_cut(df: DataFrame) -> DataFrame:
     executor-local blocks — and falls back to ``localCheckpoint(eager=True)``
     otherwise, which is correct and cheapest on local[*] where executor
     loss cannot happen.
-    """
+
+    ``sever=True`` additionally rebuilds the frame from the materialized
+    internal RDD, dropping the checkpoint's retained ORIGIN logical plan.
+    Checkpoint LogicalRDDs keep the pre-checkpoint plan for stats /
+    constraints, and in an ITERATIVE loop those references CHAIN: round
+    r's origin contains round r-1's LogicalRDD and so on, and Catalyst's
+    stats / runtime-filter / folding passes then re-walk an ever-
+    deepening tree each round — per-round driver time grows
+    geometrically while data shrinks (measured in the contraction loop:
+    345 s for a late round whose data was ~1,000 rows; see
+    ``operators/contraction._cut``).  Use sever=True for the per-round
+    cut of any unbounded loop; leave it off for one-shot cuts, where the
+    origin stats help downstream static broadcast planning."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        out = df.checkpoint(eager=True)
+    else:
+        out = df.localCheckpoint(eager=True)
+    if not sever:
+        return out
+    spark = df.sparkSession
+    try:
+        jdf = spark._jsparkSession.internalCreateDataFrame(
+            out._jdf.queryExecution().toRdd(), out._jdf.schema(), False)
+        return DataFrame(jdf, spark)
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect: no JVM handle
+        return out
 
 
 # Over-cap bucket lists are usually tiny (bound: members * bands /
@@ -879,12 +901,15 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
             )
             cand = cand.unionByName(jump)
         new = cand.groupBy("member").agg(F.min("label").alias("label"))
-        new = _stage_cut(new)
+        # sever=True: per-round cuts of an unbounded loop must not chain
+        # origin plans (geometric driver-time growth — see _stage_cut)
+        new = _stage_cut(new, sever=True)
         delta = _stage_cut(
             new.alias("n")
             .join(labels.alias("o"), "member")
             .filter(F.col("n.label") != F.col("o.label"))
-            .select("member", F.col("n.label").alias("label"))
+            .select("member", F.col("n.label").alias("label")),
+            sever=True,
         )
         n_delta = delta.count()
         converged = n_delta == 0
