@@ -750,7 +750,51 @@ def q_curation_filter(spark, sf_dir):
         F.lit("heavy").alias("op"), F.lit("heavy_tok").alias("k1"),
         F.col("tok").alias("k2"), F.col("cnt").alias("v1"),
         F.lit(0).cast("long").alias("v2"), F.col("fi_ok").alias("v3"))
-    return doc.unionByName(rep).unionByName(hv)
+    # r10 'bm25': ranked full-text retrieval (operators/textsearch.bm25_topk)
+    # as a soundness/size contract row (the ann_contracts pattern — BM25
+    # scores are floats whose last-ULP ln() differences across engines
+    # would flap a value hash): v1 = candidate docs (>=1 query term),
+    # recomputed INDEPENDENTLY by DuckDB from the raw text; v2 = invalid
+    # rows computed in Spark (result doc without any query term, duplicate
+    # ranks, score-order violations, wrong result size); v3 = result rows
+    # = least(k, candidates) by construction.  Exactness vs a pure-python
+    # BM25 reference is pinned in tests/test_textsearch.py.
+    from pyspark.sql import Window
+
+    from cloudbrush_spark.operators.textsearch import bm25_topk
+    bmq = ["merge", "spark", "window"]
+    bm_k = 25
+    bm_docs = _t(spark, sf_dir, "documents")
+    arr = F.array(*[F.lit(t) for t in bmq])
+    tok_expr = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                        lambda t: t != F.lit(""))
+    bm = bm25_topk(bm_docs, bmq, k=bm_k)
+    cand = bm_docs.select(
+        F.arrays_overlap(tok_expr, arr).cast("long").alias("h")) \
+        .agg(F.sum("h").alias("cand"))
+    noterm = (bm.join(bm_docs.select("doc_id", tok_expr.alias("tk")),
+                      "doc_id")
+              .agg(F.coalesce(F.sum((~F.arrays_overlap("tk", arr))
+                                    .cast("long")), F.lit(0))
+                   .alias("badterm")))
+    w_bm = Window.orderBy("rank")
+    viol = (bm.withColumn("prev", F.lag("score").over(w_bm))
+            .agg(F.coalesce(
+                F.sum(F.when(F.col("score") > F.col("prev") + 1e-9, 1)
+                      .otherwise(0)), F.lit(0)).alias("ord_bad"),
+                (F.count(F.lit(1)) - F.count_distinct("rank"))
+                .alias("rank_dup"),
+                F.count(F.lit(1)).alias("nres")))
+    bm_row = cand.crossJoin(noterm).crossJoin(viol).select(
+        F.lit("bm25").alias("op"), F.lit("").alias("k1"),
+        F.lit("|".join(bmq)).alias("k2"),
+        F.col("cand").alias("v1"),
+        (F.col("badterm") + F.col("ord_bad") + F.col("rank_dup")
+         + (F.col("nres") != F.least(F.lit(bm_k).cast("long"),
+                                     F.col("cand"))).cast("long"))
+        .alias("v2"),
+        F.least(F.lit(bm_k).cast("long"), F.col("cand")).alias("v3"))
+    return doc.unionByName(rep).unionByName(hv).unionByName(bm_row)
 
 
 def q_corpus_guard_base(spark, sf_dir):
@@ -3847,6 +3891,13 @@ _ORACLES["curation_filter"] = f"""
          (SELECT count(*) AS n
           FROM (SELECT unnest({_TOKS}) AS tok FROM documents))
     WHERE cnt * 100 > 2 * n
+    UNION ALL
+    SELECT 'bm25' AS op, '' AS k1, 'merge|spark|window' AS k2,
+           CAST(c.n AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2,
+           CAST(least(25, c.n) AS BIGINT) AS v3
+    FROM (SELECT count(*) AS n FROM documents
+          WHERE list_has_any({_TOKS},
+                             ['merge', 'spark', 'window'])) c
 """
 
 _ORACLES["j1_candidates"] = f"""
