@@ -797,6 +797,16 @@ def q_curation_filter(spark, sf_dir):
     return doc.unionByName(rep).unionByName(hv).unionByName(bm_row)
 
 
+def q_bm25_only(spark, sf_dir):
+    """Single-op BM25 form (bench + scale probes): top-25 documents for
+    the three-term query over the documents table — the plain retrieval
+    product (doc_id, rank, score); the driver-verified contract form is
+    the `curation_filter` 'bm25' leg."""
+    from cloudbrush_spark.operators.textsearch import bm25_topk
+    return bm25_topk(_t(spark, sf_dir, "documents"),
+                     ["merge", "spark", "window"], k=25)
+
+
 def q_corpus_guard_base(spark, sf_dir):
     """Corpus-guard tagged union (operators/guard.py) — the three "release
     hygiene" checks a pretraining corpus runs, in one canonical
@@ -2159,8 +2169,53 @@ def q_ann_contracts(spark, sf_dir):
              <= F.col("n_vec")).alias("recall_ok"),
         )
     )
+    # r10 'emb_cross': cross-corpus vector dedup (similarity.
+    # cross_corpus_embedding_near_dups) — the vec_id%5==0 slice plays the
+    # NEW crawl (ids shifted +10000 per the disjoint-id contract), the
+    # rest the previous release.  n_base = NEW docs with >= 1 exact
+    # cross-side match at theta (DuckDB recomputes from raw vectors);
+    # invalid_rows = side-membership violations; bad_cosine = emitted
+    # rows whose exact recomputed cosine mismatches or falls below
+    # theta; recall_ok: matched new docs >= 50% of the exact matched set
+    # (star expansion guarantees one row per matched new doc).
+    new_emb = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    ref_emb = emb.filter(F.col("vec_id") % 5 != 0)
+    crossp = similarity.cross_corpus_embedding_near_dups(
+        new_emb, ref_emb, dim=64, threshold=0.42, planes=4, seed=42,
+        tables=16)
+    dotx = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+    nrmx = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    chk = (crossp
+           .join(new_emb.select(F.col("vec_id").alias("a"),
+                                F.col("embedding").alias("va")), "a", "left")
+           .join(ref_emb.select(F.col("vec_id").alias("b"),
+                                F.col("embedding").alias("vb")), "b", "left")
+           .withColumn("tc", dotx / (nrmx(F.col("va")) * nrmx(F.col("vb")))))
+    flags_x = chk.agg(
+        F.sum((F.col("va").isNull() | F.col("vb").isNull()).cast("long"))
+        .alias("invalid_rows"),
+        F.sum(((F.abs(F.col("cosine") - F.col("tc")) > 1e-9)
+               | (F.col("tc") < 0.42)).cast("long")).alias("bad_cosine"))
+    xbase = (exact.withColumn(
+        "new_id",
+        F.when((F.col("a") % 5 == 0) & (F.col("b") % 5 != 0), F.col("a"))
+         .when((F.col("b") % 5 == 0) & (F.col("a") % 5 != 0), F.col("b")))
+        .filter(F.col("new_id").isNotNull())
+        .agg(F.countDistinct("new_id").alias("n_base")))
+    gotx = crossp.agg(F.countDistinct("a").alias("got"))
+    r_cross = (
+        xbase.crossJoin(flags_x).crossJoin(gotx)
+        .select(F.lit("emb_cross").alias("variant"), "n_base",
+                F.coalesce("invalid_rows", F.lit(0)).alias("invalid_rows"),
+                F.coalesce("bad_cosine", F.lit(0)).alias("bad_cosine"),
+                (F.lit(100) * F.col("got") >= F.lit(50) * F.col("n_base"))
+                .alias("recall_ok")))
     return (r_lsh.unionByName(r_ivf).unionByName(r_q8).unionByName(r_q8p)
-            .unionByName(r_emb).unionByName(r_embc))
+            .unionByName(r_emb).unionByName(r_embc)
+            .unionByName(r_cross))
 
 
 def q_probe_emb_near_dup(spark, sf_dir):
@@ -4383,6 +4438,12 @@ _ORACLES["ann_contracts"] = """
     SELECT 'emb_clusters', CAST(cc.n AS BIGINT), CAST(0 AS BIGINT),
            CAST(0 AS BIGINT), TRUE
     FROM cc
+    UNION ALL
+    SELECT 'emb_cross', CAST(cx.n AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), TRUE
+    FROM (SELECT count(DISTINCT CASE WHEN a % 5 = 0 THEN a ELSE b END) AS n
+          FROM scored
+          WHERE c >= 0.42 AND ((a % 5 = 0) <> (b % 5 = 0))) cx
 """
 
 _ORACLES["relational_extras"] = """

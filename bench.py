@@ -60,6 +60,9 @@ HEADLINE = [
     # added late round 9: the two join-heaviest new tpch_suite legs
     "tpch_q8",
     "tpch_q9",
+    # added round 10 (appended; single-op form — the driver row is the
+    # curation_filter 'bm25' contract leg)
+    "bm25",
 ]
 
 
@@ -91,6 +94,7 @@ def main() -> None:
     qs["repeated_spans"] = entrymod.q_repeated_spans_only
     qs["pack_sequences"] = entrymod.q_pack_sequences_only
     qs["span_scrub"] = entrymod.q_span_scrub_only
+    qs["bm25"] = entrymod.q_bm25_only
     # warm the JVM + parquet footers with one cheap action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     # host-health probe: record the parallel/single ratio so a run under

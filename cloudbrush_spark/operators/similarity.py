@@ -503,6 +503,105 @@ def embedding_near_dup(vectors: DataFrame, dim: int, threshold: float = 0.95,
     return cross.unionByName(intra)
 
 
+def cross_corpus_embedding_near_dups(new_vectors: DataFrame,
+                                     ref_vectors: DataFrame, dim: int,
+                                     threshold: float = 0.95,
+                                     planes: int | None = None,
+                                     seed: int = 42,
+                                     id_col: str = "vec_id",
+                                     vec_col: str = "embedding",
+                                     tables: int = 1,
+                                     max_bucket: int = 1000) -> DataFrame:
+    """Embedding near-duplicates of a NEW crawl against a PREVIOUS
+    release — the vector-side mirror of ``dedup.cross_corpus_near_dups``
+    ("drop new documents whose embedding duplicates something we already
+    shipped").  Id spaces must be disjoint (same contract as the text
+    form).
+
+    One shared collapse + LSH bucketing pass over the tagged union (a
+    vector present on both sides lands in ONE group, so cross-side exact
+    duplicates never need a bucket collision at all); candidate
+    representative pairs are pruned to cross-side-RELEVANT ones — at
+    least one side of the pair must hold a new member and the other a
+    ref member — BEFORE the exact-cosine verify, so within-side
+    candidate mass (the big, already-deduped release × itself) never
+    pays the high-dim dot product or expands.  Expansion is star-shaped
+    and linear: every matched NEW member pairs with the min REF id of
+    the matched group (the product a curation gate consumes is "this
+    new doc has a prior-release duplicate", not the full bipartite pair
+    set).  Output: (a = new id, b = ref id, cosine), every row
+    exact-cosine verified (same-group rows are exact duplicates at 1.0).
+    """
+    new_t = new_vectors.select(F.col(id_col), F.col(vec_col),
+                               F.lit("n").alias("__side"))
+    ref_t = ref_vectors.select(F.col(id_col), F.col(vec_col),
+                               F.lit("r").alias("__side"))
+    tagged = new_t.unionByName(ref_t)
+    keyed, groups = _collapse(tagged.select(id_col, vec_col),
+                              id_col, vec_col)
+    if planes is None:
+        planes = _derive_planes(groups.count())
+    # per-group side composition (bounded aggregate on the vector key)
+    sides = (tagged.select(id_col, _vkey(F.col(vec_col)).alias("vkey"),
+                           "__side")
+             .groupBy("vkey")
+             .agg(F.sum((F.col("__side") == "n").cast("long")).alias("mn"),
+                  F.min(F.when(F.col("__side") == "r", F.col(id_col)))
+                  .alias("ref_min")))
+    comp = groups.select("vkey", "rep").join(sides, "vkey") \
+        .select("rep", "mn", "ref_min")
+    cand = _capped_rep_pairs(groups, dim, planes, seed, tables, max_bucket,
+                             star_overcap=True)
+    ca = comp.select(F.col("rep").alias("a"), F.col("mn").alias("a_mn"),
+                     F.col("ref_min").alias("a_ref"))
+    cb = comp.select(F.col("rep").alias("b"), F.col("mn").alias("b_mn"),
+                     F.col("ref_min").alias("b_ref"))
+    # cross-side relevance prune BEFORE the exact verify: one side must
+    # contribute a new member, the other a ref member
+    relevant = (
+        cand.join(ca, "a").join(cb, "b")
+        .filter(((F.col("a_mn") > 0) & F.col("b_ref").isNotNull())
+                | ((F.col("b_mn") > 0) & F.col("a_ref").isNotNull()))
+    )
+    va = groups.select(F.col("rep").alias("a"), F.col("__vec").alias("va"),
+                       _norm(F.col("__vec")).alias("na"))
+    vb = groups.select(F.col("rep").alias("b"), F.col("__vec").alias("vb"),
+                       _norm(F.col("__vec")).alias("nb"))
+    rep_pairs = (
+        relevant.join(va, "a").join(vb, "b")
+        .withColumn("cosine", _dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "a_ref", "b_ref", "cosine")
+    )
+    # star expansion: matched NEW members -> the matched group's min ref
+    new_members = (
+        tagged.filter(F.col("__side") == "n")
+        .select(F.col(id_col).alias("nid"),
+                _vkey(F.col(vec_col)).alias("vkey"))
+        .join(groups.select("vkey", "rep"), "vkey")
+        .select("nid", "rep")
+    )
+    out_ab = (
+        rep_pairs.filter(F.col("b_ref").isNotNull())
+        .join(new_members.withColumnRenamed("rep", "a"), "a")
+        .select(F.col("nid").alias("a"), F.col("b_ref").alias("b"),
+                "cosine"))
+    out_ba = (
+        rep_pairs.filter(F.col("a_ref").isNotNull())
+        .join(new_members.withColumnRenamed("rep", "b"), "b")
+        .select(F.col("nid").alias("a"), F.col("a_ref").alias("b"),
+                "cosine"))
+    # same-group cross pairs: a new member whose exact vector already
+    # shipped — no bucket collision needed, cosine exactly 1.0
+    same = (
+        new_members.join(comp.filter(F.col("ref_min").isNotNull()), "rep")
+        .select(F.col("nid").alias("a"), F.col("ref_min").alias("b"),
+                F.lit(1.0).alias("cosine"))
+    )
+    return out_ab.unionByName(out_ba).unionByName(same).distinct()
+
+
 def embedding_clusters(vectors: DataFrame, dim: int, threshold: float = 0.95,
                        planes: int | None = None, seed: int = 42,
                        id_col: str = "vec_id", vec_col: str = "embedding",

@@ -174,19 +174,45 @@ def publish_corpus_incremental(docs: DataFrame, manifest: DataFrame,
     import os
     import shutil
 
-    mcols = [c for c in manifest.columns if c in set(prev_manifest.columns)]
-    mm = manifest.select(*mcols)
-    pm = prev_manifest.select(*mcols)
-    diff_ids = (mm.exceptAll(pm).select(id_col)
-                .union(pm.exceptAll(mm).select(id_col)))
-    dirty = diff_ids.union(changed_ids.select(id_col)).distinct()
+    mcols = sorted(c for c in manifest.columns
+                   if c in set(prev_manifest.columns))
     pb = _pbucket(id_col, files_per_split, bucket_width)
-    dirty_dirs = (
-        manifest.join(dirty, id_col, "left_semi")
+
+    def _bucket_digest(m: DataFrame) -> DataFrame:
+        # one map-side-combinable aggregate per manifest: an order-
+        # insensitive multiset digest (sum of per-row hashes, wrapping
+        # long arithmetic) + row count per directory key.  Detects ANY
+        # row-set change in a directory at a fraction of the cost of a
+        # full exceptAll symmetric diff (measured at x100: the exceptAll
+        # form's two wide shuffles cost more than the publish write it
+        # was saving).
+        # mask to 32 bits so the sum of up to 2^31 rows per directory
+        # stays inside a long under ANSI arithmetic; the count column
+        # covers the (already astronomically unlikely) masked-sum
+        # collision space further
+        row_h = F.xxhash64(*[F.col(c) for c in mcols]) \
+            .bitwiseAND(F.lit(0xFFFFFFFF))
+        return (m.groupBy(F.col(split_col).alias("s"), pb.alias("b"))
+                .agg(F.sum(row_h).alias("h"),
+                     F.count(F.lit(1)).alias("cnt")))
+    new_d = _bucket_digest(manifest)
+    prev_d = _bucket_digest(prev_manifest)
+    diff_dirs = (
+        new_d.alias("n")
+        .join(prev_d.alias("p"), ["s", "b"], "full_outer")
+        .filter(F.col("n.h").isNull() | F.col("p.h").isNull()
+                | (F.col("n.h") != F.col("p.h"))
+                | (F.col("n.cnt") != F.col("p.cnt")))
+        .select("s", "b"))
+    # text-level delta (an update can leave its manifest row identical):
+    # map the changed ids to their directories under both assignments
+    delta_dirs = (
+        manifest.join(changed_ids.select(id_col), id_col, "left_semi")
         .select(F.col(split_col).alias("s"), pb.alias("b"))
-        .union(prev_manifest.join(dirty, id_col, "left_semi")
-               .select(F.col(split_col).alias("s"), pb.alias("b")))
-        .distinct().collect())  # bounded by n_splits * files_per_split
+        .union(prev_manifest.join(changed_ids.select(id_col), id_col,
+                                  "left_semi")
+               .select(F.col(split_col).alias("s"), pb.alias("b"))))
+    dirty_dirs = diff_dirs.union(delta_dirs).distinct().collect()
     dirty_set = {(r.s, int(r.b)) for r in dirty_dirs}
     # rewrite the dirty directories from the new corpus
     if split_col in docs.columns:

@@ -36,10 +36,19 @@ from cloudbrush_spark.session import get_spark, host_parallel_probe  # noqa: E40
 from cloudbrush_spark.sources import corpus as corpus_sink  # noqa: E402
 
 sf = sys.argv[1] if len(sys.argv) > 1 else ".scale/x10"
+# fat factor: repeat each document's text N times.  The scale fixture's
+# ~0.3 KB docs make publish IO almost free locally, so the carry-over's
+# fixed cost (manifest digest diff + hardlinks) can exceed the saved
+# write; real corpora run 10-100 KB/doc, where the publish write
+# dominates the incremental wall (the gate is feature-cached) and the
+# skipped directories are the lever.  fat=40 ≈ 12 KB docs.
+fat = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 spark = get_spark("inc-pub-probe")
 par, single = host_parallel_probe(spark)
 docs = spark.read.parquet(os.path.join(sf, "documents.parquet")) \
     .select("doc_id", "text", "source")
+if fat > 1:
+    docs = docs.withColumn("text", F.repeat(F.col("text"), fat))
 n = docs.count()
 hi = docs.agg(F.max("doc_id")).first()[0]
 width = max(1, (hi + 1) // 100)

@@ -365,3 +365,52 @@ def test_persisted_codes_parquet_bytes_are_fraction_of_doubles(spark,
                    if f.endswith(".parquet"))
     vb, cb = _bytes(vec_path), _bytes(codes_path)
     assert cb * 3 <= vb, (cb, vb)
+
+
+def test_cross_corpus_embedding_near_dups(spark, clustered):
+    """New-vs-ref vector dedup: every emitted pair is (new id, ref id)
+    with exact cosine >= threshold; within-side pairs never appear; an
+    exact duplicate of a shipped vector matches at 1.0 without any LSH
+    luck; and the pair set is a subset of the brute-force cross pairs
+    with >= 50% recall on the clustered fixture."""
+    ref = clustered.filter(F.col("vec_id") % 5 != 0) \
+        .select("vec_id", "embedding")
+    new = clustered.filter(F.col("vec_id") % 5 == 0) \
+        .select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    got = similarity.cross_corpus_embedding_near_dups(
+        new, ref, dim=8, threshold=0.9, planes=4, seed=42, tables=16)
+    rows = got.collect()
+    assert rows
+    new_ids = {r.vec_id for r in new.collect()}
+    ref_ids = {r.vec_id for r in ref.collect()}
+    assert all(r.a in new_ids and r.b in ref_ids for r in rows)
+    # brute-force cross truth
+    import math
+    nv = {r.vec_id: r.embedding for r in new.collect()}
+    rv = {r.vec_id: r.embedding for r in ref.collect()}
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x*x for x in a)) / math.sqrt(sum(x*x for x in b))
+    truth = {(i, j) for i in nv for j in rv if cos(nv[i], rv[j]) >= 0.9}
+    got_pairs = {(r.a, r.b) for r in rows}
+    assert got_pairs <= truth                      # soundness (exact verify)
+    assert len(got_pairs) * 2 >= len({a for a, _ in truth})  # star recall: per matched new doc
+    for r in rows:
+        assert abs(r.cosine - cos(nv[r.a], rv[r.b])) < 1e-9
+
+
+def test_cross_corpus_embedding_exact_dup_no_lsh_needed(spark):
+    """A new vector byte-identical to a shipped one matches at cosine
+    1.0 through the shared collapse — even with hostile LSH params
+    (planes high enough that collisions are unlikely)."""
+    ref = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(1, 9)],
+        "vec_id long, embedding array<double>")
+    new = spark.createDataFrame(
+        [(100, [4.0, 1.0, 2.0, 3.0]),      # identical to ref id 4
+         (101, [99.0, -50.0, 7.0, 0.1])],  # unrelated
+        "vec_id long, embedding array<double>")
+    got = similarity.cross_corpus_embedding_near_dups(
+        new, ref, dim=4, threshold=0.999, planes=12, seed=7).collect()
+    assert any(r.a == 100 and r.b == 4 and r.cosine == 1.0 for r in got)
+    assert all(r.a != 101 for r in got)
