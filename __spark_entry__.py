@@ -2103,6 +2103,14 @@ def q_ann_contracts(spark, sf_dir):
     _codes = similarity.read_quantized_codes(spark, _cdir)
     quantp = similarity.cosine_topk_quantized(emb, emb, k=5, codes=_codes)
     r_q8p = tag(_ann_contract(emb, quantp, recall_pct=90), "ann_q8p")
+    # r10: persisted IVF index — probes scan ONLY the nprobe partitions
+    # of the centroid-partitioned index (PartitionFilters, pinned in
+    # tests/test_similarity.py); same contract as ann_ivf.
+    _ipath = _tf.mkdtemp(prefix="cb_ivfp_") + "/ivf"
+    similarity.write_ivf_index(emb, _ipath, n_centroids=16, seed=42)
+    ivfp = similarity.cosine_topk_ivf_indexed(spark, _ipath, emb, k=5,
+                                              nprobe=2)
+    r_ivfp = tag(_ann_contract(emb, ivfp, recall_pct=20), "ann_ivfp")
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
     exact = (
@@ -2214,7 +2222,7 @@ def q_ann_contracts(spark, sf_dir):
                 (F.lit(100) * F.col("got") >= F.lit(50) * F.col("n_base"))
                 .alias("recall_ok")))
     return (r_lsh.unionByName(r_ivf).unionByName(r_q8).unionByName(r_q8p)
-            .unionByName(r_emb).unionByName(r_embc)
+            .unionByName(r_ivfp).unionByName(r_emb).unionByName(r_embc)
             .unionByName(r_cross))
 
 
@@ -4420,6 +4428,10 @@ _ORACLES["ann_contracts"] = """
     FROM nq
     UNION ALL
     SELECT 'ann_ivf', CAST(nq.n AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), TRUE
+    FROM nq
+    UNION ALL
+    SELECT 'ann_ivfp', CAST(nq.n AS BIGINT), CAST(0 AS BIGINT),
            CAST(0 AS BIGINT), TRUE
     FROM nq
     UNION ALL

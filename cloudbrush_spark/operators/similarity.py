@@ -625,6 +625,89 @@ def embedding_clusters(vectors: DataFrame, dim: int, threshold: float = 0.95,
 
 
 # --------------------------------------------------------------------------
+# persisted IVF index (round 10)
+# --------------------------------------------------------------------------
+
+def write_ivf_index(vectors: DataFrame, path: str, n_centroids: int = 16,
+                    sample: int = 4096, seed: int = 42,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> list[list[float]]:
+    """Write a persisted IVF INDEX: the corpus as CENTROID-PARTITIONED
+    parquet (``<path>/vectors/bucket=<i>/``) plus the centroid table
+    (``<path>/centroids``).
+
+    This is the IVF analogue of the persisted-codes path
+    (:func:`write_quantized_codes`): the inline :func:`cosine_topk_ivf`
+    still SCANS the whole corpus to assign buckets per query run,
+    whereas a probe against this index reads ONLY the ``nprobe``
+    partitions each query selects — directory-level PartitionFilters,
+    so the per-query corpus pass is nprobe/n_centroids of the data
+    before a single row is deserialized (plan-pinned in
+    ``tests/test_similarity.py``).  Written once per corpus snapshot;
+    mass-duplicate corpora should exact-dedup first (a million copies
+    of one embedding land in one partition).  Returns the centroids."""
+    centroids = ivf_centroids(vectors, n_centroids, sample, seed=seed,
+                              vec_col=vec_col)
+    scores = _centroid_scores(F.col(vec_col), centroids)
+    assigned = vectors.withColumn(
+        "bucket", F.reverse(F.array_sort(scores))[0]["i"])
+    (assigned.repartition(max(4, len(centroids)), F.col("bucket"))
+     .sortWithinPartitions("bucket", id_col)
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(path + "/vectors"))
+    spark = vectors.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "bucket int, centroid array<double>")
+    cdf.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    return centroids
+
+
+def cosine_topk_ivf_indexed(spark, path: str, queries: DataFrame,
+                            k: int = 10, nprobe: int = 2,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Top-k against a persisted IVF index (see :func:`write_ivf_index`).
+
+    Centroids load driver-side (bounded — n_centroids rows); each query
+    selects its ``nprobe`` nearest buckets; the UNION of probed buckets
+    (bounded by n_centroids no matter how many queries) becomes a
+    literal partition filter on the vectors scan, so unprobed
+    directories are never listed, read, or decoded.  Exact cosine
+    re-rank inside the probed lists, deterministic neighbor_id
+    tiebreak.  Output: (query_id, neighbor_id, rank, cosine)."""
+    cent_rows = spark.read.parquet(path + "/centroids") \
+        .orderBy("bucket").collect()
+    centroids = [list(r.centroid) for r in cent_rows]
+    scores = _centroid_scores(F.col(vec_col), centroids)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+        F.transform(F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
+                    lambda s: s["i"]).alias("probes"))
+    qx = q.select("query_id", "qv", "qn",
+                  F.explode("probes").alias("bucket"))
+    probed = sorted(r[0] for r in
+                    qx.select("bucket").distinct().collect())
+    corpus = (spark.read.parquet(path + "/vectors")
+              .filter(F.col("bucket").isin(probed))
+              .select(F.col("bucket"), F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"),
+                      _norm(F.col(vec_col)).alias("cn")))
+    scored = (
+        corpus.join(F.broadcast(qx), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+# --------------------------------------------------------------------------
 # int8 scalar quantization (round 9)
 # --------------------------------------------------------------------------
 

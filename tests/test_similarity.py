@@ -414,3 +414,43 @@ def test_cross_corpus_embedding_exact_dup_no_lsh_needed(spark):
         new, ref, dim=4, threshold=0.999, planes=12, seed=7).collect()
     assert any(r.a == 100 and r.b == 4 and r.cosine == 1.0 for r in got)
     assert all(r.a != 101 for r in got)
+
+
+def test_ivf_index_matches_python_reference(spark, clustered, tmp_path):
+    """The persisted IVF index reproduces exactly the brute-force top-k
+    WITHIN each query's probed buckets (same centroids: deterministic
+    seed/sample) — and the probe scan carries a PartitionFilter on the
+    bucket directory, never a full-corpus read."""
+    from cloudbrush_spark import plans
+    vecs = clustered.select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    cents = similarity.write_ivf_index(vecs, path, n_centroids=8, seed=42)
+    q = vecs.filter(F.col("vec_id").isin([0, 30, 60, 90]))
+    out = similarity.cosine_topk_ivf_indexed(spark, path, q, k=3, nprobe=2)
+    plan = plans.explain_str(out)
+    assert "PartitionFilters" in plan and "bucket" in \
+        plan.split("PartitionFilters", 1)[1][:200]
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    # python reference with the returned centroids
+    import math
+    data = {r.vec_id: r.embedding for r in vecs.collect()}
+    def nearest(v, n):
+        scored = sorted(
+            ((sum(x * c for x, c in zip(v, cv)) - 0.5 * sum(c * c for c in cv), i)
+             for i, cv in enumerate(cents)), reverse=True)
+        return [i for _, i in scored[:n]]
+    assign = {i: nearest(v, 1)[0] for i, v in data.items()}
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x*x for x in a)) / math.sqrt(sum(x*x for x in b))
+    for qid in (0, 30, 60, 90):
+        probes = set(nearest(data[qid], 2))
+        cand = [(i, cos(data[qid], v)) for i, v in data.items()
+                if i != qid and assign[i] in probes]
+        want = sorted(cand, key=lambda t: (-t[1], t[0]))[:3]
+        assert [(rk, nid) for rk, nid, _ in sorted(got[qid])] == \
+            [(rk + 1, i) for rk, (i, _) in enumerate(want)]
+        for (_, _, c), (_, wc) in zip(sorted(got[qid]), want):
+            assert abs(c - wc) < 1e-9
