@@ -794,7 +794,30 @@ def q_curation_filter(spark, sf_dir):
                                      F.col("cand"))).cast("long"))
         .alias("v2"),
         F.least(F.lit(bm_k).cast("long"), F.col("cand")).alias("v3"))
-    return doc.unionByName(rep).unionByName(hv).unionByName(bm_row)
+    # r10 'lm' / 'lm_sum': corpus-trained bigram-LM scoring (operators/
+    # lm.py — the CCNet-style perplexity quality lever).  The EXACT
+    # integer surface is cross-engine checked: per-doc bigram counts
+    # ('lm' rows — one per document, proving the score pass preserved
+    # every doc through the explode/join/group) and the training
+    # aggregates (total bigrams / vocabulary size / docs scored in
+    # 'lm_sum').  The float log-prob itself is per-engine deterministic
+    # but ULP-sensitive cross-engine, so score parity and fluent-vs-
+    # gibberish separation are pinned in tests/test_lm.py instead.
+    from cloudbrush_spark.operators import lm as lmod
+    uni_lm, big_lm, V_lm = lmod.bigram_lm(bm_docs)
+    lm_sc = lmod.lm_score(bm_docs, uni_lm, big_lm, V_lm)
+    lm_doc = lm_sc.select(
+        F.lit("lm").alias("op"), F.col("doc_id").cast("string").alias("k1"),
+        F.lit("").alias("k2"), F.col("n_bigrams").alias("v1"),
+        F.lit(0).cast("long").alias("v2"), F.lit(0).cast("long").alias("v3"))
+    lm_sum = lm_sc.agg(
+        F.sum("n_bigrams").alias("tb"),
+        F.count(F.lit(1)).alias("nd")).select(
+        F.lit("lm_sum").alias("op"), F.lit("").alias("k1"),
+        F.lit("").alias("k2"), F.col("tb").alias("v1"),
+        F.lit(V_lm).cast("long").alias("v2"), F.col("nd").alias("v3"))
+    return (doc.unionByName(rep).unionByName(hv).unionByName(bm_row)
+            .unionByName(lm_doc).unionByName(lm_sum))
 
 
 def q_bm25_only(spark, sf_dir):
@@ -3961,6 +3984,23 @@ _ORACLES["curation_filter"] = f"""
     FROM (SELECT count(*) AS n FROM documents
           WHERE list_has_any({_TOKS},
                              ['merge', 'spark', 'window'])) c
+    UNION ALL
+    SELECT 'lm' AS op, CAST(doc_id AS VARCHAR) AS k1, '' AS k2,
+           CAST(greatest(nt - 1, 0) AS BIGINT) AS v1,
+           CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3
+    FROM (SELECT doc_id,
+                 CASE WHEN {_NORM} = '' THEN 0 ELSE len({_TOKS}) END AS nt
+          FROM documents)
+    UNION ALL
+    SELECT 'lm_sum' AS op, '' AS k1, '' AS k2,
+           CAST(sum(greatest(nt - 1, 0)) AS BIGINT) AS v1,
+           CAST(vc AS BIGINT) AS v2, CAST(count(*) AS BIGINT) AS v3
+    FROM (SELECT CASE WHEN {_NORM} = '' THEN 0 ELSE len({_TOKS}) END AS nt
+          FROM documents),
+         (SELECT count(DISTINCT w) AS vc
+          FROM (SELECT unnest({_TOKS}) AS w FROM documents
+                WHERE {_NORM} <> ''))
+    GROUP BY vc
 """
 
 _ORACLES["j1_candidates"] = f"""
