@@ -93,3 +93,35 @@ def test_lm_score_one_row_per_doc(spark, model):
     out = lm.lm_score(docs, unigrams, bigrams, V)
     assert out.count() == 20
     assert out.select("doc_id").distinct().count() == 20
+
+
+def test_importance_weights_rank_target_like_docs_higher(spark):
+    """DSIR weights: documents resembling the TARGET corpus weigh
+    positive, documents resembling the raw pool weigh negative, and the
+    weight equals the python-reference log-prob difference."""
+    target = spark.createDataFrame(
+        [(i, "the theorem follows from the lemma and the proof of the "
+             "corollary follows from the theorem") for i in range(3)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(i, "click here to buy now and save big with this amazing "
+             "deal just click here now") for i in range(3)],
+        "doc_id long, text string")
+    tm = lm.bigram_lm(target)
+    rm = lm.bigram_lm(raw)
+    docs = spark.createDataFrame(
+        [(0, "the proof follows from the lemma"),
+         (1, "click here to save big now"),
+         (2, "zzz qqq unrelated vvv")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           lm.importance_weights(docs, tm, rm).collect()}
+    assert got[0].weight > 0 > got[1].weight
+    assert got[0].weight > got[2].weight > got[1].weight or \
+        abs(got[2].weight) < abs(got[0].weight)
+    # reference check for doc 0
+    tuni, tbig, tV = _py_model([(r.doc_id, r.text) for r in target.collect()])
+    runi, rbig, rV = _py_model([(r.doc_id, r.text) for r in raw.collect()])
+    _, lt = _py_score("the proof follows from the lemma", tuni, tbig, tV)
+    _, lr = _py_score("the proof follows from the lemma", runi, rbig, rV)
+    assert abs(got[0].weight - (lt - lr)) < 1e-9
