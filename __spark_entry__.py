@@ -1188,7 +1188,7 @@ def q_event_windows(spark, sf_dir):
         F.col("start_us").cast("long").alias("v1"),
         F.col("end_us").cast("long").alias("v2"),
         F.col("n_events").cast("long").alias("v3"))
-    from cloudbrush_spark.operators.sessions import json_props_agg
+    from cloudbrush_spark.operators.sessions import funnel, json_props_agg
     js = json_props_agg(_t(spark, sf_dir, "events")).select(
         F.lit("json").alias("op"),
         # F.concat (not concat_ws) so a NULL bucket — a malformed props
@@ -1197,7 +1197,20 @@ def q_event_windows(spark, sf_dir):
         F.col("cnt").cast("long").alias("v1"),
         F.col("sum_k").cast("long").alias("v2"),
         F.col("max_k").cast("long").alias("v3"))
-    return tum.unionByName(ses).unionByName(js)
+    # r10 'funnel': ordered-sequence conversion funnel (sessions.funnel
+    # — greedy first-touch view→click→purchase within 24h, the
+    # MATCH_RECOGNIZE-lite shape).  Spark runs the single-shuffle
+    # JVM-fold form; the DuckDB twin re-derives the same greedy chain as
+    # three cascaded min() levels — a genuinely independent computation
+    # of every user's (steps, anchor, completion) row.
+    fu = funnel(_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type"),
+        ["view", "click", "purchase"], horizon_minutes=1440).select(
+        F.lit("funnel").alias("op"), s("user_id").alias("k1"),
+        F.col("steps_completed").cast("long").alias("v1"),
+        F.col("anchor_us").alias("v2"),
+        F.col("completed_us").alias("v3"))
+    return tum.unionByName(ses).unionByName(js).unionByName(fu)
 
 
 def q_tpch_q1(spark, sf_dir):
@@ -4140,6 +4153,46 @@ _ORACLES["event_windows"] = f"""
            count(*) AS v1, CAST(sum(k) AS BIGINT) AS v2, max(k) AS v3
     FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
     GROUP BY 1, 2
+    UNION ALL
+    SELECT 'funnel' AS op, CAST(u.user_id AS VARCHAR) AS k1,
+           CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                     WHEN t2.t2 IS NOT NULL THEN 2
+                     WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS v1,
+           CAST(coalesce(t1.t1, -1) AS BIGINT) AS v2,
+           CAST(coalesce(t3.t3, -1) AS BIGINT) AS v3
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1) t1
+        ON u.user_id = t1.user_id
+    LEFT JOIN (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+               FROM events e
+               JOIN (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1) a
+                 ON e.user_id = a.user_id
+               WHERE e.event_type = 'click' AND epoch_us(e.ts) > a.t1
+                 AND epoch_us(e.ts) - a.t1 <= 86400000000
+               GROUP BY 1) t2
+        ON u.user_id = t2.user_id
+    LEFT JOIN (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+               FROM events e
+               JOIN (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1) a
+                 ON e.user_id = a.user_id
+               JOIN (SELECT e2.user_id, min(epoch_us(e2.ts)) AS t2
+                     FROM events e2
+                     JOIN (SELECT user_id, min(epoch_us(ts)) AS t1
+                           FROM events WHERE event_type = 'view'
+                           GROUP BY 1) a2
+                       ON e2.user_id = a2.user_id
+                     WHERE e2.event_type = 'click'
+                       AND epoch_us(e2.ts) > a2.t1
+                       AND epoch_us(e2.ts) - a2.t1 <= 86400000000
+                     GROUP BY 1) b
+                 ON e.user_id = b.user_id
+               WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > b.t2
+                 AND epoch_us(e.ts) - a.t1 <= 86400000000
+               GROUP BY 1) t3
+        ON u.user_id = t3.user_id
 """
 
 _ORACLES["ngram_jaccard"] = _ngram_jaccard_sql()

@@ -61,6 +61,70 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def funnel(events: DataFrame, steps: list[str],
+           horizon_minutes: int = 1440, user_col: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """Ordered-sequence FUNNEL analysis — "users who did s1, then s2,
+    ..., then sn, all within ``horizon_minutes`` of the first step":
+    the product-analytics staple (conversion funnels) and the
+    MATCH_RECOGNIZE-lite shape SQL engines bolt on.
+
+    Semantics (deterministic, engine-portable): GREEDY FIRST-TOUCH —
+    the anchor is the user's EARLIEST s1 event; each later step takes
+    the earliest event of its type STRICTLY after the previous step and
+    within ``anchor + horizon``.  Ties on the microsecond timestamp are
+    value-identical under greedy-min, so the output never depends on
+    event ids.
+
+    Plan shape: one prefilter to the step types (everything else never
+    leaves the scan), one hash aggregate per user collecting the
+    (tus, type) pairs, and the greedy chain as a JVM ``aggregate`` fold
+    over the sorted array — no Python, no per-step join cascade, ONE
+    shuffle.  Per-user state is the matched-type event list (bounded by
+    per-user activity — the same bound sessionize's per-user window
+    sort already assumes; a funnel over billions of events per single
+    user would need the n-join form instead).
+
+    Output: one row per DISTINCT user in ``events`` —
+    (user_col, steps_completed, anchor_us, completed_us), sentinel -1
+    for no anchor / not completed."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    n = len(steps)
+    horizon_us = horizon_minutes * 60 * 1_000_000
+    ev = events.select(
+        F.col(user_col), F.unix_micros(F.col(ts_col)).alias("tus"),
+        F.col(type_col).alias("et")).filter(F.col("et").isin(steps))
+    arr = ev.groupBy(user_col).agg(
+        F.array_sort(F.collect_list(F.struct("tus", "et"))).alias("evs"))
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    init = F.struct(F.lit(0).alias("step"),
+                    F.lit(-1).cast("long").alias("last"),
+                    F.lit(-1).cast("long").alias("anchor"))
+    fold = F.aggregate(
+        "evs", init,
+        lambda acc, e: F.when(
+            (acc["step"] < n)
+            & (e["et"] == F.element_at(step_arr, acc["step"] + 1))
+            & ((acc["step"] == 0)
+               | ((e["tus"] > acc["last"])
+                  & (e["tus"] - acc["anchor"] <= horizon_us))),
+            F.struct(
+                (acc["step"] + 1).alias("step"), e["tus"].alias("last"),
+                F.when(acc["step"] == 0, e["tus"]).otherwise(acc["anchor"])
+                .alias("anchor"))
+        ).otherwise(acc))
+    folded = arr.select(
+        user_col, fold["step"].alias("steps_completed"),
+        fold["anchor"].alias("anchor_us"),
+        F.when(fold["step"] == n, fold["last"]).otherwise(F.lit(-1))
+        .cast("long").alias("completed_us"))
+    universe = events.select(user_col).distinct()
+    return (universe.join(folded, user_col, "left")
+            .na.fill({"steps_completed": 0, "anchor_us": -1,
+                      "completed_us": -1}))
+
+
 def json_props_agg(events: DataFrame, key: str = "k",
                    bucket_mod: int = 10) -> DataFrame:
     """Schema-on-read extraction over the semi-structured ``props`` JSON

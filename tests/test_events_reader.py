@@ -65,3 +65,43 @@ def test_events_tus_is_timezone_independent(tmp_path):
             assert got == {r[0]: r[1] for r in ROWS}, tz
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_funnel_greedy_first_touch_semantics(spark):
+    """sessions.funnel: greedy first-touch chain — anchor is the FIRST
+    step-1 event, later steps take the earliest strictly-later event of
+    their type inside the horizon; out-of-order, horizon-expired, and
+    missing-step users report partial progress; users with no funnel
+    events report zero steps."""
+    from datetime import datetime
+    from cloudbrush_spark.operators.sessions import funnel
+    from datetime import timedelta
+    T = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # u1 completes: view@0 click@10 purchase@20
+        (1, T(0), "view"), (1, T(10), "click"), (1, T(20), "purchase"),
+        # u2: purchase BEFORE click -> stuck at 2 steps
+        (2, T(0), "view"), (2, T(10), "purchase"), (2, T(20), "click"),
+        # u3: click only after the horizon from the FIRST view ->
+        # greedy anchor does not re-anchor to the second view
+        (3, T(0), "view"), (3, T(30), "view"), (3, T(70), "click"),
+        # u4: no funnel-type events at all
+        (4, T(5), "error"),
+        # u5: completes with ties — click at the same microsecond as
+        # view is NOT strictly later, the later one counts
+        (5, T(0), "view"), (5, T(0), "click"), (5, T(3), "click"),
+        (5, T(4), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.user_id: r for r in
+           funnel(df, ["view", "click", "purchase"],
+                  horizon_minutes=60).collect()}
+    us = lambda m: int((datetime(2024, 1, 1) + timedelta(minutes=m)).timestamp() * 1_000_000)  # noqa: E731
+    assert got[1].steps_completed == 3 and got[1].anchor_us == us(0) \
+        and got[1].completed_us == us(20)
+    assert got[2].steps_completed == 2 and got[2].completed_us == -1
+    # u3: click at minute 70 is 70min after anchor(0) > 60min horizon
+    assert got[3].steps_completed == 1 and got[3].anchor_us == us(0)
+    assert got[4].steps_completed == 0 and got[4].anchor_us == -1
+    assert got[5].steps_completed == 3 and got[5].completed_us == us(4)
+    assert set(got) == {1, 2, 3, 4, 5}
