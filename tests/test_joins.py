@@ -292,3 +292,53 @@ def test_bag_set_ops_multiplicity_and_range_frame_peers(spark):
            df.select("o", F.sum("cents").over(w).alias("t")).collect()}
     # the two day-20 peers both see 100+50+70; day-60 sees only itself
     assert got == {10: 100, 11: 220, 12: 220, 13: 10}
+
+
+def test_merge_upsert_digest_property(spark):
+    """Property: merge_upsert's decisions equal a pure-python dict diff
+    for ADVERSARIAL multi-column values — control bytes (\\x00, \\x01),
+    separator look-alikes, boundary-shifting splits of the same
+    concatenation, NULLs and empty strings — across random snapshots."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cloudbrush_spark.operators.joins import merge_upsert
+
+    val = st.one_of(
+        st.none(),
+        st.sampled_from(["", "\x00", "\x01", "a\x01", "\x01b", "a", "b",
+                         "a\x01b", "-" * 32, "md5"]),
+        st.text(alphabet="ab\x00\x01", max_size=4))
+    row = st.tuples(st.integers(0, 6), val, val)
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(base=st.lists(row, max_size=7, unique_by=lambda r: r[0]),
+           upd=st.lists(row, max_size=7, unique_by=lambda r: r[0]))
+    def check(base, upd):
+        bdf = spark.createDataFrame(
+            base or [(99, None, None)][:0],
+            "doc_id long, c1 string, c2 string")
+        udf = spark.createDataFrame(
+            upd or [(99, None, None)][:0],
+            "doc_id long, c1 string, c2 string")
+        if not base and not upd:
+            return
+        got = {r.doc_id: r.action for r in
+               merge_upsert(bdf, udf, cmp_cols=("c1", "c2"),
+                            delete_missing=True).collect()}
+        bd = {k: (a, b) for k, a, b in base}
+        ud = {k: (a, b) for k, a, b in upd}
+        want = {}
+        for k in set(bd) | set(ud):
+            if k not in bd:
+                want[k] = "insert"
+            elif k not in ud:
+                want[k] = "delete"
+            elif bd[k] == ud[k]:
+                want[k] = "keep"
+            else:
+                want[k] = "update"
+        assert got == want
+
+    check()
