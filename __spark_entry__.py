@@ -1210,7 +1210,19 @@ def q_event_windows(spark, sf_dir):
         F.col("steps_completed").cast("long").alias("v1"),
         F.col("anchor_us").alias("v2"),
         F.col("completed_us").alias("v3"))
-    return tum.unionByName(ses).unionByName(js).unionByName(fu)
+    # r10 'cohort': weekly cohort-retention matrix (sessions.
+    # cohort_retention) — integer period arithmetic on epoch-days so
+    # both engines bucket identically; the DuckDB twin recomputes the
+    # whole matrix from scratch.
+    from cloudbrush_spark.operators.sessions import cohort_retention
+    co = cohort_retention(_events(spark, sf_dir).select("user_id", "ts"),
+                          period_days=7).select(
+        F.lit("cohort").alias("op"),
+        F.concat(s("cohort"), F.lit("|"), s("offset")).alias("k1"),
+        F.col("users").alias("v1"),
+        F.lit(0).cast("long").alias("v2"), F.lit(0).cast("long").alias("v3"))
+    return (tum.unionByName(ses).unionByName(js).unionByName(fu)
+            .unionByName(co))
 
 
 def q_tpch_q1(spark, sf_dir):
@@ -4193,6 +4205,22 @@ _ORACLES["event_windows"] = f"""
                  AND epoch_us(e.ts) - a.t1 <= 86400000000
                GROUP BY 1) t3
         ON u.user_id = t3.user_id
+    UNION ALL
+    SELECT 'cohort' AS op,
+           CAST(cohort AS VARCHAR) || '|' || CAST(poff AS VARCHAR) AS k1,
+           CAST(count(*) AS BIGINT) AS v1,
+           CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3
+    FROM (SELECT DISTINCT e.user_id, f.cohort, e.p - f.cohort AS poff
+          FROM (SELECT user_id,
+                       CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT)
+                           AS p
+                FROM events) e
+          JOIN (SELECT user_id,
+                       min(CAST(floor(epoch_us(ts) / 604800000000.0)
+                                AS BIGINT)) AS cohort
+                FROM events GROUP BY 1) f
+            ON e.user_id = f.user_id)
+    GROUP BY 1, 2
 """
 
 _ORACLES["ngram_jaccard"] = _ngram_jaccard_sql()

@@ -125,6 +125,39 @@ def funnel(events: DataFrame, steps: list[str],
                       "completed_us": -1}))
 
 
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     period_days: int = 7) -> DataFrame:
+    """Cohort retention matrix — "of the users who first appeared in
+    period P, how many were active again in P+k": the other
+    product-analytics staple beside :func:`funnel`.
+
+    Cohort = the user's FIRST-activity period (integer
+    ``floor(epoch_days / period_days)``, engine-portable — no calendar
+    arithmetic); a (cohort, offset) cell counts DISTINCT users active
+    ``offset`` periods after their cohort period.  Offset 0 is the
+    cohort size itself, so ``retained/size`` is the retention rate.
+
+    Plan shape: one per-user min (hash aggregate, map-side partials) to
+    assign cohorts, one broadcastable join back (the per-user cohort
+    frame is |users| rows — at 100 TB of events still only the user
+    dimension), one distinct + count per (cohort, offset).  No windows,
+    no skew beyond the user-activity distribution.
+
+    Output: (cohort long, offset long, users long)."""
+    ev = events.select(
+        F.col(user_col),
+        F.floor(F.unix_micros(F.col(ts_col))
+                / F.lit(86_400_000_000 * period_days)).alias("p"))
+    first = ev.groupBy(user_col).agg(F.min("p").alias("cohort"))
+    return (ev.join(first, user_col)
+            .select(user_col, "cohort", (F.col("p") - F.col("cohort"))
+                    .alias("offset"))
+            .distinct()
+            .groupBy("cohort", "offset")
+            .agg(F.count(F.lit(1)).alias("users")))
+
+
 def json_props_agg(events: DataFrame, key: str = "k",
                    bucket_mod: int = 10) -> DataFrame:
     """Schema-on-read extraction over the semi-structured ``props`` JSON

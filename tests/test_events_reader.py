@@ -105,3 +105,26 @@ def test_funnel_greedy_first_touch_semantics(spark):
     assert got[4].steps_completed == 0 and got[4].anchor_us == -1
     assert got[5].steps_completed == 3 and got[5].completed_us == us(4)
     assert set(got) == {1, 2, 3, 4, 5}
+
+
+def test_cohort_retention_matrix(spark):
+    """cohort_retention: cohorts keyed by first-activity period, cells
+    count distinct users active at each offset; repeat activity within
+    one period counts once; offset 0 equals cohort size."""
+    from datetime import datetime, timedelta
+    from cloudbrush_spark.operators.sessions import cohort_retention
+    D = lambda d: datetime(2024, 1, 5) + timedelta(days=d)  # noqa: E731
+    rows = [
+        (1, D(0)), (1, D(1)), (1, D(8)),      # cohort c, back in c+1
+        (2, D(0)), (2, D(16)),                 # cohort c, back in c+2
+        (3, D(9)), (3, D(9)),                  # cohort c+1 only (dup day)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort, r.offset): r.users
+           for r in cohort_retention(df, period_days=7).collect()}
+    c = min(k[0] for k in got)
+    assert got[(c, 0)] == 2          # users 1,2
+    assert got[(c, 1)] == 1          # user 1
+    assert got[(c, 2)] == 1          # user 2
+    assert got[(c + 1, 0)] == 1      # user 3, counted once
+    assert sum(v for (co, off), v in got.items() if co == c + 1) == 1
