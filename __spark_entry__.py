@@ -2274,6 +2274,23 @@ def q_ann_contracts(spark, sf_dir):
             .unionByName(r_cross))
 
 
+def q_probe_funnel(spark, sf_dir):
+    """Scale-probe leg (NOT in queries()): the r10 funnel over the full
+    events table."""
+    from cloudbrush_spark.operators.sessions import funnel
+    return funnel(_events(spark, sf_dir).select("user_id", "ts",
+                                                "event_type"),
+                  ["view", "click", "purchase"], horizon_minutes=1440)
+
+
+def q_probe_cohort(spark, sf_dir):
+    """Scale-probe leg (NOT in queries()): the r10 cohort matrix over
+    the full events table."""
+    from cloudbrush_spark.operators.sessions import cohort_retention
+    return cohort_retention(_events(spark, sf_dir).select("user_id", "ts"),
+                            period_days=7)
+
+
 def q_probe_emb_near_dup(spark, sf_dir):
     """Scale-probe leg (NOT in ``queries()`` — used only by
     scripts/scale_probe.py): the LSH star-mode near-dup pair path ALONE,
