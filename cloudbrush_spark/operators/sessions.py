@@ -104,8 +104,13 @@ def funnel(events: DataFrame, steps: list[str],
     fold = F.aggregate(
         "evs", init,
         lambda acc, e: F.when(
+            # try_element_at, not element_at: once the funnel completes,
+            # step+1 == n+1 is out of bounds — ANSI element_at would
+            # throw if the optimizer ever evaluated it before the
+            # short-circuiting step<n conjunct; try_ returns NULL and
+            # the comparison falls through to otherwise()
             (acc["step"] < n)
-            & (e["et"] == F.element_at(step_arr, acc["step"] + 1))
+            & (e["et"] == F.try_element_at(step_arr, acc["step"] + 1))
             & ((acc["step"] == 0)
                | ((e["tus"] > acc["last"])
                   & (e["tus"] - acc["anchor"] <= horizon_us))),
