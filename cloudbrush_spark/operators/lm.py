@@ -75,6 +75,9 @@ def lm_score(docs: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
     hints both model tables broadcast (right for vocabulary-bounded
     models; flip off to let stats/AQE pick a shuffle join when the model
     is huge)."""
+    if k <= 0:
+        raise ValueError("add-k smoothing needs k > 0 (zero-count "
+                         "bigrams would hit log(0))")
     toks = text.tokens(text_col)
     pairs = docs.select(F.col(id_col),
                         F.explode_outer(_bigrams(toks)).alias("p")) \

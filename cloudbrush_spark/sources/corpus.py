@@ -42,9 +42,11 @@ from pyspark.sql import functions as F
 def _pbucket(id_col: str, files_per_split: int,
              bucket_width: int | None):
     """Deterministic id→directory bucket for the bucketed publish
-    layout: hash (bounded count, balanced) or id-range (delta-local)."""
+    layout: hash (bounded count, balanced) or id-range (delta-local).
+    Range mode uses integer ``div`` (exact past 2^53, where float floor
+    division would drift); ids are assumed non-negative."""
     if bucket_width is not None:
-        return F.floor(F.col(id_col) / F.lit(bucket_width)).cast("long")
+        return F.expr(f"{id_col} div {int(bucket_width)}").cast("long")
     return F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_split))
 
 
