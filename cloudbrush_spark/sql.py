@@ -54,11 +54,13 @@ def register_release_views(spark: SparkSession, release_dir: str) -> list[str]:
         corpus_sink.read_corpus(spark, cpath) \
             .createOrReplaceTempView("corpus")
         registered.append("corpus")
-    mpath = os.path.join(release_dir, "release_manifest.parquet")
-    if os.path.exists(mpath):
-        spark.read.parquet(mpath) \
-            .createOrReplaceTempView("release_manifest")
-        registered.append("release_manifest")
+    side_tables = ("release_manifest", "delta", "features", "report",
+                   "spans")
+    for name in side_tables:
+        p = os.path.join(release_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(name)
+            registered.append(name)
     return registered
 
 

@@ -261,3 +261,24 @@ def test_cli_sql_without_views_errors(tmp_path, spark):
     import pytest
     with pytest.raises(SystemExit):
         main(["-sql", "SELECT 1"])
+
+
+def test_sql_release_side_tables_registered(tmp_path, spark, capsys):
+    """register_release_views exposes every side table the release
+    wrote (delta/features from an incremental run) alongside
+    corpus/release_manifest."""
+    from cloudbrush_spark import sql as cbsql
+    from cloudbrush_spark.pipeline.release import incremental_release, release
+    from tests.test_release import _distinct_snapshot_and_crawl
+    base, crawl = _distinct_snapshot_and_crawl(spark)
+    out0, out1 = str(tmp_path / "r0"), str(tmp_path / "r1")
+    release(spark, base, out0, max_tokens=2000, cache_features=True)
+    prev = spark.read.parquet(os.path.join(out0, "features.parquet"))
+    incremental_release(spark, base, crawl, out1, prev_features=prev,
+                        max_tokens=2000)
+    views = cbsql.register_release_views(spark, out1)
+    assert {"corpus", "release_manifest", "delta", "features"} <= set(views)
+    n = cbsql.run_sql(
+        spark, "SELECT count(*) AS n FROM delta WHERE action = 'insert'"
+    ).first().n
+    assert n == 2
