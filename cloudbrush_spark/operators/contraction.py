@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from cloudbrush_spark.functions import dna
 from cloudbrush_spark.operators.graph import compressible
+from cloudbrush_spark.plans.sever import sever_origin
 
 
 def _cut(df: DataFrame) -> DataFrame:
@@ -58,15 +59,10 @@ def _cut(df: DataFrame) -> DataFrame:
     recurse into history.  The severed frame has no origin stats, which
     suppresses static broadcast planning downstream — inside the loop
     every join is either hinted or AQE-converted from actual runtime
-    sizes, so plans are unchanged (and measured faster end-to-end)."""
-    ck = df.localCheckpoint(eager=True)
-    spark = df.sparkSession
-    try:
-        jdf = spark._jsparkSession.internalCreateDataFrame(
-            ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False)
-        return DataFrame(jdf, spark)
-    except Exception:  # noqa: BLE001 — e.g. Spark Connect: no JVM handle
-        return ck
+    sizes, so plans are unchanged (and measured faster end-to-end).
+    Severing mechanics + the fail-loud Connect fallback live in
+    ``plans.sever_origin``."""
+    return sever_origin(df.localCheckpoint(eager=True))
 
 
 def D1():

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cloudbrush_spark.functions import dna, text
+from cloudbrush_spark.plans.sever import sever_origin
 
 
 def _stage_cut(df: DataFrame, sever: bool = False) -> DataFrame:
@@ -56,13 +57,7 @@ def _stage_cut(df: DataFrame, sever: bool = False) -> DataFrame:
         out = df.localCheckpoint(eager=True)
     if not sever:
         return out
-    spark = df.sparkSession
-    try:
-        jdf = spark._jsparkSession.internalCreateDataFrame(
-            out._jdf.queryExecution().toRdd(), out._jdf.schema(), False)
-        return DataFrame(jdf, spark)
-    except Exception:  # noqa: BLE001 — e.g. Spark Connect: no JVM handle
-        return out
+    return sever_origin(out)
 
 
 # Over-cap bucket lists are usually tiny (bound: members * bands /

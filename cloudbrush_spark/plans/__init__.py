@@ -7,3 +7,7 @@ from cloudbrush_spark.plans.explain import (  # noqa: F401
     read_schema,
     shuffle_count,
 )
+from cloudbrush_spark.plans.sever import (  # noqa: F401
+    origin_stats_defined,
+    sever_origin,
+)

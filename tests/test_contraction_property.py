@@ -299,3 +299,60 @@ def test_contract_matches_bruteforce(spark, comps, seed):
             if s in bounds:
                 lo, hi = bounds[s]
                 assert lo - 1e-6 <= cov <= hi + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# origin-plan severing (plans.sever_origin) — fail-loud API pin
+# ---------------------------------------------------------------------------
+
+
+def test_sever_origin_drops_origin_plan(spark):
+    """The geometric driver-time fix for iterative loops rides a private
+    JVM API (internalCreateDataFrame).  Pin that (a) a plain
+    localCheckpoint RETAINS origin stats — the thing whose chained
+    references blow up late rounds — and (b) sever_origin really drops
+    them.  If Spark moves the API, sever_origin's except-branch would
+    silently hand back the plain checkpoint and (b) turns red here,
+    instead of the loop quietly regressing to 345 s/round."""
+    from cloudbrush_spark.plans import origin_stats_defined, sever_origin
+
+    df = spark.range(10).selectExpr("id", "id * 2 as v")
+    ck = df.localCheckpoint(eager=True)
+    assert origin_stats_defined(ck), \
+        "plain localCheckpoint no longer retains origin stats — " \
+        "re-evaluate whether severing is still needed"
+
+    severed = sever_origin(ck)
+    assert not origin_stats_defined(severed)
+    # severed frame is the same data, still usable downstream
+    assert sorted(r.v for r in severed.collect()) == [i * 2 for i in range(10)]
+
+
+def test_sever_origin_fallback_warns_once(spark, monkeypatch):
+    """Where the private API is unreachable (Spark Connect), sever_origin
+    must warn LOUDLY (once per process) and hand back the input frame."""
+    import warnings
+
+    from cloudbrush_spark.plans import sever
+    from cloudbrush_spark.plans.sever import sever_origin
+
+    ck = spark.range(5).localCheckpoint(eager=True)
+
+    class _NoApi:
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    monkeypatch.setattr(sever, "_warned", False)
+    monkeypatch.setattr(type(ck), "_jdf", property(
+        lambda self: (_ for _ in ()).throw(RuntimeError("no JVM handle"))))
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            out1 = sever_origin(ck)
+            out2 = sever_origin(ck)
+    finally:
+        monkeypatch.undo()
+    assert out1 is ck and out2 is ck
+    runtime = [w for w in caught if issubclass(w.category, RuntimeWarning)
+               and "internalCreateDataFrame" in str(w.message)]
+    assert len(runtime) == 1  # once per process, not per round
