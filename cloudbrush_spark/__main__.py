@@ -338,6 +338,15 @@ def main(argv: list[str] | None = None) -> int:
             if args.bucket_width is not None:
                 rel_kw["bucketed_publish"] = True
                 rel_kw["publish_bucket_width"] = args.bucket_width
+            if args.prev_release and not args.base:
+                # without -base there is no delta to bound the rewrite,
+                # so the publish would silently fall back to a full
+                # from-scratch release — refuse instead of surprising
+                raise SystemExit(
+                    "-prev_release requires -base (and -prev_features): "
+                    "an incremental publish needs the previous snapshot "
+                    "to compute the delta; without it the run would be "
+                    "a full republish, not what you asked for.")
             if args.base:
                 prev = (spark.read.parquet(args.prev_features)
                         if args.prev_features else None)

@@ -157,8 +157,10 @@ class ReleasePipeline:
         ``prev_corpus_path``/``prev_manifest``/``publish_changed_ids``
         (all three together) switch the publish stage to
         ``corpus.publish_corpus_incremental``: only bucket directories
-        the delta touches are rewritten, the rest hardlink over from the
-        previous release — rows pinned identical either way."""
+        the delta touches are rewritten, the rest carry over from the
+        previous release through the Hadoop FileSystem API (hardlinks
+        on local ``file:`` releases) — rows pinned identical either
+        way."""
         if prev_corpus_path is not None and (
                 prev_manifest is None or publish_changed_ids is None):
             raise ValueError(
@@ -422,8 +424,9 @@ def incremental_release(spark: SparkSession, base_docs: DataFrame,
     incremental: the previous release's manifest
     (``<prev>/release_manifest.parquet``) and bucketed corpus
     (``<prev>/corpus``) let ``corpus.publish_corpus_incremental``
-    rewrite only the bucket directories the delta touches and hardlink
-    the rest over — the previous release must have been published with
+    rewrite only the bucket directories the delta touches and carry
+    the rest over (Hadoop FS API; hardlinks when both releases are
+    local) — the previous release must have been published with
     ``bucketed_publish=True`` (this call forces it for the new output,
     so release N+2 can chain).  Published rows stay identical to a
     from-scratch release (pytest-pinned); pass ``publish_bucket_width``

@@ -35,8 +35,58 @@ plain shuffle join AQE can split — pass ``broadcast_manifest=False``
 
 from __future__ import annotations
 
+import json
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: marker file written next to a bucketed publish recording the bucket
+#: function parameters; ``publish_corpus_incremental`` refuses to run
+#: against a base release whose recorded params differ from its own
+#: (mismatched params would make dirty detection silently diverge from
+#: the base's physical directories — a duplicated/corrupted corpus).
+BUCKET_MARKER = "_cb_bucket_params.json"
+
+
+def _hfs(spark: SparkSession, path: str):
+    """Resolve ``path`` to its Hadoop ``FileSystem`` via the live JVM:
+    ``(jvm, conf, fs, jpath)``.
+
+    This is the only file API that sees the paths a 100 TB deployment
+    actually uses (``hdfs://``, ``s3a://``, ``abfs://``, ...); the
+    driver-local ``os`` module sees none of them.  A plain local path
+    resolves through the default scheme (``file:`` in local mode)."""
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, conf, jpath.getFileSystem(conf), jpath
+
+
+def _write_bucket_marker(spark: SparkSession, path: str,
+                         files_per_split: int,
+                         bucket_width: int | None) -> None:
+    _, _, fs, root = _hfs(spark, path)
+    jvm = spark._jvm
+    mp = jvm.org.apache.hadoop.fs.Path(root, BUCKET_MARKER)
+    out = fs.create(mp, True)
+    out.write(bytearray(json.dumps(
+        {"files_per_split": files_per_split,
+         "bucket_width": bucket_width}).encode("utf-8")))
+    out.close()
+
+
+def _read_bucket_marker(spark: SparkSession, path: str) -> dict | None:
+    jvm, _, fs, root = _hfs(spark, path)
+    mp = jvm.org.apache.hadoop.fs.Path(root, BUCKET_MARKER)
+    if not fs.exists(mp):
+        return None
+    ins = fs.open(mp)
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(ins))
+    finally:
+        ins.close()
+    return json.loads(data.decode("utf-8"))
 
 
 def _pbucket(id_col: str, files_per_split: int,
@@ -111,6 +161,10 @@ def publish_corpus(docs: DataFrame, manifest: DataFrame, path: str,
             .option("maxRecordsPerFile", max_records_per_file)
             .partitionBy(split_col, "pbucket")
             .parquet(path))
+        # record the bucket function so a later incremental publish can
+        # refuse to run with divergent params (see BUCKET_MARKER)
+        _write_bucket_marker(docs.sparkSession, path,
+                             files_per_split, bucket_width)
         return
     out = (
         out.repartitionByRange(
@@ -144,8 +198,9 @@ def publish_corpus_incremental(docs: DataFrame, manifest: DataFrame,
                                bucket_width: int | None = None) -> dict:
     """Publish release N+1 rewriting ONLY the bucket directories the
     delta touches; every other ``split=X/pbucket=Y/`` directory is
-    carried over from release N's corpus byte-for-byte (hardlinks when
-    the filesystem allows, copies otherwise).
+    carried over from release N's corpus byte-for-byte (local
+    ``file:`` releases hardlink; any other scheme copies through the
+    Hadoop FileSystem API — see the filesystem paragraph below).
 
     A directory must be rewritten iff ANY row in it changed, under
     either release's assignment.  Dirty ids are (a) the symmetric
@@ -171,10 +226,40 @@ def publish_corpus_incremental(docs: DataFrame, manifest: DataFrame,
     the same ``bucket_width`` the base release was published with.
 
     ``prev_path`` must have been written with ``bucketed=True`` layout
-    and the same bucket function.  Returns counters:
+    and the same bucket function — enforced: the base release's
+    ``BUCKET_MARKER`` (written by :func:`publish_corpus` at publish
+    time) is compared against this call's params and a mismatch raises
+    (recomputing prev-manifest bucket keys with different params would
+    silently carry stale directories alongside the rewritten ones); a
+    missing marker (pre-marker release) warns and proceeds on the
+    caller's word.  All file traffic goes through the Hadoop FileSystem
+    API resolved from the paths' schemes, so releases on HDFS/S3/ABFS
+    carry server-side — with a hardlink fast-path when both releases
+    live on the local ``file:`` scheme.  Returns counters:
     {"rewritten": n, "carried": n}."""
-    import os
-    import shutil
+    spark = docs.sparkSession
+    marker = _read_bucket_marker(spark, prev_path)
+    if marker is None:
+        warnings.warn(
+            f"publish_corpus_incremental: {prev_path} carries no "
+            f"{BUCKET_MARKER}; cannot verify it was published with "
+            f"files_per_split={files_per_split}, "
+            f"bucket_width={bucket_width} — proceeding on the caller's "
+            "word. Mismatched bucket params silently corrupt the "
+            "published corpus.", stacklevel=2)
+    else:
+        want = {"files_per_split": files_per_split,
+                "bucket_width": bucket_width}
+        if bucket_width is not None:
+            # range mode ignores files_per_split (see _pbucket)
+            want["files_per_split"] = marker.get("files_per_split")
+        if marker != want:
+            raise ValueError(
+                f"bucket-function mismatch: {prev_path} was published "
+                f"with {marker}, this incremental publish was called "
+                f"with {want}. Dirty detection would diverge from the "
+                "base release's physical directories; re-publish the "
+                "base or pass the matching params.")
 
     mcols = sorted(c for c in manifest.columns
                    if c in set(prev_manifest.columns))
@@ -238,31 +323,56 @@ def publish_corpus_incremental(docs: DataFrame, manifest: DataFrame,
             .partitionBy(split_col, "pbucket")
             .parquet(path))
     else:
-        os.makedirs(path, exist_ok=True)
-        open(os.path.join(path, "_SUCCESS"), "w").close()
-    # carry over every clean directory from the previous release
+        _, _, dfs0, droot0 = _hfs(spark, path)
+        dfs0.mkdirs(droot0)
+        dfs0.create(spark._jvm.org.apache.hadoop.fs.Path(
+            droot0, "_SUCCESS"), True).close()
+    # carry over every clean directory from the previous release.
+    # Hadoop FS API throughout: listStatus sees whatever scheme the
+    # release lives on, and FileUtil.copy is scheme-aware (server-side
+    # where the store supports it).  When BOTH releases are local
+    # (file: scheme) a hardlink replaces the copy — carried terabytes
+    # cost zero bytes of IO on a posix filesystem.
+    jvm, conf, sfs, sroot = _hfs(spark, prev_path)
+    _, _, dfs, droot = _hfs(spark, path)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    FileUtil = jvm.org.apache.hadoop.fs.FileUtil
+    local = sfs.getScheme() == "file" and dfs.getScheme() == "file"
+
+    def _link_or_copy(src_st, dst_dir):
+        sp = src_st.getPath()
+        dp = HPath(dst_dir, sp.getName())
+        if local:
+            import os
+            try:
+                os.link(sp.toUri().getPath(), dp.toUri().getPath())
+                return
+            except OSError:
+                pass  # cross-device / no-hardlink FS: fall through
+        FileUtil.copy(sfs, sp, dfs, dp, False, conf)
+
     carried = 0
-    for sdir in sorted(os.listdir(prev_path)):
-        if not sdir.startswith(f"{split_col}="):
+    for s_st in sorted(sfs.listStatus(sroot),
+                       key=lambda st: st.getPath().getName()):
+        sdir = s_st.getPath().getName()
+        if not (s_st.isDirectory() and sdir.startswith(f"{split_col}=")):
             continue
         sval = sdir.split("=", 1)[1]
-        for bdir in sorted(os.listdir(os.path.join(prev_path, sdir))):
-            if not bdir.startswith("pbucket="):
+        for b_st in sorted(sfs.listStatus(s_st.getPath()),
+                           key=lambda st: st.getPath().getName()):
+            bdir = b_st.getPath().getName()
+            if not (b_st.isDirectory() and bdir.startswith("pbucket=")):
                 continue
             bval = int(bdir.split("=", 1)[1])
             if (sval, bval) in dirty_set:
                 continue
-            src = os.path.join(prev_path, sdir, bdir)
-            dst = os.path.join(path, sdir, bdir)
-            os.makedirs(dst, exist_ok=True)
-            for f in os.listdir(src):
-                if not f.endswith(".parquet"):
-                    continue
-                try:
-                    os.link(os.path.join(src, f), os.path.join(dst, f))
-                except OSError:
-                    shutil.copy2(os.path.join(src, f), os.path.join(dst, f))
+            dst = HPath(HPath(droot, sdir), bdir)
+            dfs.mkdirs(dst)
+            for f_st in sfs.listStatus(b_st.getPath()):
+                if f_st.getPath().getName().endswith(".parquet"):
+                    _link_or_copy(f_st, dst)
             carried += 1
+    _write_bucket_marker(spark, path, files_per_split, bucket_width)
     return {"rewritten": len(dirty_set), "carried": carried}
 
 

@@ -648,3 +648,17 @@ def test_release_cli_incremental_publish(tmp_path, spark, capsys):
     back = corpus_sink.read_corpus(spark, os.path.join(out1, "corpus"))
     assert back.filter(F.col("doc_id").isin([1, 3])).count() == 0
     assert back.filter(F.col("doc_id") == 100).count() == 1
+
+
+def test_release_cli_prev_release_requires_base(tmp_path, spark):
+    """-prev_release without -base is refused loudly (it used to fall
+    through to a silent full from-scratch publish)."""
+    import pytest
+
+    from cloudbrush_spark.__main__ import main
+    p = str(tmp_path / "d.parquet")
+    _docs_distinct(spark, 8).write.parquet(p)
+    with pytest.raises(SystemExit, match="-prev_release requires -base"):
+        main(["-curate", p, "-out", str(tmp_path / "rel"),
+              "-max_tokens", "2000", "-bucket_width", "8",
+              "-prev_release", str(tmp_path / "nope")])
