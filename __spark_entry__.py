@@ -2102,10 +2102,12 @@ def q_ann_contracts(spark, sf_dir):
     scale paths — ANN-LSH (16 tables x 6 hyperplanes), ANN-IVF
     (driver-trained coarse quantizer, 16 centroids, nprobe=2), int8
     scalar-quantized two-stage top-k (r9: select on array<tinyint>
-    codes, exact re-rank of the winners) and embedding near-dup LSH
-    (16 tables x 4 hyperplanes) — one row per variant so each keeps a
-    driver CORRECTNESS row inside the 50-query window (they shared the
-    same contract shape as separate entries through round 4).
+    codes, exact re-rank of the winners; r10 persisted-codes form; r11
+    IVF-partitioned-codes composition 'ann_ivfq') and embedding
+    near-dup LSH (16 tables x 4 hyperplanes) — one row per variant so
+    each keeps a driver CORRECTNESS row inside the 50-query window
+    (they shared the same contract shape as separate entries through
+    round 4).
 
     Row schema (variant, n_base, invalid_rows, bad_cosine, recall_ok):
     ``n_base`` is recomputed INDEPENDENTLY by the DuckDB oracle from the
@@ -2145,20 +2147,46 @@ def q_ann_contracts(spark, sf_dir):
     # the vector bytes); the <= queries*k winners re-rank against the
     # doubles via an In() pushdown.  Same contract as ann_q8: bad_cosine
     # == 0 proves the exact re-rank, recall@5 >= 90% vs the exact twin.
+    # The persisted indexes are written ONCE per sf_dir into a
+    # deterministic temp location and reused across harness/bench
+    # invocations (the writes are deterministic functions of the
+    # embeddings table; r11 — repeated mkdtemp copies used to
+    # accumulate unbounded under /tmp).
+    import hashlib as _hl
+    import os as _os
     import tempfile as _tf
-    _cdir = _tf.mkdtemp(prefix="cb_q8p_") + "/codes"
-    similarity.write_quantized_codes(emb, _cdir)
+    _slug = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    _idx = _os.path.join(_tf.gettempdir(), f"cb_annidx_{_slug}")
+    _cdir = _idx + "/codes"
+    if not _os.path.exists(_cdir + "/_SUCCESS"):
+        similarity.write_quantized_codes(emb, _cdir)
     _codes = similarity.read_quantized_codes(spark, _cdir)
     quantp = similarity.cosine_topk_quantized(emb, emb, k=5, codes=_codes)
     r_q8p = tag(_ann_contract(emb, quantp, recall_pct=90), "ann_q8p")
     # r10: persisted IVF index — probes scan ONLY the nprobe partitions
     # of the centroid-partitioned index (PartitionFilters, pinned in
     # tests/test_similarity.py); same contract as ann_ivf.
-    _ipath = _tf.mkdtemp(prefix="cb_ivfp_") + "/ivf"
-    similarity.write_ivf_index(emb, _ipath, n_centroids=16, seed=42)
+    _ipath = _idx + "/ivf"
+    if not _os.path.exists(_ipath + "/vectors/_SUCCESS"):
+        similarity.write_ivf_index(emb, _ipath, n_centroids=16, seed=42)
     ivfp = similarity.cosine_topk_ivf_indexed(spark, _ipath, emb, k=5,
                                               nprobe=2)
     r_ivfp = tag(_ann_contract(emb, ivfp, recall_pct=20), "ann_ivfp")
+    # r11 'ann_ivfq': the COMPOSED index — centroid partitions store
+    # int8 codes only (probe = PartitionFilter on nprobe buckets AND a
+    # codes-only ReadSchema on the same scan, pinned in
+    # tests/test_plans.py), doubles live once in an id-sorted side
+    # table only the winner re-rank reads (In() row-group pruning).
+    # bad_cosine == 0 again proves the exact re-rank; recall@5 >= 20%
+    # vs brute force (IVF probing dominates the loss; measured ~ the
+    # ann_ivfp level with int8 near-tie swaps only).
+    _iqpath = _idx + "/ivfq"
+    if not _os.path.exists(_iqpath + "/vectors/_SUCCESS"):
+        similarity.write_ivf_index(emb, _iqpath, n_centroids=16, seed=42,
+                                   quantized=True)
+    ivfq = similarity.cosine_topk_ivf_quantized(spark, _iqpath, emb, k=5,
+                                                nprobe=2)
+    r_ivfq = tag(_ann_contract(emb, ivfq, recall_pct=20), "ann_ivfq")
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
     exact = (
@@ -2270,8 +2298,8 @@ def q_ann_contracts(spark, sf_dir):
                 (F.lit(100) * F.col("got") >= F.lit(50) * F.col("n_base"))
                 .alias("recall_ok")))
     return (r_lsh.unionByName(r_ivf).unionByName(r_q8).unionByName(r_q8p)
-            .unionByName(r_ivfp).unionByName(r_emb).unionByName(r_embc)
-            .unionByName(r_cross))
+            .unionByName(r_ivfp).unionByName(r_ivfq).unionByName(r_emb)
+            .unionByName(r_embc).unionByName(r_cross))
 
 
 def q_probe_funnel(spark, sf_dir):
@@ -4570,6 +4598,10 @@ _ORACLES["ann_contracts"] = """
     FROM nq
     UNION ALL
     SELECT 'ann_ivfp', CAST(nq.n AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), TRUE
+    FROM nq
+    UNION ALL
+    SELECT 'ann_ivfq', CAST(nq.n AS BIGINT), CAST(0 AS BIGINT),
            CAST(0 AS BIGINT), TRUE
     FROM nq
     UNION ALL

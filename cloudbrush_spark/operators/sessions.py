@@ -63,7 +63,8 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 def funnel(events: DataFrame, steps: list[str],
            horizon_minutes: int = 1440, user_col: str = "user_id",
-           ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+           ts_col: str = "ts", type_col: str = "event_type",
+           max_events_per_user: int | None = None) -> DataFrame:
     """Ordered-sequence FUNNEL analysis — "users who did s1, then s2,
     ..., then sn, all within ``horizon_minutes`` of the first step":
     the product-analytics staple (conversion funnels) and the
@@ -82,12 +83,25 @@ def funnel(events: DataFrame, steps: list[str],
     over the sorted array — no Python, no per-step join cascade, ONE
     shuffle.  Per-user state is the matched-type event list (bounded by
     per-user activity — the same bound sessionize's per-user window
-    sort already assumes; a funnel over billions of events per single
-    user would need the n-join form instead).
+    sort already assumes).
+
+    ``max_events_per_user`` (default off) is the BOT GUARD: a single
+    pathological user's matched events would otherwise all land in one
+    ``collect_list`` aggregation buffer, which — unlike a window sort —
+    cannot spill, so one bot row can OOM its executor.  With the cap
+    set, only each user's EARLIEST ``max_events_per_user`` events OF
+    EACH STEP TYPE enter the collection (a per-(user, type) window
+    rank, which spills instead of buffering; costs one extra shuffle),
+    and the output gains an ``overflow_events`` column counting the
+    events dropped per user (0 for everyone under the cap).  Documented
+    approximation: a funnel whose true matched event lies beyond the
+    per-type cap reports fewer completed steps — greedy-first-touch
+    matches are overwhelmingly inside the earliest events of each type,
+    and any affected user is flagged by ``overflow_events > 0``.
 
     Output: one row per DISTINCT user in ``events`` —
-    (user_col, steps_completed, anchor_us, completed_us), sentinel -1
-    for no anchor / not completed."""
+    (user_col, steps_completed, anchor_us, completed_us[,
+    overflow_events]), sentinel -1 for no anchor / not completed."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     n = len(steps)
@@ -95,6 +109,14 @@ def funnel(events: DataFrame, steps: list[str],
     ev = events.select(
         F.col(user_col), F.unix_micros(F.col(ts_col)).alias("tus"),
         F.col(type_col).alias("et")).filter(F.col("et").isin(steps))
+    overflow = None
+    if max_events_per_user is not None:
+        wcap = Window.partitionBy(user_col, "et").orderBy("tus")
+        ranked = ev.withColumn("rnk", F.row_number().over(wcap))
+        overflow = (ranked.filter(F.col("rnk") > max_events_per_user)
+                    .groupBy(user_col)
+                    .agg(F.count(F.lit(1)).alias("overflow_events")))
+        ev = ranked.filter(F.col("rnk") <= max_events_per_user).drop("rnk")
     arr = ev.groupBy(user_col).agg(
         F.array_sort(F.collect_list(F.struct("tus", "et"))).alias("evs"))
     step_arr = F.array(*[F.lit(s) for s in steps])
@@ -125,9 +147,13 @@ def funnel(events: DataFrame, steps: list[str],
         F.when(fold["step"] == n, fold["last"]).otherwise(F.lit(-1))
         .cast("long").alias("completed_us"))
     universe = events.select(user_col).distinct()
-    return (universe.join(folded, user_col, "left")
-            .na.fill({"steps_completed": 0, "anchor_us": -1,
-                      "completed_us": -1}))
+    out = (universe.join(folded, user_col, "left")
+           .na.fill({"steps_completed": 0, "anchor_us": -1,
+                     "completed_us": -1}))
+    if overflow is not None:
+        out = (out.join(overflow, user_col, "left")
+               .na.fill({"overflow_events": 0}))
+    return out
 
 
 def cohort_retention(events: DataFrame, user_col: str = "user_id",

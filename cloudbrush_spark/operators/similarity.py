@@ -631,7 +631,8 @@ def embedding_clusters(vectors: DataFrame, dim: int, threshold: float = 0.95,
 def write_ivf_index(vectors: DataFrame, path: str, n_centroids: int = 16,
                     sample: int = 4096, seed: int = 42,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> list[list[float]]:
+                    vec_col: str = "embedding",
+                    quantized: bool = False) -> list[list[float]]:
     """Write a persisted IVF INDEX: the corpus as CENTROID-PARTITIONED
     parquet (``<path>/vectors/bucket=<i>/``) plus the centroid table
     (``<path>/centroids``).
@@ -645,12 +646,27 @@ def write_ivf_index(vectors: DataFrame, path: str, n_centroids: int = 16,
     before a single row is deserialized (plan-pinned in
     ``tests/test_similarity.py``).  Written once per corpus snapshot;
     mass-duplicate corpora should exact-dedup first (a million copies
-    of one embedding land in one partition).  Returns the centroids."""
+    of one embedding land in one partition).  Returns the centroids.
+
+    ``quantized=True`` COMPOSES the two persisted levers (r11): the
+    bucket partitions store ONLY the int8 codes (``q_scale``,
+    ``q_codes array<tinyint>`` — no double column reaches the probe
+    scan's ReadSchema), and the double vectors land once in a separate
+    id-sorted ``<path>/doubles`` side table that only the winner
+    re-rank touches (In() row-group pruning).  A probe through
+    :func:`cosine_topk_ivf_quantized` then multiplies the levers:
+    nprobe/n_centroids of the DIRECTORIES at ~1/8 of the BYTES each."""
     centroids = ivf_centroids(vectors, n_centroids, sample, seed=seed,
                               vec_col=vec_col)
     scores = _centroid_scores(F.col(vec_col), centroids)
     assigned = vectors.withColumn(
         "bucket", F.reverse(F.array_sort(scores))[0]["i"])
+    if quantized:
+        assigned = quantize_embeddings(assigned, id_col, vec_col) \
+            .select(id_col, "q_scale", "q_codes", "bucket")
+        (vectors.select(id_col, vec_col)
+         .sortWithinPartitions(id_col)
+         .write.mode("overwrite").parquet(path + "/doubles"))
     (assigned.repartition(max(4, len(centroids)), F.col("bucket"))
      .sortWithinPartitions("bucket", id_col)
      .write.mode("overwrite").partitionBy("bucket")
@@ -724,13 +740,15 @@ def quantize_embeddings(vectors: DataFrame, id_col: str = "vec_id",
     arrays approximates the cosine of the originals without ever
     dequantizing.  Zero vectors quantize to all-zero codes with scale 1
     (no divide-by-zero).  Everything is a JVM-side higher-order-function
-    projection — no Python, no shuffle."""
+    projection — no Python, no shuffle.  Input columns are preserved
+    (the IVF-quantized index writer keeps its ``bucket`` through here);
+    ``q_scale``/``q_codes`` are appended."""
     v = F.col(vec_col)
     mx = F.aggregate(F.transform(v, lambda x: F.abs(x)), F.lit(0.0),
                      lambda acc, x: F.greatest(acc, x))
     scale = F.when(mx == F.lit(0.0), F.lit(1.0)).otherwise(mx / F.lit(127.0))
     return vectors.select(
-        F.col(id_col), v,
+        "*",
         scale.alias("q_scale"),
         F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
         .alias("q_codes"),
@@ -882,6 +900,105 @@ def cosine_topk_quantized(vectors: DataFrame, queries: DataFrame, k: int = 10,
     nbr = nbr.select(F.col(id_col).alias("neighbor_id"),
                      F.col(vec_col).alias("cv"), _norm(F.col(vec_col))
                      .alias("cn"))
+    return (
+        nbr.join(F.broadcast(top), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")
+        .select("query_id", "neighbor_id", "rank",
+                (_dot(F.col("qv"), F.col("cv"))
+                 / (F.col("qn") * F.col("cn"))).alias("cosine"))
+    )
+
+
+def ivf_quantized_select(spark, path: str, queries: DataFrame,
+                         k: int, nprobe: int = 2,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding"):
+    """Selection stage of the composed index probe: build the quantized
+    query frame, pick each query's ``nprobe`` buckets, and rank int8
+    dot products INSIDE the probed partitions only.  By construction
+    this plan scans the codes partitions with a PartitionFilter on the
+    probed buckets and a ReadSchema holding no double column — both
+    pinned in ``tests/test_plans.py`` (the full probe stage-cuts the
+    winner frame, severing this plan from the output's, so the pin
+    targets this function).  Returns ``(q, top)``: the quantized query
+    frame and the uncut (query_id, neighbor_id, rank) winners."""
+    cent_rows = spark.read.parquet(path + "/centroids") \
+        .orderBy("bucket").collect()
+    centroids = [list(r.centroid) for r in cent_rows]
+    scores = _centroid_scores(F.col(vec_col), centroids)
+    q = quantize_embeddings(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"), F.col("q_codes").alias("qc"),
+        F.sqrt(_qdot(F.col("q_codes"), F.col("q_codes")).cast("double"))
+        .alias("qcn"),
+        F.transform(F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
+                    lambda s: s["i"]).alias("probes")) \
+        .filter(F.col("qcn") > 0)
+    qx = q.select("query_id", "qc", "qcn",
+                  F.explode("probes").alias("bucket"))
+    probed = sorted(r[0] for r in
+                    qx.select("bucket").distinct().collect())
+    codes = (spark.read.parquet(path + "/vectors")
+             .filter(F.col("bucket").isin(probed))
+             .select(F.col("bucket"), F.col(id_col).alias("neighbor_id"),
+                     F.col("q_codes").alias("cc"),
+                     F.sqrt(_qdot(F.col("q_codes"), F.col("q_codes"))
+                            .cast("double")).alias("ccn"))
+             .filter(F.col("ccn") > 0))
+    scored = (
+        codes.join(F.broadcast(qx), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("qcos", _qdot(F.col("qc"), F.col("cc")).cast("double")
+                    / (F.col("qcn") * F.col("ccn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(),
+                                               F.col("neighbor_id"))
+    top = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select("query_id", "neighbor_id", "rank"))
+    return q, top
+
+
+def cosine_topk_ivf_quantized(spark, path: str, queries: DataFrame,
+                              k: int = 10, nprobe: int = 2,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              rerank_collect_max: int | None = None
+                              ) -> DataFrame:
+    """Top-k against a ``write_ivf_index(quantized=True)`` index — the
+    COMPOSITION of the two persisted ANN levers (r11).
+
+    Per query batch: (1) centroids load driver-side (bounded); each
+    query picks its ``nprobe`` nearest buckets, and the probed union
+    becomes a literal PartitionFilter on the index scan — unprobed
+    directories are never listed or decoded; (2) the selection inside
+    the probed partitions runs on int8 codes only (integer dot
+    products; the scan's ReadSchema carries no double column — both
+    properties pinned on the SAME scan in ``tests/test_plans.py``), so
+    the probe reads nprobe/n_centroids of the directories at ~1/8 of
+    the bytes each; (3) the ≤ queries×k winners re-rank against the
+    id-sorted ``<path>/doubles`` side table via an In() pushdown
+    (row-group pruning; distributed broadcast-join fallback past
+    ``rerank_collect_max``), so the reported cosine is the exact double
+    cosine.  Recall loses only what IVF probing and int8 selection each
+    lose (measured vs brute force in ``tests/test_similarity.py``).
+    Output: (query_id, neighbor_id, rank, cosine)."""
+    q, top = ivf_quantized_select(spark, path, queries, k, nprobe,
+                                  id_col, vec_col)
+    # Stage-cut: the winner frame is consumed twice (id collect + join).
+    from cloudbrush_spark.operators.dedup import _stage_cut
+    top = _stage_cut(top)
+    if rerank_collect_max is None:
+        rerank_collect_max = RERANK_COLLECT_MAX
+    ids = [r[0] for r in
+           top.select("neighbor_id").distinct()
+           .limit(rerank_collect_max + 1).collect()]
+    nbr = spark.read.parquet(path + "/doubles")
+    if len(ids) <= rerank_collect_max:
+        nbr = nbr.filter(F.col(id_col).isin(ids))
+    nbr = nbr.select(F.col(id_col).alias("neighbor_id"),
+                     F.col(vec_col).alias("cv"),
+                     _norm(F.col(vec_col)).alias("cn"))
     return (
         nbr.join(F.broadcast(top), "neighbor_id")
         .join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")

@@ -128,6 +128,11 @@ class ReleasePipeline:
             prev_corpus_path: str | None = None,
             prev_manifest: DataFrame | None = None,
             publish_changed_ids: DataFrame | None = None,
+            dsir_target: DataFrame | None = None,
+            embeddings: DataFrame | None = None,
+            prior_embeddings: DataFrame | None = None,
+            embedding_dim: int | None = None,
+            embedding_threshold: float = 0.95,
             **curate_kw) -> DataFrame:
         """Run the full release; returns the RELEASE MANIFEST — one row
         per published row: (id, copy, split, shard_id, offset, ws_tokens,
@@ -160,7 +165,36 @@ class ReleasePipeline:
         the delta touches are rewritten, the rest carry over from the
         previous release through the Hadoop FileSystem API (hardlinks
         on local ``file:`` releases) — rows pinned identical either
-        way."""
+        way.
+
+        ``embeddings``/``prior_embeddings`` (together; per-doc
+        ``(id_col, embedding array<double>)`` for THIS corpus and for
+        the previous release) enable the cross-corpus EMBEDDING DEDUP
+        gate right after curation: new documents whose embedding
+        near-duplicates (cosine >= ``embedding_threshold``) anything in
+        the prior release are dropped from the manifest — the
+        "train only on content we haven't already shipped" product
+        (``similarity.cross_corpus_embedding_near_dups``; prior-release
+        ids are namespaced internally, so overlapping doc_id spaces are
+        fine — an UNCHANGED doc embedding-matches itself and is
+        dropped, which is the point of this gate; do not combine with a
+        base snapshot that should keep unchanged docs unless that is
+        what you want).  Composes with the incremental publish (the
+        gate only shrinks the manifest; dirty detection sees the
+        difference) and with the feature cache (gate features are
+        text-side and unaffected).
+
+        ``dsir_target`` (a ``(id_col, text_col)`` corpus of the domain
+        you want more of) enables the DSIR stage: per-published-doc
+        importance weights ``avg log p_target − avg log p_raw`` under
+        two corpus-trained bigram LMs (``lm.importance_weights``, Xie
+        et al. 2023), written as the ``dsir.parquet`` side table for a
+        downstream resample/budget pass.  A side output — it never
+        changes the published rows, so it composes with everything."""
+        if (embeddings is None) != (prior_embeddings is None):
+            raise ValueError(
+                "the embedding-dedup gate needs embeddings AND "
+                "prior_embeddings together")
         if prev_corpus_path is not None and (
                 prev_manifest is None or publish_changed_ids is None):
             raise ValueError(
@@ -230,6 +264,33 @@ class ReleasePipeline:
             "curate",
             lambda: curation.curate(docs, id_col=id_col, text_col=text_col,
                                     benchmark=benchmark, **curate_kw))
+
+        if embeddings is not None:
+            # cross-corpus embedding dedup gate (r11): runs BEFORE
+            # mixture/budget/pack so a dropped doc never competes for
+            # the token budget or a shard slot
+            def _embdedup() -> DataFrame:
+                from cloudbrush_spark.operators import similarity
+                dim = embedding_dim
+                if dim is None:
+                    row = embeddings.select(
+                        F.size("embedding").alias("d")).first()
+                    dim = int(row.d) if row else 1
+                new_v = (embeddings
+                         .join(manifest.select(id_col), id_col, "left_semi")
+                         .select(F.col(id_col), "embedding"))
+                # namespace prior ids negative: the operator requires
+                # disjoint id spaces, and release N's doc_ids legally
+                # overlap release N+1's
+                ref_v = prior_embeddings.select(
+                    (-F.col(id_col) - 1).alias(id_col), "embedding")
+                matched = similarity.cross_corpus_embedding_near_dups(
+                    new_v, ref_v, dim=dim, threshold=embedding_threshold,
+                    seed=42, id_col=id_col, vec_col="embedding", tables=8)
+                drop = matched.select(F.col("a").alias(id_col)).distinct()
+                return manifest.join(drop, id_col, "left_anti")
+
+            manifest = self._stage("embdedup", _embdedup)
 
         def _mixture() -> DataFrame:
             if mixture_weights is None:
@@ -368,6 +429,31 @@ class ReleasePipeline:
                     os.path.join(out_path, "spans.parquet"))
 
             self._stage("spans", _spans)
+
+        if dsir_target is not None:
+            # DSIR importance weights over the PUBLISHED documents (one
+            # row per distinct published id), as the dsir.parquet side
+            # table — the input to a later "resample toward the target
+            # domain" pass (weights feed sampling.mixture_resample /
+            # budget_select).  Never mutates the release itself.
+            def _dsir() -> DataFrame:
+                from cloudbrush_spark.operators import lm
+                survivors = (docs
+                             .join(out.select(id_col).distinct(), id_col,
+                                   "left_semi")
+                             .select(F.col(id_col), F.col(text_col)))
+                t_model = lm.bigram_lm(dsir_target, id_col=id_col,
+                                       text_col=text_col)
+                r_model = lm.bigram_lm(survivors, id_col=id_col,
+                                       text_col=text_col)
+                w = lm.importance_weights(survivors, t_model, r_model,
+                                          id_col=id_col, text_col=text_col)
+                w.write.mode("overwrite").parquet(
+                    os.path.join(out_path, "dsir.parquet"))
+                return self.spark.read.parquet(
+                    os.path.join(out_path, "dsir.parquet"))
+
+            self._stage("dsir", _dsir)
         return out
 
 

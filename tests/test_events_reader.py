@@ -128,3 +128,64 @@ def test_cohort_retention_matrix(spark):
     assert got[(c, 2)] == 1          # user 2
     assert got[(c + 1, 0)] == 1      # user 3, counted once
     assert sum(v for (co, off), v in got.items() if co == c + 1) == 1
+
+
+def test_funnel_event_cap_semantics(spark):
+    """max_events_per_user (the bot guard): capped == uncapped on a
+    normal fixture (overflow_events all 0); a bot user whose matched
+    events exceed the cap degrades to the documented earliest-N
+    approximation with overflow_events flagging exactly the drop."""
+    from datetime import datetime, timedelta
+
+    from cloudbrush_spark.operators.sessions import funnel
+    T = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)  # noqa: E731
+    rows = [
+        (1, T(0), "view"), (1, T(10), "click"), (1, T(20), "purchase"),
+        (2, T(0), "view"), (2, T(10), "purchase"), (2, T(20), "click"),
+        (3, T(5), "error"),
+    ]
+    # bot: 500 view events, then completes late — the matched click and
+    # purchase stay within the cap, views overflow
+    rows += [(9, T(i), "view") for i in range(500)]
+    rows += [(9, T(500), "click"), (9, T(501), "purchase")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    steps = ["view", "click", "purchase"]
+    plain = {r.user_id: (r.steps_completed, r.anchor_us, r.completed_us)
+             for r in funnel(df, steps).collect()}
+    capped_df = funnel(df, steps, max_events_per_user=100)
+    assert "overflow_events" in capped_df.columns
+    capped = {r.user_id: (r.steps_completed, r.anchor_us, r.completed_us,
+                          r.overflow_events)
+              for r in capped_df.collect()}
+    # normal users: identical results, zero overflow
+    for u in (1, 2, 3):
+        assert capped[u][:3] == plain[u] and capped[u][3] == 0
+    # bot: greedy anchor (earliest view) is inside the earliest-N slice,
+    # so the funnel still completes; 400 dropped views are counted
+    assert capped[9][:3] == plain[9]
+    assert capped[9][3] == 400
+    # uncapped output keeps the original 4-column schema
+    assert "overflow_events" not in funnel(df, steps).columns
+
+
+def test_funnel_event_cap_can_truncate_completions(spark):
+    """The documented approximation edge: when the true matched event of
+    a later step lies beyond the per-type cap, the capped funnel reports
+    fewer completed steps — and overflow_events > 0 flags the user."""
+    from datetime import datetime, timedelta
+
+    from cloudbrush_spark.operators.sessions import funnel
+    T = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)  # noqa: E731
+    # clicks 1..10 all BEFORE the view at minute 50; the only click
+    # strictly after the anchor is the 11th (minute 60) — beyond cap 5
+    rows = [(7, T(i), "click") for i in range(1, 11)]
+    rows += [(7, T(50), "view"), (7, T(60), "click")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    plain = funnel(df, ["view", "click"]).collect()[0]
+    assert plain.steps_completed == 2
+    capped = funnel(df, ["view", "click"], max_events_per_user=5) \
+        .collect()[0]
+    assert capped.steps_completed == 1
+    assert capped.overflow_events == 6

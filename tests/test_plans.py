@@ -337,3 +337,41 @@ def test_quantized_codes_selection_scan_never_reads_doubles(spark, tmp_path):
     out = similarity.cosine_topk_quantized(vecs, q, k=4, codes=codes)
     pushed = plans.pushed_filters(out)
     assert any("In(vec_id" in p for p in pushed), pushed
+
+
+def test_ivf_quantized_probe_prunes_partitions_and_reads_codes_only(
+        spark, tmp_path):
+    """The composed (r11) index multiplies the two persisted levers ON
+    THE SAME SCAN: the selection scan carries a PartitionFilter on the
+    probed buckets (unprobed directories never listed) AND a ReadSchema
+    with q_codes and NO double column (int8 bytes inside the probed
+    partitions); the doubles side table is touched only by the re-rank,
+    with the In() winner filter pushed for row-group pruning."""
+    import random as _rnd
+    from cloudbrush_spark.operators import similarity
+    rng = _rnd.Random(7)
+    centers = [[8 * (1 if i == c else 0) for i in range(8)] for c in range(4)]
+    rows = []
+    for vid in range(200):
+        ctr = centers[vid % 4]
+        rows.append((vid, [x + rng.uniform(-0.4, 0.4) for x in ctr]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivfq")
+    similarity.write_ivf_index(vecs, path, n_centroids=8, seed=42,
+                               quantized=True)
+    q = vecs.filter(F.col("vec_id") < 2)
+    # the selection stage (the full probe stage-cuts the winner frame,
+    # severing the selection plan from the output's — pin it directly)
+    _, sel = similarity.ivf_quantized_select(spark, path, q, k=3, nprobe=2)
+    plan = plans.explain_str(sel)
+    assert "PartitionFilters" in plan and "bucket" in \
+        plan.split("PartitionFilters", 1)[1][:200], plan
+    # the codes scan (the /vectors one) must not read any double column
+    schemas = plans.read_schema(sel)
+    codes_scans = [s for s in schemas if "q_codes" in s]
+    assert codes_scans and all(
+        "array<double>" not in s for s in codes_scans), schemas
+    # full probe: the /doubles scan exists only behind the In() re-rank
+    out = similarity.cosine_topk_ivf_quantized(spark, path, q, k=3, nprobe=2)
+    pushed = plans.pushed_filters(out)
+    assert any("In(vec_id" in p for p in pushed), pushed

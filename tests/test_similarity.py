@@ -454,3 +454,57 @@ def test_ivf_index_matches_python_reference(spark, clustered, tmp_path):
             [(rk + 1, i) for rk, (i, _) in enumerate(want)]
         for (_, _, c), (_, wc) in zip(sorted(got[qid]), want):
             assert abs(c - wc) < 1e-9
+
+
+def test_ivf_quantized_index_layout_and_parity(spark, clustered, tmp_path):
+    """The composed index (r11): bucket partitions store ONLY int8
+    codes (+scale) — no double column in the partition files — doubles
+    live once in the id-sorted side table; and the probe's top-k
+    matches the plain persisted-IVF index's neighbor SET on separated
+    clusters, with the reported cosine exactly the double cosine."""
+    vecs = clustered.select("vec_id", "embedding")
+    pq = str(tmp_path / "ivfq")
+    pp = str(tmp_path / "ivfp")
+    cq = similarity.write_ivf_index(vecs, pq, n_centroids=8, seed=42,
+                                    quantized=True)
+    cp = similarity.write_ivf_index(vecs, pp, n_centroids=8, seed=42)
+    assert cq == cp  # same deterministic coarse quantizer
+    part = spark.read.parquet(pq + "/vectors")
+    assert set(part.columns) == {"vec_id", "q_scale", "q_codes", "bucket"}
+    assert dict(part.dtypes)["q_codes"] == "array<tinyint>"
+    dbl = spark.read.parquet(pq + "/doubles")
+    assert set(dbl.columns) == {"vec_id", "embedding"}
+    q = vecs.filter(F.col("vec_id").isin([0, 30, 60, 90]))
+    got = similarity.cosine_topk_ivf_quantized(spark, pq, q, k=3, nprobe=2)
+    ref = similarity.cosine_topk_ivf_indexed(spark, pp, q, k=3, nprobe=2)
+    g = {(r.query_id, r.neighbor_id): r.cosine for r in got.collect()}
+    r_ = {(r.query_id, r.neighbor_id): r.cosine for r in ref.collect()}
+    # int8 selection may swap near-ties at the cut (cosines within the
+    # quantization error), but recall vs the exact-selection index stays
+    # >= 2/3 per query here, the top-1 neighbor agrees, and every common
+    # pair's cosine is the exact double cosine BITWISE (the re-rank must
+    # not leak quantized scores)
+    for qid in (0, 30, 60, 90):
+        gn = {n for (qq, n) in g if qq == qid}
+        rn = {n for (qq, n) in r_ if qq == qid}
+        assert len(gn & rn) >= 2, (qid, gn, rn)
+    top1_g = {r.query_id: r.neighbor_id for r in got.collect() if r.rank == 1}
+    top1_r = {r.query_id: r.neighbor_id for r in ref.collect() if r.rank == 1}
+    assert top1_g == top1_r
+    assert all(g[k2] == r_[k2] for k2 in set(g) & set(r_))
+
+
+def test_ivf_quantized_over_cap_rerank_falls_back_distributed(spark,
+                                                              clustered,
+                                                              tmp_path):
+    """Past rerank_collect_max the winner re-rank joins distributed
+    instead of collecting ids — results identical."""
+    vecs = clustered.select("vec_id", "embedding")
+    pq = str(tmp_path / "ivfq")
+    similarity.write_ivf_index(vecs, pq, n_centroids=8, seed=42,
+                               quantized=True)
+    q = vecs.filter(F.col("vec_id").isin([0, 30]))
+    a = similarity.cosine_topk_ivf_quantized(spark, pq, q, k=3, nprobe=2)
+    b = similarity.cosine_topk_ivf_quantized(spark, pq, q, k=3, nprobe=2,
+                                             rerank_collect_max=1)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
