@@ -116,6 +116,19 @@ def _build_parser() -> argparse.ArgumentParser:
                          "document id (vec_id column)")
     ap.add_argument("-semantic_threshold", type=float, default=0.95,
                     help="curation: semantic decontamination cosine cutoff")
+    ap.add_argument("-prior_embeddings", default=None, metavar="PARQUET",
+                    help="release: the PREVIOUS release's embeddings "
+                         "parquet (vec_id/doc_id, embedding); with "
+                         "-embeddings, new docs whose embedding "
+                         "near-duplicates the prior release (cosine >= "
+                         "-emb_dedup_threshold) are dropped after curation "
+                         "(cross-corpus embedding dedup gate)")
+    ap.add_argument("-emb_dedup_threshold", type=float, default=0.95,
+                    help="release: cross-release embedding dedup cutoff")
+    ap.add_argument("-dsir_target", default=None, metavar="PARQUET",
+                    help="release: target-domain docs parquet (doc_id, "
+                         "text); writes DSIR importance weights of the "
+                         "published docs to <out>/dsir.parquet")
     # full-release flags: either one upgrades -curate to the resumable
     # curate -> mixture -> shard-pack -> publish chain
     # (pipeline/release.py), the analogue of the reference's single
@@ -304,9 +317,17 @@ def main(argv: list[str] | None = None) -> int:
             docs = reader(spark, args.curate, args.input_schema)
         bench = (spark.read.parquet(args.benchmark)
                  if args.benchmark else None)
-        if bool(args.bench_embeddings) != bool(args.embeddings):
+        if args.bench_embeddings and not args.embeddings:
+            raise SystemExit("-bench_embeddings requires -embeddings")
+        if args.prior_embeddings and not args.embeddings:
+            raise SystemExit("-prior_embeddings requires -embeddings "
+                             "(the current corpus's vectors)")
+        if args.embeddings and not (args.bench_embeddings
+                                    or args.prior_embeddings):
             raise SystemExit(
-                "-bench_embeddings and -embeddings must be given together")
+                "-embeddings needs -bench_embeddings (semantic "
+                "decontamination) and/or -prior_embeddings (cross-release "
+                "embedding dedup)")
         sem_kw = {}
         if args.bench_embeddings:
             sem_kw = dict(
@@ -319,7 +340,9 @@ def main(argv: list[str] | None = None) -> int:
                 or args.token_budget is not None
                 or args.src_budget is not None
                 or args.bucket_width is not None
-                or args.prev_release is not None):
+                or args.prev_release is not None
+                or args.prior_embeddings is not None
+                or args.dsir_target is not None):
             from cloudbrush_spark.pipeline.release import (
                 ReleasePipeline, incremental_release)
             weights = json.loads(args.mixture) if args.mixture else None
@@ -338,6 +361,21 @@ def main(argv: list[str] | None = None) -> int:
             if args.bucket_width is not None:
                 rel_kw["bucketed_publish"] = True
                 rel_kw["publish_bucket_width"] = args.bucket_width
+            if args.prior_embeddings:
+                def _dvec(path):
+                    df = spark.read.parquet(path)
+                    if "doc_id" not in df.columns and "vec_id" in df.columns:
+                        df = df.withColumnRenamed("vec_id", "doc_id")
+                    return df.select(
+                        "doc_id",
+                        F.transform("embedding",
+                                    lambda x: x.cast("double"))
+                        .alias("embedding"))
+                rel_kw["embeddings"] = _dvec(args.embeddings)
+                rel_kw["prior_embeddings"] = _dvec(args.prior_embeddings)
+                rel_kw["embedding_threshold"] = args.emb_dedup_threshold
+            if args.dsir_target:
+                rel_kw["dsir_target"] = spark.read.parquet(args.dsir_target)
             if args.prev_release and not args.base:
                 # without -base there is no delta to bound the rewrite,
                 # so the publish would silently fall back to a full

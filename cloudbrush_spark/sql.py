@@ -55,7 +55,7 @@ def register_release_views(spark: SparkSession, release_dir: str) -> list[str]:
             .createOrReplaceTempView("corpus")
         registered.append("corpus")
     side_tables = ("release_manifest", "delta", "features", "report",
-                   "spans")
+                   "spans", "dsir")
     for name in side_tables:
         p = os.path.join(release_dir, f"{name}.parquet")
         if os.path.exists(p):

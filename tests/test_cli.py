@@ -282,3 +282,38 @@ def test_sql_release_side_tables_registered(tmp_path, spark, capsys):
         spark, "SELECT count(*) AS n FROM delta WHERE action = 'insert'"
     ).first().n
     assert n == 2
+
+
+def test_cli_prior_embeddings_and_dsir(tmp_path, spark, capsys):
+    """-prior_embeddings/-dsir_target run the release pipeline with the
+    r11 gates; -prior_embeddings without -embeddings is refused."""
+    import pytest
+
+    from cloudbrush_spark.__main__ import main
+    from tests.test_release import _docs_distinct, _emb_for
+    docs = _docs_distinct(spark, 12)
+    p = str(tmp_path / "d.parquet")
+    docs.write.parquet(p)
+    emb = _emb_for(docs, spark)
+    e_p = str(tmp_path / "emb.parquet")
+    emb.write.parquet(e_p)
+    pe_p = str(tmp_path / "prior.parquet")
+    emb.filter("doc_id < 6").write.parquet(pe_p)
+    t_p = str(tmp_path / "target.parquet")
+    docs.filter("doc_id % 2 = 0").select("doc_id", "text") \
+        .write.parquet(t_p)
+    with pytest.raises(SystemExit, match="requires -embeddings"):
+        main(["-curate", p, "-out", str(tmp_path / "x"),
+              "-prior_embeddings", pe_p])
+    out = str(tmp_path / "rel")
+    rc = main(["-curate", p, "-out", out, "-max_tokens", "2000",
+               "-embeddings", e_p, "-prior_embeddings", pe_p,
+               "-emb_dedup_threshold", "0.99", "-dsir_target", t_p])
+    assert rc == 0
+    import os
+
+    from cloudbrush_spark.sources import corpus as corpus_sink
+    kept = {r.doc_id for r in corpus_sink.read_corpus(
+        spark, os.path.join(out, "corpus")).select("doc_id").collect()}
+    assert kept == set(range(6, 12)), kept
+    assert os.path.exists(os.path.join(out, "dsir.parquet"))

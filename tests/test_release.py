@@ -662,3 +662,89 @@ def test_release_cli_prev_release_requires_base(tmp_path, spark):
         main(["-curate", p, "-out", str(tmp_path / "rel"),
               "-max_tokens", "2000", "-bucket_width", "8",
               "-prev_release", str(tmp_path / "nope")])
+
+
+def _emb_for(docs_df, spark, drift=0.0):
+    """Deterministic per-doc 8-d embeddings: doc i gets a unit-ish
+    vector seeded by i; ``drift`` perturbs every vector (to make two
+    corpora near- but not exact-duplicates)."""
+    import random as _rnd
+    rows = []
+    for r in docs_df.select("doc_id").collect():
+        rng = _rnd.Random(int(r.doc_id))
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        if drift:
+            v = [x + drift * rng.uniform(-1, 1) for x in v]
+        rows.append((int(r.doc_id), v))
+    return spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+
+
+def test_release_embedding_dedup_gate(spark, tmp_path):
+    """embeddings + prior_embeddings drop curated docs whose embedding
+    near-duplicates the prior release — overlapping doc_id spaces are
+    handled (prior ids are namespaced internally)."""
+    from cloudbrush_spark.sources import corpus as corpus_sink
+    docs = _docs_distinct(spark, 20)
+    emb = _emb_for(docs, spark)
+    # prior release = embeddings of docs 0-9 under the SAME ids
+    prior = emb.filter(F.col("doc_id") < 10)
+    out = str(tmp_path / "rel")
+    release(spark, docs, out, max_tokens=2000,
+            embeddings=emb, prior_embeddings=prior,
+            embedding_threshold=0.99)
+    back = corpus_sink.read_corpus(spark, os.path.join(out, "corpus"))
+    kept = {r.doc_id for r in back.select("doc_id").collect()}
+    # exact self-duplicates at cosine 1.0: docs 0-9 dropped, 10-19 kept
+    assert kept == set(range(10, 20)), kept
+
+
+def test_release_dsir_stage_writes_weights(spark, tmp_path):
+    """dsir_target writes dsir.parquet: one weight row per published
+    doc, higher for docs resembling the target corpus."""
+    docs = _docs_distinct(spark, 16)
+    # target domain: the same vocabulary as even docs plus a marker
+    target = docs.filter(F.col("doc_id") % 2 == 0) \
+        .select("doc_id", "text")
+    out = str(tmp_path / "rel")
+    release(spark, docs, out, max_tokens=2000, dsir_target=target)
+    w = spark.read.parquet(os.path.join(out, "dsir.parquet"))
+    assert {"doc_id", "weight", "logp_target", "logp_raw"} <= set(w.columns)
+    pub = spark.read.parquet(os.path.join(out, "release_manifest.parquet"))
+    assert w.count() == pub.select("doc_id").distinct().count()
+
+
+def test_release_new_stages_compose_with_incremental_publish(spark,
+                                                             tmp_path):
+    """The r11 stages ride along the incremental-release path: the
+    embedding gate shrinks the manifest (dirty detection republished
+    the dropped docs' buckets), the DSIR table lands beside the release,
+    and read-back rows equal a from-scratch release with the same gates."""
+    from cloudbrush_spark.pipeline.release import incremental_release
+    from cloudbrush_spark.sources import corpus as corpus_sink
+    base, crawl = _distinct_snapshot_and_crawl(spark)
+    emb = _emb_for(crawl, spark)
+    prior_emb = _emb_for(base.filter(F.col("doc_id") < 6), spark)
+    target = base.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    kw = dict(max_tokens=2000, publish_bucket_width=8,
+              embeddings=emb, prior_embeddings=prior_emb,
+              embedding_threshold=0.99, dsir_target=target)
+    out0 = str(tmp_path / "rel0")
+    release(spark, base, out0, cache_features=True, bucketed_publish=True,
+            max_tokens=2000, publish_bucket_width=8)
+    prev = spark.read.parquet(os.path.join(out0, "features.parquet"))
+    out1 = str(tmp_path / "rel1")
+    incremental_release(spark, base, crawl, out1, prev_features=prev,
+                        prev_release_path=out0, **kw)
+    out2 = str(tmp_path / "rel2")
+    release(spark, crawl, out2, **kw)
+    cols = ["doc_id", "copy", "split", "shard_id", "offset", "text"]
+    b1 = corpus_sink.read_corpus(spark, os.path.join(out1, "corpus")) \
+        .select(*cols)
+    b2 = corpus_sink.read_corpus(spark, os.path.join(out2, "corpus")) \
+        .select(*cols)
+    assert b1.exceptAll(b2).count() == 0 and b2.exceptAll(b1).count() == 0
+    # the gate really dropped the prior-dup docs (0,2,4 survive the
+    # crawl; 1,3 were deleted upstream; 5 embedding-matches the prior)
+    kept = {r.doc_id for r in b1.select("doc_id").distinct().collect()}
+    assert kept.isdisjoint({0, 2, 4, 5})
+    assert os.path.exists(os.path.join(out1, "dsir.parquet"))
