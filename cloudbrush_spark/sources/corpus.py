@@ -378,13 +378,34 @@ def publish_corpus_incremental(docs: DataFrame, manifest: DataFrame,
 
 def read_corpus(spark: SparkSession, path: str,
                 split: str | None = None,
-                split_col: str = "split") -> DataFrame:
+                split_col: str = "split",
+                id_range: tuple[int, int] | None = None,
+                id_col: str = "doc_id") -> DataFrame:
     """Read a published corpus; ``split`` filters via partition pruning
     (directory-level — verify with .explain(): PartitionFilters, not
-    PushedFilters)."""
+    PushedFilters).
+
+    ``id_range=(lo, hi)`` (inclusive) filters by document id — and on a
+    corpus published with range buckets (``bucket_width=W``, recorded
+    in the ``BUCKET_MARKER``), the id range is additionally translated
+    to a ``pbucket`` PARTITION filter (``lo div W .. hi div W``), so an
+    id-range scan prunes at the directory level before any file is
+    listed — the read-side payoff of the range-bucketed layout (hash
+    layouts scatter an id range over every directory; there only the
+    parquet min/max row-group stats prune, which the id-sorted files
+    already serve)."""
     df = spark.read.parquet(path)
     if split is not None:
         df = df.filter(F.col(split_col) == split)
+    if id_range is not None:
+        lo, hi = id_range
+        df = df.filter((F.col(id_col) >= lo) & (F.col(id_col) <= hi))
+        marker = _read_bucket_marker(spark, path)
+        if (marker and marker.get("bucket_width")
+                and "pbucket" in df.columns):
+            w = int(marker["bucket_width"])
+            df = df.filter((F.col("pbucket") >= lo // w)
+                           & (F.col("pbucket") <= hi // w))
     if "pbucket" in df.columns:
         # internal file-bucket partition column of the bucketed layout
         # (see publish_corpus(bucketed=True)) — not part of the corpus
@@ -405,18 +426,21 @@ def compact_batches(spark: SparkSession, stream_dir: str, out_path: str,
     Reads only COMMITTED batches — those whose ``_committed_<id>``
     marker exists — so a concurrently-running in-flight micro-batch is
     never half-read; the stream keeps appending while compaction runs.
+    Listing goes through the Hadoop FileSystem API, so a stream sink on
+    HDFS/S3 compacts the same way a local one does.
 
     Returns the number of batches compacted.
     """
-    import os
     import re
 
+    _, _, fs, root = _hfs(spark, stream_dir)
     committed = sorted(
-        int(m.group(1)) for f in os.listdir(stream_dir)
-        if (m := re.fullmatch(r"_committed_(\d+)", f)))
+        int(m.group(1)) for st in fs.listStatus(root)
+        if (m := re.fullmatch(r"_committed_(\d+)",
+                              st.getPath().getName())))
     if not committed:
         raise ValueError(f"no committed batches under {stream_dir}")
-    paths = [os.path.join(stream_dir, f"batch={b}") for b in committed]
+    paths = [f"{stream_dir}/batch={b}" for b in committed]
     df = spark.read.parquet(*paths)
     (df.repartition(files, F.col(id_col))
        .sortWithinPartitions(id_col)

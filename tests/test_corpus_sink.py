@@ -171,3 +171,32 @@ def test_incremental_publish_warns_on_missing_marker(spark, tmp_path):
             crawl, m2, str(tmp_path / "rel1"), base, manifest, changed,
             bucket_width=8)
     assert any("cannot verify" in str(r.message) for r in rec)
+
+
+def test_read_corpus_id_range_prunes_bucket_directories(spark, tmp_path):
+    """On a range-bucketed corpus, id_range translates to a pbucket
+    PARTITION filter via the recorded bucket marker: only the id
+    range's directories are scanned (directory-level, before file
+    listing), and the row set equals the plain filter's."""
+    docs, manifest = _fixture(spark, 200)
+    path = str(tmp_path / "corpus")
+    corpus.publish_corpus(docs, manifest, path, bucketed=True,
+                          bucket_width=20)
+    got = corpus.read_corpus(spark, path, id_range=(45, 72))
+    plain = corpus.read_corpus(spark, path) \
+        .filter((F.col("doc_id") >= 45) & (F.col("doc_id") <= 72))
+    assert sorted(r.doc_id for r in got.collect()) == \
+        sorted(r.doc_id for r in plain.collect())
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters", 1)[1][:300]
+    assert "pbucket" in pf, plan
+    scanned = {r.f for r in got.select(
+        F.input_file_name().alias("f")).distinct().collect()}
+    assert scanned and all(
+        any(f"pbucket={b}/" in f for b in (2, 3)) for f in scanned)
+    # hash-bucketed corpora (no width in the marker): plain row filter
+    path2 = str(tmp_path / "hashed")
+    corpus.publish_corpus(docs, manifest, path2, bucketed=True)
+    got2 = corpus.read_corpus(spark, path2, id_range=(45, 72))
+    assert sorted(r.doc_id for r in got2.collect()) == \
+        sorted(r.doc_id for r in plain.collect())
