@@ -2097,6 +2097,39 @@ def q_emb_near_dup_lsh(spark, sf_dir):
     )
 
 
+def _ann_index_root(sf_dir: str) -> str:
+    """Deterministic per-sf_dir cache root for the persisted ANN
+    indexes (codes / ivf / ivfq) — written once, reused across
+    harness/bench invocations instead of accumulating mkdtemp copies."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+    slug = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return _os.path.join(_tf.gettempdir(), f"cb_annidx_{slug}")
+
+
+def q_ann_ivfq_only(spark, sf_dir):
+    """Bench-only single-op form of the r11 COMPOSED IVF+int8 index
+    probe (driver correctness row: ann_contracts 'ann_ivfq'; plan pins
+    in tests/test_plans.py).  Reuses the per-sf_dir cached index; the
+    first call on a fresh machine pays the one-time index write.
+
+    The benched shape is a ~5% QUERY BATCH against the index — the
+    workload a persisted index exists for (retrieval/dedup lookups
+    against a big corpus); an all-corpus-as-queries batch probes every
+    bucket by construction and belongs to the all-pairs operators
+    (embedding_near_dup / ann contract rows), not here."""
+    import os as _os
+    emb = _emb(spark, sf_dir)
+    iq = _ann_index_root(sf_dir) + "/ivfq"
+    if not _os.path.exists(iq + "/vectors/_SUCCESS"):
+        similarity.write_ivf_index(emb, iq, n_centroids=16, seed=42,
+                                   quantized=True)
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    return similarity.cosine_topk_ivf_quantized(spark, iq, q, k=5,
+                                                nprobe=2)
+
+
 def q_ann_contracts(spark, sf_dir):
     """Merged soundness/recall contracts for the APPROXIMATE similarity
     scale paths — ANN-LSH (16 tables x 6 hyperplanes), ANN-IVF
@@ -2152,11 +2185,8 @@ def q_ann_contracts(spark, sf_dir):
     # invocations (the writes are deterministic functions of the
     # embeddings table; r11 — repeated mkdtemp copies used to
     # accumulate unbounded under /tmp).
-    import hashlib as _hl
     import os as _os
-    import tempfile as _tf
-    _slug = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    _idx = _os.path.join(_tf.gettempdir(), f"cb_annidx_{_slug}")
+    _idx = _ann_index_root(sf_dir)
     _cdir = _idx + "/codes"
     if not _os.path.exists(_cdir + "/_SUCCESS"):
         similarity.write_quantized_codes(emb, _cdir)
