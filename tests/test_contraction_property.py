@@ -343,8 +343,12 @@ def test_sever_origin_fallback_warns_once(spark, monkeypatch):
             raise AttributeError(name)
 
     monkeypatch.setattr(sever, "_warned", False)
+    # a property is a data descriptor, so it shadows the instance
+    # attribute; raising=False because _jdf is instance-level in
+    # PySpark 4's classic DataFrame
     monkeypatch.setattr(type(ck), "_jdf", property(
-        lambda self: (_ for _ in ()).throw(RuntimeError("no JVM handle"))))
+        lambda self: (_ for _ in ()).throw(RuntimeError("no JVM handle"))),
+        raising=False)
     try:
         with warnings.catch_warnings(record=True) as caught:
             warnings.simplefilter("always")
