@@ -351,7 +351,16 @@ def publish_corpus_incremental(docs: DataFrame, manifest: DataFrame,
                 pass  # cross-device / no-hardlink FS: fall through
         FileUtil.copy(sfs, sp, dfs, dp, False, conf)
 
-    carried = 0
+    def _carry_dir(s_st, b_st):
+        sdir = s_st.getPath().getName()
+        bdir = b_st.getPath().getName()
+        dst = HPath(HPath(droot, sdir), bdir)
+        dfs.mkdirs(dst)
+        for f_st in sfs.listStatus(b_st.getPath()):
+            if f_st.getPath().getName().endswith(".parquet"):
+                _link_or_copy(f_st, dst)
+
+    clean_dirs = []
     for s_st in sorted(sfs.listStatus(sroot),
                        key=lambda st: st.getPath().getName()):
         sdir = s_st.getPath().getName()
@@ -363,17 +372,19 @@ def publish_corpus_incremental(docs: DataFrame, manifest: DataFrame,
             bdir = b_st.getPath().getName()
             if not (b_st.isDirectory() and bdir.startswith("pbucket=")):
                 continue
-            bval = int(bdir.split("=", 1)[1])
-            if (sval, bval) in dirty_set:
+            if (sval, int(bdir.split("=", 1)[1])) in dirty_set:
                 continue
-            dst = HPath(HPath(droot, sdir), bdir)
-            dfs.mkdirs(dst)
-            for f_st in sfs.listStatus(b_st.getPath()):
-                if f_st.getPath().getName().endswith(".parquet"):
-                    _link_or_copy(f_st, dst)
-            carried += 1
+            clean_dirs.append((s_st, b_st))
+    # the per-directory copies are independent IO calls (server-side on
+    # object stores) — a sequential driver loop over thousands of
+    # directories would serialize minutes of pure latency; py4j handles
+    # concurrent calls over per-thread gateway connections
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(clean_dirs)))) \
+            as pool:
+        list(pool.map(lambda sb: _carry_dir(*sb), clean_dirs))
     _write_bucket_marker(spark, path, files_per_split, bucket_width)
-    return {"rewritten": len(dirty_set), "carried": carried}
+    return {"rewritten": len(dirty_set), "carried": len(clean_dirs)}
 
 
 def read_corpus(spark: SparkSession, path: str,
