@@ -909,6 +909,48 @@ def cosine_topk_quantized(vectors: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def append_to_ivf_index(new_vectors: DataFrame, path: str,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> int:
+    """Append a new crawl's vectors to an EXISTING persisted IVF index
+    (plain or quantized layout — detected from the partition schema)
+    without rebuilding: new vectors are assigned to the index's FROZEN
+    centroids and appended into their bucket partitions (dynamic
+    partition overwrite is not needed — parquet append adds files to
+    the matching ``bucket=<i>/`` directories only), and on the
+    quantized layout their doubles append to the side table.
+
+    This is how the index stays fresh across releases at 100 TB — the
+    alternative is re-clustering and rewriting the world per crawl.
+    Frozen centroids are the documented trade: if the new data's
+    distribution drifts far from the training sample, buckets skew and
+    probe recall decays — rebuild with :func:`write_ivf_index` when the
+    bucket-size histogram degrades.  Appending an id that already
+    exists in the index creates a duplicate (this function does not
+    dedup; run the dedup operators upstream).  Returns the number of
+    rows appended."""
+    spark = new_vectors.sparkSession
+    cent_rows = spark.read.parquet(path + "/centroids") \
+        .orderBy("bucket").collect()
+    centroids = [list(r.centroid) for r in cent_rows]
+    scores = _centroid_scores(F.col(vec_col), centroids)
+    assigned = new_vectors.withColumn(
+        "bucket", F.reverse(F.array_sort(scores))[0]["i"])
+    quantized = "q_codes" in spark.read.parquet(path + "/vectors").columns
+    if quantized:
+        assigned = quantize_embeddings(assigned, id_col, vec_col) \
+            .select(id_col, "q_scale", "q_codes", "bucket")
+        (new_vectors.select(id_col, vec_col)
+         .sortWithinPartitions(id_col)
+         .write.mode("append").parquet(path + "/doubles"))
+    n = new_vectors.count()
+    (assigned.repartition(max(4, len(centroids)), F.col("bucket"))
+     .sortWithinPartitions("bucket", id_col)
+     .write.mode("append").partitionBy("bucket")
+     .parquet(path + "/vectors"))
+    return n
+
+
 def ivf_quantized_select(spark, path: str, queries: DataFrame,
                          k: int, nprobe: int = 2,
                          id_col: str = "vec_id",

