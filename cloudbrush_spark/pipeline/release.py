@@ -133,6 +133,8 @@ class ReleasePipeline:
             prior_embeddings: DataFrame | None = None,
             embedding_dim: int | None = None,
             embedding_threshold: float = 0.95,
+            prior_index_path: str | None = None,
+            prior_index_nprobe: int = 4,
             **curate_kw) -> DataFrame:
         """Run the full release; returns the RELEASE MANIFEST — one row
         per published row: (id, copy, split, shard_id, offset, ws_tokens,
@@ -184,6 +186,19 @@ class ReleasePipeline:
         difference) and with the feature cache (gate features are
         text-side and unaffected).
 
+        ``prior_index_path`` is the INDEX-BACKED form of the same gate:
+        instead of an all-pairs LSH pass over new ∪ prior vectors, each
+        new doc probes the previous release's PERSISTED IVF index
+        (``write_ivf_index``, plain or quantized layout) with
+        ``prior_index_nprobe`` buckets and is dropped when its best
+        match reaches the threshold.  At 100 TB this is the shape that
+        wins: release N's index is built once and every later crawl
+        reads nprobe/n_centroids of it (int8 bytes on the quantized
+        layout) instead of re-bucketing the whole prior release per
+        crawl.  Recall is bounded by IVF probing (raise nprobe toward
+        the LSH form's recall); requires ``embeddings`` for the new
+        corpus, mutually exclusive with ``prior_embeddings``.
+
         ``dsir_target`` (a ``(id_col, text_col)`` corpus of the domain
         you want more of) enables the DSIR stage: per-published-doc
         importance weights ``avg log p_target − avg log p_raw`` under
@@ -191,10 +206,18 @@ class ReleasePipeline:
         et al. 2023), written as the ``dsir.parquet`` side table for a
         downstream resample/budget pass.  A side output — it never
         changes the published rows, so it composes with everything."""
-        if (embeddings is None) != (prior_embeddings is None):
+        if prior_embeddings is not None and prior_index_path is not None:
             raise ValueError(
-                "the embedding-dedup gate needs embeddings AND "
-                "prior_embeddings together")
+                "prior_embeddings and prior_index_path are mutually "
+                "exclusive forms of the same gate — pass the raw prior "
+                "vectors OR the persisted index, not both")
+        _gate_ref = (prior_embeddings if prior_embeddings is not None
+                     else prior_index_path)
+        if (embeddings is None) != (_gate_ref is None):
+            raise ValueError(
+                "the embedding-dedup gate needs embeddings AND a prior "
+                "reference (prior_embeddings or prior_index_path) "
+                "together")
         if prev_corpus_path is not None and (
                 prev_manifest is None or publish_changed_ids is None):
             raise ValueError(
@@ -271,14 +294,33 @@ class ReleasePipeline:
             # the token budget or a shard slot
             def _embdedup() -> DataFrame:
                 from cloudbrush_spark.operators import similarity
+                new_v = (embeddings
+                         .join(manifest.select(id_col), id_col, "left_semi")
+                         .select(F.col(id_col), "embedding"))
+                if prior_index_path is not None:
+                    # index-backed: probe release N's persisted index.
+                    # Query ids namespace NEGATIVE so the probe's
+                    # self-pair exclusion can never suppress the
+                    # unchanged-doc self match (same id both releases —
+                    # exactly the match this gate exists to find).
+                    q = new_v.select((-F.col(id_col) - 1).alias(id_col),
+                                     "embedding")
+                    qz = "q_codes" in self.spark.read.parquet(
+                        prior_index_path + "/vectors").columns
+                    probe = (similarity.cosine_topk_ivf_quantized if qz
+                             else similarity.cosine_topk_ivf_indexed)
+                    top = probe(self.spark, prior_index_path, q, k=1,
+                                nprobe=prior_index_nprobe, id_col=id_col)
+                    drop = (top.filter(F.col("cosine")
+                                       >= embedding_threshold)
+                            .select((-F.col("query_id") - 1)
+                                    .alias(id_col)).distinct())
+                    return manifest.join(drop, id_col, "left_anti")
                 dim = embedding_dim
                 if dim is None:
                     row = embeddings.select(
                         F.size("embedding").alias("d")).first()
                     dim = int(row.d) if row else 1
-                new_v = (embeddings
-                         .join(manifest.select(id_col), id_col, "left_semi")
-                         .select(F.col(id_col), "embedding"))
                 # namespace prior ids negative: the operator requires
                 # disjoint id spaces, and release N's doc_ids legally
                 # overlap release N+1's

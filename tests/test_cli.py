@@ -317,3 +317,38 @@ def test_cli_prior_embeddings_and_dsir(tmp_path, spark, capsys):
         spark, os.path.join(out, "corpus")).select("doc_id").collect()}
     assert kept == set(range(6, 12)), kept
     assert os.path.exists(os.path.join(out, "dsir.parquet"))
+
+
+def test_cli_prior_index_gate(tmp_path, spark, capsys):
+    """-prior_index runs the index-backed embedding-dedup gate; the
+    flag-pairing guards refuse the ambiguous combinations."""
+    import pytest
+
+    from cloudbrush_spark.__main__ import main
+    from cloudbrush_spark.operators import similarity
+    from tests.test_release import _docs_distinct, _emb_for
+    docs = _docs_distinct(spark, 12)
+    p = str(tmp_path / "d.parquet")
+    docs.write.parquet(p)
+    emb = _emb_for(docs, spark)
+    e_p = str(tmp_path / "emb.parquet")
+    emb.write.parquet(e_p)
+    idx = str(tmp_path / "idx")
+    similarity.write_ivf_index(emb.filter("doc_id < 6"), idx,
+                               n_centroids=4, seed=42, id_col="doc_id",
+                               quantized=True)
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["-curate", p, "-out", str(tmp_path / "x"),
+              "-embeddings", e_p, "-prior_embeddings", e_p,
+              "-prior_index", idx])
+    out = str(tmp_path / "rel")
+    rc = main(["-curate", p, "-out", out, "-max_tokens", "2000",
+               "-embeddings", e_p, "-prior_index", idx,
+               "-emb_dedup_threshold", "0.99"])
+    assert rc == 0
+    import os
+
+    from cloudbrush_spark.sources import corpus as corpus_sink
+    kept = {r.doc_id for r in corpus_sink.read_corpus(
+        spark, os.path.join(out, "corpus")).select("doc_id").collect()}
+    assert kept == set(range(6, 12)), kept

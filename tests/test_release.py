@@ -748,3 +748,34 @@ def test_release_new_stages_compose_with_incremental_publish(spark,
     kept = {r.doc_id for r in b1.select("doc_id").distinct().collect()}
     assert kept.isdisjoint({0, 2, 4, 5})
     assert os.path.exists(os.path.join(out1, "dsir.parquet"))
+
+
+def test_release_embedding_dedup_gate_index_backed(spark, tmp_path):
+    """prior_index_path: the gate probes the previous release's
+    persisted IVF index (quantized layout here) instead of running the
+    all-pairs LSH pass — same drops on separated vectors, including the
+    unchanged-doc self match the probe's namespacing must not suppress."""
+    from cloudbrush_spark.operators import similarity
+    from cloudbrush_spark.sources import corpus as corpus_sink
+    docs = _docs_distinct(spark, 20)
+    emb = _emb_for(docs, spark)
+    prior = emb.filter(F.col("doc_id") < 10)
+    idx = str(tmp_path / "prior_idx")
+    similarity.write_ivf_index(prior, idx, n_centroids=4, seed=42,
+                               id_col="doc_id", quantized=True)
+    out = str(tmp_path / "rel")
+    release(spark, docs, out, max_tokens=2000,
+            embeddings=emb, prior_index_path=idx,
+            prior_index_nprobe=4, embedding_threshold=0.99)
+    back = corpus_sink.read_corpus(spark, os.path.join(out, "corpus"))
+    kept = {r.doc_id for r in back.select("doc_id").collect()}
+    assert kept == set(range(10, 20)), kept
+    # both prior forms refused together; index without embeddings refused
+    import pytest
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        release(spark, docs, str(tmp_path / "x"), max_tokens=2000,
+                embeddings=emb, prior_embeddings=prior,
+                prior_index_path=idx)
+    with pytest.raises(ValueError, match="together"):
+        release(spark, docs, str(tmp_path / "y"), max_tokens=2000,
+                prior_index_path=idx)
