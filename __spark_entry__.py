@@ -2100,12 +2100,31 @@ def q_emb_near_dup_lsh(spark, sf_dir):
 def _ann_index_root(sf_dir: str) -> str:
     """Deterministic per-sf_dir cache root for the persisted ANN
     indexes (codes / ivf / ivfq) — written once, reused across
-    harness/bench invocations instead of accumulating mkdtemp copies."""
+    harness/bench invocations instead of accumulating mkdtemp copies.
+    The key folds in the embeddings table's (mtime, size) fingerprint
+    so a fixture regenerated in place invalidates the cache instead of
+    silently serving indexes built from the old vectors."""
     import hashlib as _hl
     import os as _os
     import tempfile as _tf
-    slug = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    ep = _os.path.join(_os.path.abspath(sf_dir), "embeddings.parquet")
+    try:
+        st = _os.stat(ep)
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fp = "nofile"
+    slug = _hl.md5(f"{_os.path.abspath(sf_dir)}|{fp}".encode()) \
+        .hexdigest()[:12]
     return _os.path.join(_tf.gettempdir(), f"cb_annidx_{slug}")
+
+
+def _ivf_complete(idx_path: str) -> bool:
+    """An IVF index write is complete iff its LAST artifact (the
+    centroid table — written after /vectors and, on the quantized
+    layout, after /doubles) committed; checking /vectors/_SUCCESS would
+    bless a write killed between the two."""
+    import os as _os
+    return _os.path.exists(idx_path + "/centroids/_SUCCESS")
 
 
 def q_ann_ivfq_only(spark, sf_dir):
@@ -2122,7 +2141,7 @@ def q_ann_ivfq_only(spark, sf_dir):
     import os as _os
     emb = _emb(spark, sf_dir)
     iq = _ann_index_root(sf_dir) + "/ivfq"
-    if not _os.path.exists(iq + "/vectors/_SUCCESS"):
+    if not _ivf_complete(iq):
         similarity.write_ivf_index(emb, iq, n_centroids=16, seed=42,
                                    quantized=True)
     q = emb.filter(F.col("vec_id") % 20 == 0)
@@ -2197,7 +2216,7 @@ def q_ann_contracts(spark, sf_dir):
     # of the centroid-partitioned index (PartitionFilters, pinned in
     # tests/test_similarity.py); same contract as ann_ivf.
     _ipath = _idx + "/ivf"
-    if not _os.path.exists(_ipath + "/vectors/_SUCCESS"):
+    if not _ivf_complete(_ipath):
         similarity.write_ivf_index(emb, _ipath, n_centroids=16, seed=42)
     ivfp = similarity.cosine_topk_ivf_indexed(spark, _ipath, emb, k=5,
                                               nprobe=2)
@@ -2211,7 +2230,7 @@ def q_ann_contracts(spark, sf_dir):
     # vs brute force (IVF probing dominates the loss; measured ~ the
     # ann_ivfp level with int8 near-tie swaps only).
     _iqpath = _idx + "/ivfq"
-    if not _os.path.exists(_iqpath + "/vectors/_SUCCESS"):
+    if not _ivf_complete(_iqpath):
         similarity.write_ivf_index(emb, _iqpath, n_centroids=16, seed=42,
                                    quantized=True)
     ivfq = similarity.cosine_topk_ivf_quantized(spark, _iqpath, emb, k=5,

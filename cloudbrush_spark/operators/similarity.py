@@ -682,7 +682,8 @@ def write_ivf_index(vectors: DataFrame, path: str, n_centroids: int = 16,
 def cosine_topk_ivf_indexed(spark, path: str, queries: DataFrame,
                             k: int = 10, nprobe: int = 2,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            broadcast_queries: bool = True) -> DataFrame:
     """Top-k against a persisted IVF index (see :func:`write_ivf_index`).
 
     Centroids load driver-side (bounded — n_centroids rows); each query
@@ -691,7 +692,14 @@ def cosine_topk_ivf_indexed(spark, path: str, queries: DataFrame,
     literal partition filter on the vectors scan, so unprobed
     directories are never listed, read, or decoded.  Exact cosine
     re-rank inside the probed lists, deterministic neighbor_id
-    tiebreak.  Output: (query_id, neighbor_id, rank, cosine)."""
+    tiebreak.  Output: (query_id, neighbor_id, rank, cosine).
+
+    ``broadcast_queries=True`` (the point-lookup shape) forces the
+    query frame broadcast; pass ``False`` for corpus-scale query
+    batches (e.g. a whole crawl probing a release index) — a forced
+    broadcast of millions of double vectors would hit Spark's broadcast
+    size limit, where a plain join lets stats/AQE pick the strategy."""
+    bcast = F.broadcast if broadcast_queries else (lambda d: d)
     cent_rows = spark.read.parquet(path + "/centroids") \
         .orderBy("bucket").collect()
     centroids = [list(r.centroid) for r in cent_rows]
@@ -711,7 +719,7 @@ def cosine_topk_ivf_indexed(spark, path: str, queries: DataFrame,
                       F.col(vec_col).alias("cv"),
                       _norm(F.col(vec_col)).alias("cn")))
     scored = (
-        corpus.join(F.broadcast(qx), "bucket")
+        corpus.join(bcast(qx), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", _dot(F.col("qv"), F.col("cv"))
                     / (F.col("qn") * F.col("cn")))
@@ -742,7 +750,10 @@ def quantize_embeddings(vectors: DataFrame, id_col: str = "vec_id",
     (no divide-by-zero).  Everything is a JVM-side higher-order-function
     projection — no Python, no shuffle.  Input columns are preserved
     (the IVF-quantized index writer keeps its ``bucket`` through here);
-    ``q_scale``/``q_codes`` are appended."""
+    ``q_scale``/``q_codes`` are appended — pre-existing columns of
+    those names (a frame quantized twice) are dropped and recomputed
+    rather than duplicated into an ambiguous schema."""
+    vectors = vectors.drop("q_scale", "q_codes")
     v = F.col(vec_col)
     mx = F.aggregate(F.transform(v, lambda x: F.abs(x)), F.lit(0.0),
                      lambda acc, x: F.greatest(acc, x))
@@ -927,34 +938,76 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
     probe recall decays — rebuild with :func:`write_ivf_index` when the
     bucket-size histogram degrades.  Appending an id that already
     exists in the index creates a duplicate (this function does not
-    dedup; run the dedup operators upstream).  Returns the number of
-    rows appended."""
+    dedup; run the dedup operators upstream).
+
+    Parquet appends are not transactional, so the two quantized-layout
+    writes cannot be atomic together.  This function therefore brackets
+    each append with a DETERMINISTIC batch token (order-insensitive id
+    digest): a completed append is a no-op on retry, and a retry that
+    finds the INTENT marker without the commit marker fails LOUDLY
+    (partially appended files cannot be safely rolled back — rebuild
+    the index or remove the partial files by their write timestamps)
+    instead of silently double-appending rows, which would duplicate
+    ranks in every later probe.  Returns the number of rows appended
+    (0 for a replayed, already-committed batch)."""
     spark = new_vectors.sparkSession
-    cent_rows = spark.read.parquet(path + "/centroids") \
-        .orderBy("bucket").collect()
-    centroids = [list(r.centroid) for r in cent_rows]
-    scores = _centroid_scores(F.col(vec_col), centroids)
-    assigned = new_vectors.withColumn(
-        "bucket", F.reverse(F.array_sort(scores))[0]["i"])
-    quantized = "q_codes" in spark.read.parquet(path + "/vectors").columns
-    if quantized:
-        assigned = quantize_embeddings(assigned, id_col, vec_col) \
-            .select(id_col, "q_scale", "q_codes", "bucket")
-        (new_vectors.select(id_col, vec_col)
-         .sortWithinPartitions(id_col)
-         .write.mode("append").parquet(path + "/doubles"))
-    n = new_vectors.count()
-    (assigned.repartition(max(4, len(centroids)), F.col("bucket"))
-     .sortWithinPartitions("bucket", id_col)
-     .write.mode("append").partitionBy("bucket")
-     .parquet(path + "/vectors"))
-    return n
+    # evaluated up to three times (token digest + two layout writes):
+    # cache the input so an expensive upstream chain runs once
+    new_vectors = new_vectors.persist()
+    try:
+        # order-insensitive digest of the appended id set (32-bit-masked
+        # per-row hashes summed — the merge_upsert/bucket-digest pattern)
+        tok_row = new_vectors.agg(
+            F.sum(F.xxhash64(F.col(id_col)).bitwiseAND(F.lit(0xFFFFFFFF)))
+            .alias("h"), F.count(F.lit(1)).alias("n")).collect()[0]
+        token = f"{int(tok_row.h or 0):x}_{int(tok_row.n)}"
+        jvm = spark._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        fs = root.getFileSystem(conf)
+        commit = jvm.org.apache.hadoop.fs.Path(root, f"_appended_{token}")
+        intent = jvm.org.apache.hadoop.fs.Path(root, f"_appending_{token}")
+        if fs.exists(commit):
+            return 0
+        if fs.exists(intent):
+            raise RuntimeError(
+                f"append_to_ivf_index: found intent marker without "
+                f"commit for batch {token} under {path} — a previous "
+                "append of this batch died mid-write and its partial "
+                "files cannot be rolled back safely; rebuild the index "
+                "(write_ivf_index) or remove the partial files, then "
+                "delete the marker.")
+        fs.create(intent, True).close()
+        cent_rows = spark.read.parquet(path + "/centroids") \
+            .orderBy("bucket").collect()
+        centroids = [list(r.centroid) for r in cent_rows]
+        scores = _centroid_scores(F.col(vec_col), centroids)
+        assigned = new_vectors.withColumn(
+            "bucket", F.reverse(F.array_sort(scores))[0]["i"])
+        quantized = "q_codes" in \
+            spark.read.parquet(path + "/vectors").columns
+        if quantized:
+            assigned = quantize_embeddings(assigned, id_col, vec_col) \
+                .select(id_col, "q_scale", "q_codes", "bucket")
+            (new_vectors.select(id_col, vec_col)
+             .sortWithinPartitions(id_col)
+             .write.mode("append").parquet(path + "/doubles"))
+        (assigned.repartition(max(4, len(centroids)), F.col("bucket"))
+         .sortWithinPartitions("bucket", id_col)
+         .write.mode("append").partitionBy("bucket")
+         .parquet(path + "/vectors"))
+        fs.create(commit, True).close()
+        fs.delete(intent, False)
+        return int(tok_row.n)
+    finally:
+        new_vectors.unpersist()
 
 
 def ivf_quantized_select(spark, path: str, queries: DataFrame,
                          k: int, nprobe: int = 2,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding"):
+                         vec_col: str = "embedding",
+                         broadcast_queries: bool = True):
     """Selection stage of the composed index probe: build the quantized
     query frame, pick each query's ``nprobe`` buckets, and rank int8
     dot products INSIDE the probed partitions only.  By construction
@@ -987,8 +1040,9 @@ def ivf_quantized_select(spark, path: str, queries: DataFrame,
                      F.sqrt(_qdot(F.col("q_codes"), F.col("q_codes"))
                             .cast("double")).alias("ccn"))
              .filter(F.col("ccn") > 0))
+    bcast = F.broadcast if broadcast_queries else (lambda d: d)
     scored = (
-        codes.join(F.broadcast(qx), "bucket")
+        codes.join(bcast(qx), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("qcos", _qdot(F.col("qc"), F.col("cc")).cast("double")
                     / (F.col("qcn") * F.col("ccn")))
@@ -1005,10 +1059,14 @@ def cosine_topk_ivf_quantized(spark, path: str, queries: DataFrame,
                               k: int = 10, nprobe: int = 2,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",
-                              rerank_collect_max: int | None = None
+                              rerank_collect_max: int | None = None,
+                              broadcast_queries: bool = True
                               ) -> DataFrame:
     """Top-k against a ``write_ivf_index(quantized=True)`` index — the
     COMPOSITION of the two persisted ANN levers (r11).
+    ``broadcast_queries``: as in :func:`cosine_topk_ivf_indexed` — pass
+    ``False`` for corpus-scale query batches so the query-side joins
+    stay AQE-planned instead of force-broadcast.
 
     Per query batch: (1) centroids load driver-side (bounded); each
     query picks its ``nprobe`` nearest buckets, and the probed union
@@ -1026,7 +1084,7 @@ def cosine_topk_ivf_quantized(spark, path: str, queries: DataFrame,
     lose (measured vs brute force in ``tests/test_similarity.py``).
     Output: (query_id, neighbor_id, rank, cosine)."""
     q, top = ivf_quantized_select(spark, path, queries, k, nprobe,
-                                  id_col, vec_col)
+                                  id_col, vec_col, broadcast_queries)
     # Stage-cut: the winner frame is consumed twice (id collect + join).
     from cloudbrush_spark.operators.dedup import _stage_cut
     top = _stage_cut(top)
@@ -1041,9 +1099,10 @@ def cosine_topk_ivf_quantized(spark, path: str, queries: DataFrame,
     nbr = nbr.select(F.col(id_col).alias("neighbor_id"),
                      F.col(vec_col).alias("cv"),
                      _norm(F.col(vec_col)).alias("cn"))
+    bcast = F.broadcast if broadcast_queries else (lambda d: d)
     return (
-        nbr.join(F.broadcast(top), "neighbor_id")
-        .join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")
+        nbr.join(bcast(top), "neighbor_id")
+        .join(bcast(q.select("query_id", "qv", "qn")), "query_id")
         .select("query_id", "neighbor_id", "rank",
                 (_dot(F.col("qv"), F.col("cv"))
                  / (F.col("qn") * F.col("cn"))).alias("cosine"))

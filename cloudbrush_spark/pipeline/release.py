@@ -303,14 +303,24 @@ class ReleasePipeline:
                     # self-pair exclusion can never suppress the
                     # unchanged-doc self match (same id both releases —
                     # exactly the match this gate exists to find).
+                    # k=3, drop on ANY winner over the threshold: with
+                    # k=1 on the quantized layout the exact threshold
+                    # would apply only to the int8-argmax winner, and a
+                    # true duplicate losing an int8 near-tie to a
+                    # non-duplicate would slip through.  The query
+                    # batch is the whole curated corpus, so the probe's
+                    # query-side broadcast is disabled (AQE plans the
+                    # joins from stats instead of force-broadcasting
+                    # millions of double vectors).
                     q = new_v.select((-F.col(id_col) - 1).alias(id_col),
                                      "embedding")
                     qz = "q_codes" in self.spark.read.parquet(
                         prior_index_path + "/vectors").columns
                     probe = (similarity.cosine_topk_ivf_quantized if qz
                              else similarity.cosine_topk_ivf_indexed)
-                    top = probe(self.spark, prior_index_path, q, k=1,
-                                nprobe=prior_index_nprobe, id_col=id_col)
+                    top = probe(self.spark, prior_index_path, q, k=3,
+                                nprobe=prior_index_nprobe, id_col=id_col,
+                                broadcast_queries=False)
                     drop = (top.filter(F.col("cosine")
                                        >= embedding_threshold)
                             .select((-F.col("query_id") - 1)

@@ -65,14 +65,16 @@ def _hfs(spark: SparkSession, path: str):
 
 def _write_bucket_marker(spark: SparkSession, path: str,
                          files_per_split: int,
-                         bucket_width: int | None) -> None:
+                         bucket_width: int | None,
+                         id_col: str) -> None:
     _, _, fs, root = _hfs(spark, path)
     jvm = spark._jvm
     mp = jvm.org.apache.hadoop.fs.Path(root, BUCKET_MARKER)
     out = fs.create(mp, True)
     out.write(bytearray(json.dumps(
         {"files_per_split": files_per_split,
-         "bucket_width": bucket_width}).encode("utf-8")))
+         "bucket_width": bucket_width,
+         "id_col": id_col}).encode("utf-8")))
     out.close()
 
 
@@ -164,7 +166,7 @@ def publish_corpus(docs: DataFrame, manifest: DataFrame, path: str,
         # record the bucket function so a later incremental publish can
         # refuse to run with divergent params (see BUCKET_MARKER)
         _write_bucket_marker(docs.sparkSession, path,
-                             files_per_split, bucket_width)
+                             files_per_split, bucket_width, id_col)
         return
     out = (
         out.repartitionByRange(
@@ -249,10 +251,13 @@ def publish_corpus_incremental(docs: DataFrame, manifest: DataFrame,
             "published corpus.", stacklevel=2)
     else:
         want = {"files_per_split": files_per_split,
-                "bucket_width": bucket_width}
+                "bucket_width": bucket_width,
+                "id_col": id_col}
         if bucket_width is not None:
             # range mode ignores files_per_split (see _pbucket)
             want["files_per_split"] = marker.get("files_per_split")
+        if "id_col" not in marker:
+            want.pop("id_col")  # pre-id_col marker (early r11)
         if marker != want:
             raise ValueError(
                 f"bucket-function mismatch: {prev_path} was published "
@@ -383,7 +388,8 @@ def publish_corpus_incremental(docs: DataFrame, manifest: DataFrame,
     with ThreadPoolExecutor(max_workers=min(16, max(1, len(clean_dirs)))) \
             as pool:
         list(pool.map(lambda sb: _carry_dir(*sb), clean_dirs))
-    _write_bucket_marker(spark, path, files_per_split, bucket_width)
+    _write_bucket_marker(spark, path, files_per_split, bucket_width,
+                         id_col)
     return {"rewritten": len(dirty_set), "carried": len(clean_dirs)}
 
 
@@ -413,6 +419,7 @@ def read_corpus(spark: SparkSession, path: str,
         df = df.filter((F.col(id_col) >= lo) & (F.col(id_col) <= hi))
         marker = _read_bucket_marker(spark, path)
         if (marker and marker.get("bucket_width")
+                and marker.get("id_col") == id_col
                 and "pbucket" in df.columns):
             w = int(marker["bucket_width"])
             df = df.filter((F.col("pbucket") >= lo // w)

@@ -129,7 +129,7 @@ def test_incremental_publish_file_uri_scheme_dispatch(spark, tmp_path):
         .count() == 0
     # marker travels with the new release (chained increments validate)
     assert corpus._read_bucket_marker(spark, nxt) == {
-        "files_per_split": 16, "bucket_width": 8}
+        "files_per_split": 16, "bucket_width": 8, "id_col": "doc_id"}
 
 
 def test_incremental_publish_rejects_bucket_param_mismatch(spark, tmp_path):
