@@ -711,6 +711,11 @@ def test_release_dsir_stage_writes_weights(spark, tmp_path):
     assert {"doc_id", "weight", "logp_target", "logp_raw"} <= set(w.columns)
     pub = spark.read.parquet(os.path.join(out, "release_manifest.parquet"))
     assert w.count() == pub.select("doc_id").distinct().count()
+    # the weights table is part of the release's SQL surface
+    from cloudbrush_spark.sql import register_release_views
+    assert "dsir" in register_release_views(spark, out)
+    assert spark.sql("SELECT count(*) n FROM dsir").collect()[0].n == \
+        w.count()
 
 
 def test_release_new_stages_compose_with_incremental_publish(spark,
