@@ -628,7 +628,8 @@ def embedding_clusters(vectors: DataFrame, dim: int, threshold: float = 0.95,
 # persisted IVF index (round 10)
 # --------------------------------------------------------------------------
 
-def write_ivf_index(vectors: DataFrame, path: str, n_centroids: int = 16,
+def write_ivf_index(vectors: DataFrame, path: str,
+                    n_centroids: int | None = 16,
                     sample: int = 4096, seed: int = 42,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
@@ -655,7 +656,17 @@ def write_ivf_index(vectors: DataFrame, path: str, n_centroids: int = 16,
     id-sorted ``<path>/doubles`` side table that only the winner
     re-rank touches (In() row-group pruning).  A probe through
     :func:`cosine_topk_ivf_quantized` then multiplies the levers:
-    nprobe/n_centroids of the DIRECTORIES at ~1/8 of the BYTES each."""
+    nprobe/n_centroids of the DIRECTORIES at ~1/8 of the BYTES each.
+
+    ``n_centroids=None`` auto-sizes by the IVF rule of thumb —
+    ``sqrt(corpus)`` clamped to [16, 4096] — so the bytes a probe
+    faces per bucket grow with sqrt(n) instead of n as the corpus
+    scales (one extra bounded count; the training sample is raised to
+    cover the centroid count where needed)."""
+    if n_centroids is None:
+        import math
+        n_centroids = max(16, min(4096, int(math.sqrt(vectors.count()))))
+        sample = max(sample, 8 * n_centroids)
     centroids = ivf_centroids(vectors, n_centroids, sample, seed=seed,
                               vec_col=vec_col)
     scores = _centroid_scores(F.col(vec_col), centroids)

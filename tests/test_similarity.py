@@ -543,3 +543,17 @@ def test_append_to_ivf_index_both_layouts(spark, clustered, tmp_path):
         if quantized:
             dbl = spark.read.parquet(path + "/doubles")
             assert dbl.count() == vecs.count()
+
+
+def test_ivf_index_auto_centroids(spark, clustered, tmp_path):
+    """n_centroids=None sizes the coarse quantizer at sqrt(corpus)
+    clamped to [16, 4096] — for the 100-vector fixture that is the
+    16 floor — and the index stays probe-correct."""
+    vecs = clustered.select("vec_id", "embedding")
+    path = str(tmp_path / "auto")
+    cents = similarity.write_ivf_index(vecs, path, n_centroids=None,
+                                       seed=42)
+    assert len(cents) == 16  # floor(sqrt(100)) = 10 -> clamped to 16
+    out = similarity.cosine_topk_ivf_indexed(
+        spark, path, vecs.filter(F.col("vec_id") == 0), k=3, nprobe=2)
+    assert out.count() == 3
