@@ -200,3 +200,33 @@ def test_read_corpus_id_range_prunes_bucket_directories(spark, tmp_path):
     got2 = corpus.read_corpus(spark, path2, id_range=(45, 72))
     assert sorted(r.doc_id for r in got2.collect()) == \
         sorted(r.doc_id for r in plain.collect())
+
+
+def test_incremental_publish_chains_across_releases(spark, tmp_path):
+    """Release N+2 publishes incrementally against N+1's carried-over
+    corpus and marker: the marker written by the first incremental
+    publish validates the second, and the chained corpus equals a
+    from-scratch publish of the final snapshot."""
+    docs, manifest, crawl, m2, changed = _inc_fixture(spark)
+    r0, r1, r2 = (str(tmp_path / f"rel{i}") for i in range(3))
+    corpus.publish_corpus(docs, manifest, r0, bucketed=True,
+                          bucket_width=8)
+    corpus.publish_corpus_incremental(
+        crawl, m2, r1, r0, manifest, changed, bucket_width=8)
+    # second crawl: update one doc, add one
+    crawl2 = crawl.withColumn(
+        "text", F.when(F.col("doc_id") == 10,
+                       F.concat(F.col("text"), F.lit(" again")))
+        .otherwise(F.col("text"))).unionByName(
+        spark.createDataFrame([(200, "document body 200")],
+                              "doc_id long, text string"))
+    m3 = crawl2.select("doc_id").join(m2, "doc_id", "left") \
+        .withColumn("split", F.coalesce("split", F.lit("train")))
+    changed2 = spark.createDataFrame([(10,), (200,)], "doc_id long")
+    stats = corpus.publish_corpus_incremental(
+        crawl2, m3, r2, r1, m2, changed2, bucket_width=8)
+    assert stats["carried"] > 0
+    back = corpus.read_corpus(spark, r2).select("doc_id", "text", "split")
+    exp = crawl2.join(m3, "doc_id").select("doc_id", "text", "split")
+    assert back.exceptAll(exp).count() == 0
+    assert exp.exceptAll(back).count() == 0
