@@ -125,3 +125,32 @@ def test_importance_weights_rank_target_like_docs_higher(spark):
     _, lt = _py_score("the proof follows from the lemma", tuni, tbig, tV)
     _, lr = _py_score("the proof follows from the lemma", runi, rbig, rV)
     assert abs(got[0].weight - (lt - lr)) < 1e-9
+
+
+def test_dsir_weights_compose_with_budget_select(spark):
+    """The DSIR product loop closed end-to-end: importance weights from
+    lm.importance_weights feed sampling.budget_select as the quality
+    column, so the token budget is spent on the most target-like docs —
+    the Xie et al. resampling recipe expressed with the existing
+    primitives (the composition the docstrings point at, pinned)."""
+    from cloudbrush_spark.operators import lm, sampling
+    from pyspark.sql import functions as F
+
+    fluent = "the quick brown fox jumps over the lazy dog near the river"
+    target_rows = [(100 + i, fluent) for i in range(8)]
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    pool_rows = [(i, fluent) for i in range(4)]  # target-like
+    pool_rows += [(10 + i, "zzz qqq xxx vvv kkk jjj www yyy uuu ttt")
+                  for i in range(4)]  # gibberish
+    pool = spark.createDataFrame(pool_rows, "doc_id long, text string")
+    t_model = lm.bigram_lm(target)
+    r_model = lm.bigram_lm(pool)
+    w = lm.importance_weights(pool, t_model, r_model)
+    cand = (pool.join(w.select("doc_id", "weight"), "doc_id")
+            .withColumn("ws_tokens",
+                        F.size(F.split(F.col("text"), " "))))
+    # budget for exactly 4 docs of 12 tokens: the 4 target-like docs win
+    sel = sampling.budget_select(cand, "ws_tokens", "weight", 48,
+                                 id_col="doc_id")
+    kept = {r.doc_id for r in sel.select("doc_id").collect()}
+    assert kept == {0, 1, 2, 3}, kept
