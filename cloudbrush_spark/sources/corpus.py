@@ -63,6 +63,31 @@ def _hfs(spark: SparkSession, path: str):
     return jvm, conf, jpath.getFileSystem(conf), jpath
 
 
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """``exists`` through the path's Hadoop FileSystem (any scheme)."""
+    _, _, fs, p = _hfs(spark, path)
+    return bool(fs.exists(p))
+
+
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Create/overwrite a small text file through the Hadoop FS API."""
+    _, _, fs, p = _hfs(spark, path)
+    out = fs.create(p, True)
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str:
+    """Read a small text file through the Hadoop FS API."""
+    jvm, _, fs, p = _hfs(spark, path)
+    ins = fs.open(p)
+    try:
+        return bytes(jvm.org.apache.commons.io.IOUtils
+                     .toByteArray(ins)).decode("utf-8")
+    finally:
+        ins.close()
+
+
 def _write_bucket_marker(spark: SparkSession, path: str,
                          files_per_split: int,
                          bucket_width: int | None,

@@ -483,15 +483,15 @@ def stream_publish(docs: DataFrame, out_dir: str):
     Returns the ``DataStreamWriter``; callers ``.start()`` it with their
     ``checkpointLocation`` and trigger.
     """
-    import os
-
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(out_dir, f"_committed_{batch_id}")
-        if os.path.exists(marker):
+        from cloudbrush_spark.sources.corpus import fs_exists, fs_write_text
+        spark = batch_df.sparkSession
+        marker = f"{out_dir}/_committed_{batch_id}"
+        if fs_exists(spark, marker):
             return
-        target = os.path.join(out_dir, f"batch={batch_id}")
-        batch_df.write.mode("overwrite").parquet(target)
-        open(marker, "w").close()
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}")
+        fs_write_text(spark, marker, "")
 
     return docs.writeStream.foreachBatch(write_batch)
 
@@ -509,33 +509,35 @@ def stream_rollup_maintain(events: DataFrame, table_dir: str,
     each micro-batch delivers the NEW TOTALS of only the keys that
     changed; ``foreachBatch`` upserts them into a versioned parquet
     table — write ``v<batch_id>/`` = (previous current table anti-joined
-    on the changed keys) + the changed rows, then ATOMICALLY repoint the
-    ``_CURRENT`` marker file (os.replace).  Readers (:func:`read_rollup`)
-    resolve ``_CURRENT``, so they always see a complete consistent
-    version and compaction of stale versions can run out of band.
-    Replays are idempotent: if ``_CURRENT`` already points at
-    ``v<batch_id>`` the batch committed before the crash (the repoint is
-    the commit point), so the re-delivery returns without touching the
-    table — recomputing it would read ``v<batch_id>`` as the previous
-    version while overwriting the same directory, which Spark rejects
-    ("cannot overwrite a path that is also being read from") exactly in
-    the crash-recovery window the idempotence exists for.  A crash
-    BEFORE the repoint leaves ``_CURRENT`` on the prior version, and the
-    re-run rebuilds ``v<batch_id>`` from it as normal.
+    on the changed keys) + the changed rows, then atomically CREATE the
+    ``_vcommitted_<batch_id>`` marker (r11: marker creation through the
+    Hadoop FS API is the commit point — atomic on HDFS, posix and
+    object stores alike, where the previous ``os.replace`` pointer was
+    local-FS-only).  Readers (:func:`read_rollup`) resolve the highest
+    committed marker, so they always see a complete consistent version
+    and compaction of stale versions can run out of band.  Replays are
+    idempotent: an existing marker means the batch committed before the
+    crash, so the re-delivery returns without touching the table —
+    recomputing it would read ``v<batch_id>`` as the previous version
+    while overwriting the same directory, which Spark rejects ("cannot
+    overwrite a path that is also being read from") exactly in the
+    crash-recovery window the idempotence exists for.  A crash BEFORE
+    the marker leaves the prior version current, and the re-run
+    rebuilds ``v<batch_id>`` from it as normal.
 
     Scale shape: per trigger the sink rewrites only the AGGREGATE table
     (bounded by distinct (window, type) keys — watermark-evicted state
     upstream, hours x small type space), never the raw events; at a real
     deployment the same foreachBatch body lands on a transactional table
     format and the anti-join+union becomes MERGE INTO.  State in the
-    aggregation itself is watermark-bounded.  Local-FS marker/rename
-    here; object stores need the table-format variant.
+    aggregation itself is watermark-bounded.  Markers and version dirs
+    go through the Hadoop FS API (any scheme); a transactional table
+    format remains the richer production variant (time travel, row-level
+    MERGE), but nothing here is local-FS-only anymore.
 
     Returns the DataStreamWriter; callers ``.start()`` with their
     checkpointLocation and trigger.
     """
-    import os
-
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -553,31 +555,63 @@ def stream_rollup_maintain(events: DataFrame, table_dir: str,
                                                  table_dir))
 
 
+def _committed_rollup_versions(spark, table_dir: str) -> list[int]:
+    from cloudbrush_spark.sources.corpus import _hfs
+    _, _, fs, root = _hfs(spark, table_dir)
+    if not fs.exists(root):
+        return []
+    return sorted(
+        int(st.getPath().getName()[len("_vcommitted_"):])
+        for st in fs.listStatus(root)
+        if st.getPath().getName().startswith("_vcommitted_"))
+
+
 def rollup_upsert(batch_df: DataFrame, batch_id: int,
                   table_dir: str) -> None:
     """One micro-batch of :func:`stream_rollup_maintain`'s versioned
     upsert (factored out so the crash-recovery window is directly
-    testable).  See that docstring for the commit/replay contract."""
-    import os
+    testable).  See that docstring for the commit/replay contract.
 
+    The commit point is the atomic CREATE of ``_vcommitted_<batch_id>``
+    (r11 — replaces the local-only ``os.replace`` pointer repoint):
+    marker creation is atomic on HDFS, posix AND object stores, so the
+    same table works on every scheme the Hadoop FS API dispatches to.
+    Readers resolve max(committed id); ``_CURRENT`` is still written as
+    a human-readable convenience AFTER the commit and is never the
+    source of truth."""
+    from cloudbrush_spark.sources.corpus import (_hfs, fs_exists,
+                                                 fs_write_text)
     spark = batch_df.sparkSession
-    os.makedirs(table_dir, exist_ok=True)
-    version = os.path.join(table_dir, f"v{batch_id}")
-    current = os.path.join(table_dir, "_CURRENT")
-    prev_version = None
-    if os.path.exists(current):
-        with open(current) as fh:
-            prev_version = fh.read().strip()
+    jvm, _, fs, root = _hfs(spark, table_dir)
+    fs.mkdirs(root)
+    commit = jvm.org.apache.hadoop.fs.Path(root,
+                                           f"_vcommitted_{batch_id}")
+    if fs.exists(commit):
+        # the marker IS the commit: this batch already landed before a
+        # crash/restart — re-running would read and overwrite the same
+        # directory.  Still CONSUME the re-delivered frame: Spark 4's
+        # state-store commit validation requires foreachBatch to
+        # process every partition of a stateful stream's batch, and an
+        # unconsumed early return fails the whole query
+        # (STATE_STORE_COMMIT_VALIDATION_FAILED).  The skip is about
+        # the TABLE, not the stream.
+        batch_df.count()
+        return
+    done = _committed_rollup_versions(spark, table_dir)
+    prev_version = f"v{done[-1]}" if done else None
+    # pre-marker table (pre-r11 layout): fall back to the old pointer
+    if prev_version is None and fs_exists(spark,
+                                          f"{table_dir}/_CURRENT"):
+        from cloudbrush_spark.sources.corpus import fs_read_text
+        prev_version = fs_read_text(spark,
+                                    f"{table_dir}/_CURRENT").strip()
         if prev_version == f"v{batch_id}":
-            # the repoint IS the commit: this batch already landed
-            # before a crash/restart — re-running would read and
-            # overwrite the same directory
+            batch_df.count()  # see the commit-marker branch above
             return
     changed = batch_df.persist()
     try:
         if prev_version is not None:
-            prev = spark.read.parquet(
-                os.path.join(table_dir, prev_version))
+            prev = spark.read.parquet(f"{table_dir}/{prev_version}")
             keep = prev.join(
                 changed.select("window_start", "event_type"),
                 ["window_start", "event_type"], "left_anti")
@@ -585,25 +619,24 @@ def rollup_upsert(batch_df: DataFrame, batch_id: int,
                 changed.select(*prev.columns))
         else:
             out = changed
-        out.write.mode("overwrite").parquet(version)
+        out.write.mode("overwrite").parquet(f"{table_dir}/v{batch_id}")
     finally:
         changed.unpersist()
-    tmp = current + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(f"v{batch_id}")
-    os.replace(tmp, current)  # atomic repoint
+    fs.create(commit, True).close()  # atomic commit point
+    fs_write_text(spark, f"{table_dir}/_CURRENT", f"v{batch_id}")
 
 
 def read_rollup(spark: SparkSession, table_dir: str) -> DataFrame:
     """Read the current version of a :func:`stream_rollup_maintain`
-    table — resolves the ``_CURRENT`` pointer, so a concurrent upsert
-    (which writes a NEW version dir before repointing) never tears a
-    read."""
-    import os
-
-    current = os.path.join(table_dir, "_CURRENT")
-    if not os.path.exists(current):
-        raise ValueError(f"no _CURRENT marker under {table_dir} — "
-                         "has the rollup stream committed a batch yet?")
-    with open(current) as fh:
-        return spark.read.parquet(os.path.join(table_dir, fh.read().strip()))
+    table — resolves the highest COMMITTED version marker (a concurrent
+    upsert writes its new version dir before its marker, so a read
+    never tears); falls back to the pre-r11 ``_CURRENT`` pointer."""
+    from cloudbrush_spark.sources.corpus import fs_exists, fs_read_text
+    done = _committed_rollup_versions(spark, table_dir)
+    if done:
+        return spark.read.parquet(f"{table_dir}/v{done[-1]}")
+    if fs_exists(spark, f"{table_dir}/_CURRENT"):
+        v = fs_read_text(spark, f"{table_dir}/_CURRENT").strip()
+        return spark.read.parquet(f"{table_dir}/{v}")
+    raise ValueError(f"no committed rollup version under {table_dir} — "
+                     "has the rollup stream committed a batch yet?")

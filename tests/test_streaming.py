@@ -696,5 +696,5 @@ def test_rollup_upsert_redelivery_of_committed_batch_is_noop(spark, tmp_path):
 def test_read_rollup_requires_committed_batch(spark, tmp_path):
     import pytest as _pytest
     from cloudbrush_spark.streaming.windows import read_rollup
-    with _pytest.raises(ValueError, match="_CURRENT"):
+    with _pytest.raises(ValueError, match="committed"):
         read_rollup(spark, str(tmp_path / "nothing"))
