@@ -40,23 +40,24 @@ class Assembler:
         return df.localCheckpoint(eager=True)
 
     def _stage(self, name: str, fn) -> tuple[DataFrame, DataFrame]:
-        import os
         if not self.checkpoint_dir:
             return fn()
-        base = os.path.join(self.checkpoint_dir, name)
-        marker = os.path.join(base, "_DONE")
-        if os.path.exists(marker):
+        # Hadoop FS markers: a checkpoint_dir on HDFS/S3 resumes like a
+        # local one (see ReleasePipeline._stage)
+        from cloudbrush_spark.sources.corpus import fs_exists, fs_write_text
+        base = f"{self.checkpoint_dir}/{name}"
+        marker = f"{base}/_DONE"
+        if fs_exists(self.spark, marker):
             self.counters[f"loaded_{name}"] = 1
             self._log(f"stage {name}: loaded from checkpoint")
-            return (self.spark.read.parquet(os.path.join(base, "nodes")),
-                    self.spark.read.parquet(os.path.join(base, "edges")))
+            return (self.spark.read.parquet(f"{base}/nodes"),
+                    self.spark.read.parquet(f"{base}/edges"))
         nodes, edges = fn()
-        nodes.write.mode("overwrite").parquet(os.path.join(base, "nodes"))
-        edges.write.mode("overwrite").parquet(os.path.join(base, "edges"))
-        with open(marker, "w") as fh:
-            fh.write("done")
-        return (self.spark.read.parquet(os.path.join(base, "nodes")),
-                self.spark.read.parquet(os.path.join(base, "edges")))
+        nodes.write.mode("overwrite").parquet(f"{base}/nodes")
+        edges.write.mode("overwrite").parquet(f"{base}/edges")
+        fs_write_text(self.spark, marker, "done")
+        return (self.spark.read.parquet(f"{base}/nodes"),
+                self.spark.read.parquet(f"{base}/edges"))
 
     def _log(self, msg: str) -> None:
         if self.verbose:

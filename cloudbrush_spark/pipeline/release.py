@@ -91,17 +91,21 @@ class ReleasePipeline:
             from cloudbrush_spark.operators.dedup import _stage_cut
             self.counters[f"ran_{name}"] = 1
             return _stage_cut(fn())
-        base = os.path.join(self.checkpoint_dir, name)
-        marker = os.path.join(base, "_DONE")
-        data = os.path.join(base, "data")
-        if os.path.exists(marker):
+        # markers go through the Hadoop FS API so a checkpoint_dir on
+        # HDFS/S3 resumes exactly like a local one (os.path marker
+        # checks silently never resume there, and the marker write
+        # fails outright)
+        from cloudbrush_spark.sources.corpus import fs_exists, fs_write_text
+        base = f"{self.checkpoint_dir}/{name}"
+        marker = f"{base}/_DONE"
+        data = f"{base}/data"
+        if fs_exists(self.spark, marker):
             self.counters[f"loaded_{name}"] = 1
             self._log(f"stage {name}: loaded from checkpoint")
             return self.spark.read.parquet(data)
         out = fn()
         out.write.mode("overwrite").parquet(data)
-        with open(marker, "w") as fh:
-            fh.write("done")
+        fs_write_text(self.spark, marker, "done")
         self.counters[f"ran_{name}"] = 1
         self._log(f"stage {name}: computed and checkpointed")
         return self.spark.read.parquet(data)
