@@ -22,8 +22,6 @@ in ``tests/test_cli.py``).  The CLI counterpart is ``-sql 'SELECT ...'``
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
@@ -34,10 +32,11 @@ def register_table_views(spark: SparkSession, data_dir: str,
                          tables: tuple[str, ...] = TABLES) -> list[str]:
     """Register each ``<data_dir>/<name>.parquet`` that exists as a temp
     view ``<name>``; returns the names registered."""
+    from cloudbrush_spark.sources.corpus import fs_exists
     registered = []
     for t in tables:
-        p = os.path.join(data_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        p = f"{data_dir}/{t}.parquet"
+        if fs_exists(spark, p):
             spark.read.parquet(p).createOrReplaceTempView(t)
             registered.append(t)
     return registered
@@ -48,17 +47,18 @@ def register_release_views(spark: SparkSession, release_dir: str) -> list[str]:
     ``release_manifest`` views (see ``pipeline/release.py`` for the
     layout)."""
     from cloudbrush_spark.sources import corpus as corpus_sink
+    from cloudbrush_spark.sources.corpus import fs_exists
     registered = []
-    cpath = os.path.join(release_dir, "corpus")
-    if os.path.exists(cpath):
+    cpath = f"{release_dir}/corpus"
+    if fs_exists(spark, cpath):
         corpus_sink.read_corpus(spark, cpath) \
             .createOrReplaceTempView("corpus")
         registered.append("corpus")
     side_tables = ("release_manifest", "delta", "features", "report",
                    "spans", "dsir")
     for name in side_tables:
-        p = os.path.join(release_dir, f"{name}.parquet")
-        if os.path.exists(p):
+        p = f"{release_dir}/{name}.parquet"
+        if fs_exists(spark, p):
             spark.read.parquet(p).createOrReplaceTempView(name)
             registered.append(name)
     return registered
