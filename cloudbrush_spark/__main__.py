@@ -125,6 +125,11 @@ def _build_parser() -> argparse.ArgumentParser:
                          "(cross-corpus embedding dedup gate)")
     ap.add_argument("-emb_dedup_threshold", type=float, default=0.95,
                     help="release: cross-release embedding dedup cutoff")
+    ap.add_argument("-write_index", action="store_true",
+                    help="release: after publish, write the published "
+                         "docs' embeddings as a quantized IVF index at "
+                         "<out>/emb_index (requires -embeddings) — the "
+                         "-prior_index input of the NEXT release")
     ap.add_argument("-prior_index", default=None, metavar="DIR",
                     help="release: a persisted IVF index of the previous "
                          "release (similarity.write_ivf_index over its "
@@ -325,20 +330,22 @@ def main(argv: list[str] | None = None) -> int:
                  if args.benchmark else None)
         if args.bench_embeddings and not args.embeddings:
             raise SystemExit("-bench_embeddings requires -embeddings")
-        if (args.prior_embeddings or args.prior_index) \
-                and not args.embeddings:
-            raise SystemExit("-prior_embeddings/-prior_index requires "
-                             "-embeddings (the current corpus's vectors)")
+        if (args.prior_embeddings or args.prior_index
+                or args.write_index) and not args.embeddings:
+            raise SystemExit("-prior_embeddings/-prior_index/-write_index "
+                             "requires -embeddings (the current corpus's "
+                             "vectors)")
         if args.prior_embeddings and args.prior_index:
             raise SystemExit("-prior_embeddings and -prior_index are "
                              "mutually exclusive forms of the same gate")
         if args.embeddings and not (args.bench_embeddings
                                     or args.prior_embeddings
-                                    or args.prior_index):
+                                    or args.prior_index
+                                    or args.write_index):
             raise SystemExit(
                 "-embeddings needs -bench_embeddings (semantic "
-                "decontamination) and/or -prior_embeddings/-prior_index "
-                "(cross-release embedding dedup)")
+                "decontamination), -prior_embeddings/-prior_index "
+                "(cross-release embedding dedup) and/or -write_index")
         sem_kw = {}
         if args.bench_embeddings:
             sem_kw = dict(
@@ -354,6 +361,7 @@ def main(argv: list[str] | None = None) -> int:
                 or args.prev_release is not None
                 or args.prior_embeddings is not None
                 or args.prior_index is not None
+                or args.write_index
                 or args.dsir_target is not None):
             from cloudbrush_spark.pipeline.release import (
                 ReleasePipeline, incremental_release)
@@ -373,7 +381,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.bucket_width is not None:
                 rel_kw["bucketed_publish"] = True
                 rel_kw["publish_bucket_width"] = args.bucket_width
-            if args.prior_embeddings or args.prior_index:
+            if args.prior_embeddings or args.prior_index or args.write_index:
                 def _dvec(path):
                     df = spark.read.parquet(path)
                     if "doc_id" not in df.columns and "vec_id" in df.columns:
@@ -386,9 +394,11 @@ def main(argv: list[str] | None = None) -> int:
                 rel_kw["embeddings"] = _dvec(args.embeddings)
                 if args.prior_index:
                     rel_kw["prior_index_path"] = args.prior_index
-                else:
+                elif args.prior_embeddings:
                     rel_kw["prior_embeddings"] = _dvec(args.prior_embeddings)
                 rel_kw["embedding_threshold"] = args.emb_dedup_threshold
+                if args.write_index:
+                    rel_kw["write_index"] = True
             if args.dsir_target:
                 rel_kw["dsir_target"] = spark.read.parquet(args.dsir_target)
             if args.prev_release and not args.base:

@@ -139,6 +139,7 @@ class ReleasePipeline:
             embedding_threshold: float = 0.95,
             prior_index_path: str | None = None,
             prior_index_nprobe: int = 4,
+            write_index: bool = False,
             **curate_kw) -> DataFrame:
         """Run the full release; returns the RELEASE MANIFEST — one row
         per published row: (id, copy, split, shard_id, offset, ws_tokens,
@@ -203,6 +204,13 @@ class ReleasePipeline:
         the LSH form's recall); requires ``embeddings`` for the new
         corpus, mutually exclusive with ``prior_embeddings``.
 
+        ``write_index=True`` (requires ``embeddings``) closes the loop:
+        after publish, the PUBLISHED docs' embeddings are written as a
+        quantized IVF index at ``out_path/emb_index`` (sqrt-n
+        centroids), which the NEXT release passes as
+        ``prior_index_path`` — each release gates against its
+        predecessor's index instead of re-bucketing the prior corpus.
+
         ``dsir_target`` (a ``(id_col, text_col)`` corpus of the domain
         you want more of) enables the DSIR stage: per-published-doc
         importance weights ``avg log p_target − avg log p_raw`` under
@@ -217,11 +225,19 @@ class ReleasePipeline:
                 "vectors OR the persisted index, not both")
         _gate_ref = (prior_embeddings if prior_embeddings is not None
                      else prior_index_path)
-        if (embeddings is None) != (_gate_ref is None):
+        if embeddings is None and _gate_ref is not None:
             raise ValueError(
                 "the embedding-dedup gate needs embeddings AND a prior "
                 "reference (prior_embeddings or prior_index_path) "
                 "together")
+        if embeddings is not None and _gate_ref is None \
+                and not write_index:
+            raise ValueError(
+                "embeddings given without a consumer: pass "
+                "prior_embeddings/prior_index_path (dedup gate) and/or "
+                "write_index=True (build this release's index)")
+        if write_index and embeddings is None:
+            raise ValueError("write_index=True requires embeddings")
         if prev_corpus_path is not None and (
                 prev_manifest is None or publish_changed_ids is None):
             raise ValueError(
@@ -292,7 +308,7 @@ class ReleasePipeline:
             lambda: curation.curate(docs, id_col=id_col, text_col=text_col,
                                     benchmark=benchmark, **curate_kw))
 
-        if embeddings is not None:
+        if embeddings is not None and _gate_ref is not None:
             # cross-corpus embedding dedup gate (r11): runs BEFORE
             # mixture/budget/pack so a dropped doc never competes for
             # the token budget or a shard slot
@@ -485,6 +501,24 @@ class ReleasePipeline:
                     os.path.join(out_path, "spans.parquet"))
 
             self._stage("spans", _spans)
+
+        if write_index:
+            # the published docs' embeddings become this release's
+            # quantized IVF index — the prior_index_path of release N+1
+            def _index() -> DataFrame:
+                from cloudbrush_spark.operators import similarity
+                pub = (embeddings
+                       .join(out.select(id_col).distinct(), id_col,
+                             "left_semi")
+                       .select(F.col(id_col), "embedding"))
+                similarity.write_ivf_index(
+                    pub, os.path.join(out_path, "emb_index"),
+                    n_centroids=None, seed=42, id_col=id_col,
+                    quantized=True)
+                return self.spark.read.parquet(
+                    os.path.join(out_path, "emb_index", "centroids"))
+
+            self._stage("index", _index)
 
         if dsir_target is not None:
             # DSIR importance weights over the PUBLISHED documents (one

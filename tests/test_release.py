@@ -784,3 +784,36 @@ def test_release_embedding_dedup_gate_index_backed(spark, tmp_path):
     with pytest.raises(ValueError, match="together"):
         release(spark, docs, str(tmp_path / "y"), max_tokens=2000,
                 prior_index_path=idx)
+
+
+def test_release_write_index_feeds_next_release_gate(spark, tmp_path):
+    """write_index closes the release loop: release N writes its
+    published docs' quantized IVF index at <out>/emb_index, and release
+    N+1 gates against it via prior_index_path — docs already shipped in
+    N are dropped from N+1."""
+    docs_n = _docs_distinct(spark, 10)
+    emb_n = _emb_for(docs_n, spark)
+    out0 = str(tmp_path / "rel0")
+    release(spark, docs_n, out0, max_tokens=2000,
+            embeddings=emb_n, write_index=True)
+    assert os.path.exists(os.path.join(out0, "emb_index",
+                                       "centroids", "_SUCCESS"))
+    part = spark.read.parquet(os.path.join(out0, "emb_index", "vectors"))
+    assert "q_codes" in part.columns  # quantized layout
+    # release N+1: same 10 docs plus 10 new ones
+    docs_n1 = _docs_distinct(spark, 20)
+    emb_n1 = _emb_for(docs_n1, spark)
+    out1 = str(tmp_path / "rel1")
+    release(spark, docs_n1, out1, max_tokens=2000,
+            embeddings=emb_n1,
+            prior_index_path=os.path.join(out0, "emb_index"),
+            embedding_threshold=0.99)
+    from cloudbrush_spark.sources import corpus as corpus_sink
+    kept = {r.doc_id for r in corpus_sink.read_corpus(
+        spark, os.path.join(out1, "corpus")).select("doc_id").collect()}
+    assert kept == set(range(10, 20)), kept
+    # embeddings without any consumer is refused
+    import pytest
+    with pytest.raises(ValueError, match="without a consumer"):
+        release(spark, docs_n, str(tmp_path / "x"), max_tokens=2000,
+                embeddings=emb_n)
