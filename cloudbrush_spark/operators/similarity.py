@@ -659,13 +659,21 @@ def write_ivf_index(vectors: DataFrame, path: str,
     nprobe/n_centroids of the DIRECTORIES at ~1/8 of the BYTES each.
 
     ``n_centroids=None`` auto-sizes by the IVF rule of thumb —
-    ``sqrt(corpus)`` clamped to [16, 4096] — so the bytes a probe
-    faces per bucket grow with sqrt(n) instead of n as the corpus
-    scales (one extra bounded count; the training sample is raised to
-    cover the centroid count where needed)."""
+    ``sqrt(corpus)`` clamped to [16, 256] — so the bytes a probe faces
+    per bucket grow with sqrt(n) as the corpus scales (one extra
+    bounded count; the training sample is raised to cover the centroid
+    count where needed).  The upper clamp is deliberate: centroids ride
+    the plan as LITERAL arrays (``_centroid_scores``), and thousands of
+    dim-sized literals would blow expression-tree/codegen limits —
+    past ~256 the assignment belongs to a broadcast-join formulation,
+    not bigger literals."""
     if n_centroids is None:
         import math
-        n_centroids = max(16, min(4096, int(math.sqrt(vectors.count()))))
+        n = vectors.count()
+        if n == 0:
+            raise ValueError(
+                "write_ivf_index: cannot index an empty corpus")
+        n_centroids = max(16, min(256, int(math.sqrt(n))))
         sample = max(sample, 8 * n_centroids)
     centroids = ivf_centroids(vectors, n_centroids, sample, seed=seed,
                               vec_col=vec_col)

@@ -507,9 +507,20 @@ class ReleasePipeline:
             # quantized IVF index — the prior_index_path of release N+1
             def _index() -> DataFrame:
                 from cloudbrush_spark.operators import similarity
+                pub_ids = out.select(id_col).distinct()
+                missing = pub_ids.join(embeddings.select(id_col), id_col,
+                                       "left_anti").count()
+                if missing:
+                    # a silently partial index would let release N+2's
+                    # gate miss duplicates of every uncovered doc
+                    raise ValueError(
+                        f"write_index: {missing} published docs have no "
+                        "row in `embeddings` — the index must cover the "
+                        "whole release (on an incremental release, pass "
+                        "embeddings for the full merged snapshot, not "
+                        "just the crawl)")
                 pub = (embeddings
-                       .join(out.select(id_col).distinct(), id_col,
-                             "left_semi")
+                       .join(pub_ids, id_col, "left_semi")
                        .select(F.col(id_col), "embedding"))
                 similarity.write_ivf_index(
                     pub, os.path.join(out_path, "emb_index"),

@@ -92,28 +92,17 @@ def _write_bucket_marker(spark: SparkSession, path: str,
                          files_per_split: int,
                          bucket_width: int | None,
                          id_col: str) -> None:
-    _, _, fs, root = _hfs(spark, path)
-    jvm = spark._jvm
-    mp = jvm.org.apache.hadoop.fs.Path(root, BUCKET_MARKER)
-    out = fs.create(mp, True)
-    out.write(bytearray(json.dumps(
+    fs_write_text(spark, f"{path}/{BUCKET_MARKER}", json.dumps(
         {"files_per_split": files_per_split,
          "bucket_width": bucket_width,
-         "id_col": id_col}).encode("utf-8")))
-    out.close()
+         "id_col": id_col}))
 
 
 def _read_bucket_marker(spark: SparkSession, path: str) -> dict | None:
-    jvm, _, fs, root = _hfs(spark, path)
-    mp = jvm.org.apache.hadoop.fs.Path(root, BUCKET_MARKER)
-    if not fs.exists(mp):
+    mp = f"{path}/{BUCKET_MARKER}"
+    if not fs_exists(spark, mp):
         return None
-    ins = fs.open(mp)
-    try:
-        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(ins))
-    finally:
-        ins.close()
-    return json.loads(data.decode("utf-8"))
+    return json.loads(fs_read_text(spark, mp))
 
 
 def _pbucket(id_col: str, files_per_split: int,

@@ -17,6 +17,8 @@ semantics with the batch forms in operators/sessions.py.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -476,9 +478,10 @@ def stream_publish(docs: DataFrame, out_dir: str):
     a crash between the two re-writes the data (mode overwrite, same
     content — idempotent), never drops it.
 
-    Local-FS markers here; on a real cluster the same pattern runs
-    against the object store (or lands in a transactional table format)
-    — the batch-id contract is identical.
+    Markers and batch dirs go through the Hadoop FS API (r11), so the
+    sink runs unchanged on HDFS/S3; a transactional table format
+    remains the richer production variant — the batch-id contract is
+    identical.
 
     Returns the ``DataStreamWriter``; callers ``.start()`` it with their
     ``checkpointLocation`` and trigger.
@@ -488,6 +491,12 @@ def stream_publish(docs: DataFrame, out_dir: str):
         spark = batch_df.sparkSession
         marker = f"{out_dir}/_committed_{batch_id}"
         if fs_exists(spark, marker):
+            # still consume the re-delivered frame: with a STATEFUL
+            # upstream (watermarked agg, streaming dedup), Spark 4's
+            # state-store commit validation fails the query when
+            # foreachBatch returns without processing the batch's
+            # partitions (see rollup_upsert)
+            batch_df.count()
             return
         batch_df.write.mode("overwrite").parquet(
             f"{out_dir}/batch={batch_id}")
@@ -555,6 +564,12 @@ def stream_rollup_maintain(events: DataFrame, table_dir: str,
                                                  table_dir))
 
 
+#: commit markers retained behind the newest batch — wide enough for any
+#: realistic re-delivery window, narrow enough that marker listings stay
+#: bounded on a long-lived table
+ROLLUP_MARKER_KEEP = 64
+
+
 def _committed_rollup_versions(spark, table_dir: str) -> list[int]:
     from cloudbrush_spark.sources.corpus import _hfs
     _, _, fs, root = _hfs(spark, table_dir)
@@ -605,6 +620,11 @@ def rollup_upsert(batch_df: DataFrame, batch_id: int,
         from cloudbrush_spark.sources.corpus import fs_read_text
         prev_version = fs_read_text(spark,
                                     f"{table_dir}/_CURRENT").strip()
+        if not re.fullmatch(r"v\d+", prev_version):
+            raise ValueError(
+                f"torn/invalid _CURRENT pointer {prev_version!r} under "
+                f"{table_dir} — retry (a concurrent writer was mid-"
+                "update) or remove the file if the table is corrupt")
         if prev_version == f"v{batch_id}":
             batch_df.count()  # see the commit-marker branch above
             return
@@ -623,6 +643,16 @@ def rollup_upsert(batch_df: DataFrame, batch_id: int,
     finally:
         changed.unpersist()
     fs.create(commit, True).close()  # atomic commit point
+    # bound the marker listing: keep the trailing window (replay after
+    # a crash re-delivers only the batches since the last checkpoint
+    # commit; an OLDER batch replayed from a fresh checkpoint simply
+    # recomputes — the upsert is idempotent, which the replay test
+    # exercises), drop the rest so a long-lived table's per-batch
+    # listStatus stays O(window), not O(history)
+    for old in done:
+        if old < batch_id - ROLLUP_MARKER_KEEP:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                root, f"_vcommitted_{old}"), False)
     fs_write_text(spark, f"{table_dir}/_CURRENT", f"v{batch_id}")
 
 
@@ -637,6 +667,10 @@ def read_rollup(spark: SparkSession, table_dir: str) -> DataFrame:
         return spark.read.parquet(f"{table_dir}/v{done[-1]}")
     if fs_exists(spark, f"{table_dir}/_CURRENT"):
         v = fs_read_text(spark, f"{table_dir}/_CURRENT").strip()
+        if not re.fullmatch(r"v\d+", v):
+            raise ValueError(
+                f"torn/invalid _CURRENT pointer {v!r} under {table_dir} "
+                "— retry (a concurrent writer was mid-update)")
         return spark.read.parquet(f"{table_dir}/{v}")
     raise ValueError(f"no committed rollup version under {table_dir} — "
                      "has the rollup stream committed a batch yet?")
