@@ -1104,14 +1104,27 @@ def cosine_topk_ivf_quantized(spark, path: str, queries: DataFrame,
     Output: (query_id, neighbor_id, rank, cosine)."""
     q, top = ivf_quantized_select(spark, path, queries, k, nprobe,
                                   id_col, vec_col, broadcast_queries)
-    # Stage-cut: the winner frame is consumed twice (id collect + join).
-    from cloudbrush_spark.operators.dedup import _stage_cut
-    top = _stage_cut(top)
     if rerank_collect_max is None:
         rerank_collect_max = RERANK_COLLECT_MAX
-    ids = [r[0] for r in
-           top.select("neighbor_id").distinct()
-           .limit(rerank_collect_max + 1).collect()]
+    ids = None
+    if broadcast_queries:
+        # point-lookup shape: the winner frame is bounded by queries×k,
+        # so ONE collect yields both the re-rank id list and a local
+        # frame to broadcast — two fewer Spark jobs than the
+        # stage-cut + id-collect path (which exists for corpus-scale
+        # batches where collecting the winners would not be bounded)
+        rows = top.limit(rerank_collect_max + 1).collect()
+        if len(rows) <= rerank_collect_max:
+            top = spark.createDataFrame(rows, top.schema)
+            ids = sorted({r.neighbor_id for r in rows})
+    if ids is None:
+        # Stage-cut: the winner frame is consumed twice
+        # (id collect + join).
+        from cloudbrush_spark.operators.dedup import _stage_cut
+        top = _stage_cut(top)
+        ids = [r[0] for r in
+               top.select("neighbor_id").distinct()
+               .limit(rerank_collect_max + 1).collect()]
     nbr = spark.read.parquet(path + "/doubles")
     if len(ids) <= rerank_collect_max:
         nbr = nbr.filter(F.col(id_col).isin(ids))
