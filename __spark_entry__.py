@@ -2227,8 +2227,9 @@ def q_ann_contracts(spark, sf_dir):
     # tests/test_plans.py), doubles live once in an id-sorted side
     # table only the winner re-rank reads (In() row-group pruning).
     # bad_cosine == 0 again proves the exact re-rank; recall@5 >= 20%
-    # vs brute force (IVF probing dominates the loss; measured ~ the
-    # ann_ivfp level with int8 near-tie swaps only).
+    # vs brute force.  Measured at sf0.01: 0.446 vs the plain ann_ivfp
+    # index's 0.446 — ONE hit in 2500 lost to int8 near-tie swaps; the
+    # recall loss is entirely IVF probing, exactly as designed.
     _iqpath = _idx + "/ivfq"
     if not _ivf_complete(_iqpath):
         similarity.write_ivf_index(emb, _iqpath, n_centroids=16, seed=42,
