@@ -340,13 +340,32 @@ def cosine_topk_lsh(vectors: DataFrame, dim: int, k: int = 10,
     return _expand_topk(rep_topk, keyed, groups, id_col, k)
 
 
+#: Past this many centroids, training leaves the driver: Lloyd's over a
+#: numpy sample costs sample x K x dim flops per iteration, and at the
+#: ~30k centroids a 10^9-vector corpus wants (sqrt-n rule) the driver
+#: pass is days of single-node matmul — distributed KMeans (Spark MLlib)
+#: is the scale form.  Kept separate from CENTROID_LITERAL_MAX: the two
+#: ceilings are different resources (driver flops vs plan size).
+CENTROID_DRIVER_KMEANS_MAX = 4096
+
+
 def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, sample: int = 4096,
                   iters: int = 8, seed: int = 42,
                   vec_col: str = "embedding") -> list[list[float]]:
-    """Coarse quantizer for IVF: Lloyd's k-means over a bounded driver-side
-    sample (numpy).  The sample is the ONLY data that leaves the cluster;
-    at 100 TB the centroids are trained once on a few thousand rows and
-    folded into the plan as literals — no iterative Spark job.
+    """Coarse quantizer for IVF.
+
+    Up to ``CENTROID_DRIVER_KMEANS_MAX`` centroids: Lloyd's k-means over
+    a bounded driver-side sample (numpy).  The sample is the ONLY data
+    that leaves the cluster; the centroids are trained once on a few
+    thousand rows — no iterative Spark job.  Distances use the
+    ``||x||^2 - 2x.c + ||c||^2`` matmul expansion, chunked over sample
+    rows, so memory is O(chunk x K), never the sample x K x dim cube.
+
+    Above it (r12): distributed k-means (``pyspark.ml.clustering.KMeans``,
+    ``initMode='random'`` — k-means|| init costs ~2k extra passes and a
+    coarse quantizer doesn't need it) over the same uniform sample, kept
+    as a DataFrame instead of collected.  Assignment during training runs
+    executor-side in the JVM; only the K centers come back to the driver.
 
     The sample is UNIFORM over the corpus: rows are ordered by a seeded
     content hash and the smallest ``sample`` taken (TakeOrdered — a
@@ -356,15 +375,35 @@ def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, sample: int = 4096,
     corner of the space.
     """
     import numpy as np
-    rows = (vectors.select(vec_col)
-            .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
-            .limit(sample).collect())
+    sampled = (vectors.select(vec_col)
+               .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
+               .limit(sample))
+    if n_centroids > CENTROID_DRIVER_KMEANS_MAX:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+        spark = vectors.sparkSession
+        # TakeOrdered lands the sample on one partition — spread it back
+        # out so the iterative assignment parallelizes
+        feats = (sampled
+                 .repartition(spark.sparkContext.defaultParallelism or 4)
+                 .select(array_to_vector(
+                     F.col(vec_col).cast("array<double>")).alias("__fv")))
+        model = KMeans(k=n_centroids, maxIter=iters, seed=seed,
+                       initMode="random", featuresCol="__fv").fit(feats)
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+    rows = sampled.collect()
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    x2 = (X * X).sum(axis=1)
+    chunk = max(1, 4_000_000 // max(len(cent), 1))
     for _ in range(iters):
-        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        c2 = (cent * cent).sum(axis=1)
+        assign = np.empty(len(X), dtype=np.int64)
+        for lo in range(0, len(X), chunk):
+            hi = min(lo + chunk, len(X))
+            d2 = x2[lo:hi, None] - 2.0 * (X[lo:hi] @ cent.T) + c2[None, :]
+            assign[lo:hi] = d2.argmin(axis=1)
         for c in range(len(cent)):
             members = X[assign == c]
             if len(members):
@@ -381,6 +420,77 @@ def _centroid_scores(vec, centroids: list[list[float]]):
         scores.append(F.struct((_dot(vec, lit_c) - 0.5 * c2).alias("s"),
                                F.lit(i).alias("i")))
     return F.array(*scores)
+
+
+#: Past this many centroids the assignment switches from plan-literal
+#: score arrays to a broadcast centroid matrix + Arrow-batched argmax:
+#: thousands of dim-sized literals blow expression-tree/codegen limits
+#: long before they blow memory.  Tests monkeypatch this to force either
+#: path; the two are equivalence-pinned (tests/test_similarity.py).
+CENTROID_LITERAL_MAX = 256
+
+
+def _centroid_topn(vec, centroids: list[list[float]], n: int):
+    """``array<int>`` of the ``n`` nearest centroid indices for a vector
+    column (nearest by L2 via the ``-0.5||c||^2 + v.c`` score; ties break
+    toward the LARGER index — the ``reverse(array_sort(...))`` convention
+    the literal path has always had).
+
+    Two physical forms, identical semantics:
+
+    - ``len(centroids) <= CENTROID_LITERAL_MAX``: the scores ride the
+      plan as literal arrays — whole-stage codegen, zero Python.
+    - above (r12): the centroid matrix ships ONCE per executor as a
+      Spark broadcast, and an Arrow-batched pandas UDF computes each
+      batch's score matrix with one numpy matmul (chunked so a batch
+      never materializes more than ~32 MB of scores).  The obvious
+      relational alternative — ``crossJoin(broadcast(centroid_table))``
+      + ``groupBy(id).agg(max_by(...))`` — expands every corpus row into
+      K rows before the partial aggregate (10^9 vectors x 30k centroids
+      = 3x10^13 intermediate rows); the matmul form is a PROJECTION: no
+      shuffle, no row blowup, and the centroids move once per executor,
+      not once per row.
+    """
+    k = len(centroids)
+    nn = min(n, k)
+    if k <= CENTROID_LITERAL_MAX:
+        scores = _centroid_scores(vec, centroids)
+        return F.transform(F.slice(F.reverse(F.array_sort(scores)), 1, nn),
+                           lambda s: s["i"])
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    spark = SparkSession.getActiveSession()
+    cmat = np.asarray(centroids, dtype=np.float64)
+    bias = -0.5 * (cmat * cmat).sum(axis=1)
+    bc = spark.sparkContext.broadcast((cmat, bias))
+    # rows per score chunk so chunk x K stays ~32 MB regardless of K
+    step = max(1, 4_000_000 // k)
+
+    def _topn(v):
+        cb, bb = bc.value
+        out: list[list[int]] = []
+        vals = v.to_numpy()
+        for lo in range(0, len(vals), step):
+            block = vals[lo:lo + step]
+            if len(block) == 0:
+                continue
+            x = np.array([np.asarray(e, dtype=np.float64) for e in block])
+            s = x @ cb.T + bb
+            # ties toward the LARGER index, matching the literal path:
+            # stable-argsort the REVERSED columns (first occurrence among
+            # equals = largest original index) and map back
+            order = np.argsort(-s[:, ::-1], axis=1, kind="stable")[:, :nn]
+            out.extend((s.shape[1] - 1 - order).astype("int32").tolist())
+        return pd.Series(out, dtype=object)
+
+    # real class objects, not strings: the module's `from __future__ import
+    # annotations` would stringify inline hints, and pandas/numpy are local
+    # imports here so pyspark's type-hint resolution could not eval them
+    _topn.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_topn, "array<int>")(vec)
 
 
 def cosine_topk_ivf(vectors: DataFrame, k: int = 10, n_centroids: int = 16,
@@ -402,19 +512,16 @@ def cosine_topk_ivf(vectors: DataFrame, k: int = 10, n_centroids: int = 16,
     """
     keyed, groups = _collapse(vectors, id_col, vec_col)
     centroids = ivf_centroids(groups, n_centroids, seed=seed, vec_col="__vec")
-    scores = _centroid_scores(F.col("__vec"), centroids)
     corpus = groups.select(
         F.col("rep").alias("neighbor_id"), F.col("__vec").alias("cv"),
         _norm(F.col("__vec")).alias("cn"),
-        F.reverse(F.array_sort(scores))[0]["i"].alias("bucket"),
+        _centroid_topn(F.col("__vec"), centroids, 1)[0].alias("bucket"),
     )
     probes = groups.select(
         F.col("rep").alias("query_rep"), F.col("__vec").alias("qv"),
         _norm(F.col("__vec")).alias("qn"),
-        F.explode(F.transform(
-            F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
-            lambda s: s["i"],
-        )).alias("bucket"),
+        F.explode(_centroid_topn(F.col("__vec"), centroids, nprobe))
+        .alias("bucket"),
     )
     scored = (
         probes.join(corpus, "bucket")
@@ -659,31 +766,44 @@ def write_ivf_index(vectors: DataFrame, path: str,
     nprobe/n_centroids of the DIRECTORIES at ~1/8 of the BYTES each.
 
     ``n_centroids=None`` auto-sizes by the IVF rule of thumb —
-    ``sqrt(corpus)`` clamped to [16, 256] — so the bytes a probe faces
-    per bucket grow with sqrt(n) as the corpus scales (one extra
+    ``sqrt(corpus)`` clamped to [16, 65536] — so the bytes a probe
+    faces per bucket grow with sqrt(n) as the corpus scales (one extra
     bounded count; the training sample is raised to cover the centroid
-    count where needed).  The upper clamp is deliberate: centroids ride
-    the plan as LITERAL arrays (``_centroid_scores``), and thousands of
-    dim-sized literals would blow expression-tree/codegen limits —
-    past ~256 the assignment belongs to a broadcast-join formulation,
-    not bigger literals."""
+    count where needed).  Up to ``CENTROID_LITERAL_MAX`` (256) the
+    assignment rides the plan as literal score arrays; above it (r12)
+    the centroids broadcast once per executor and an Arrow-batched
+    matmul assigns buckets (see :func:`_centroid_topn` — the two forms
+    are equivalence-pinned), and training moves to distributed KMeans
+    past ``CENTROID_DRIVER_KMEANS_MAX`` — so a 10^9-vector corpus gets
+    its ~30k centroids and the full sqrt(n) partition-pruning lever,
+    instead of saturating at 256."""
     if n_centroids is None:
         import math
         n = vectors.count()
         if n == 0:
             raise ValueError(
                 "write_ivf_index: cannot index an empty corpus")
-        n_centroids = max(16, min(256, int(math.sqrt(n))))
+        n_centroids = max(16, min(65536, int(math.sqrt(n))))
         sample = max(sample, 8 * n_centroids)
     centroids = ivf_centroids(vectors, n_centroids, sample, seed=seed,
                               vec_col=vec_col)
-    scores = _centroid_scores(F.col(vec_col), centroids)
     assigned = vectors.withColumn(
-        "bucket", F.reverse(F.array_sort(scores))[0]["i"])
+        "bucket", _centroid_topn(F.col(vec_col), centroids, 1)[0])
+    # a REBUILD invalidates every append marker under this root: the
+    # markers dedup batches against the OLD index's content, and leaving
+    # them would make a legitimate re-append of those rows into the new
+    # index silently return 0 (rows permanently missing)
+    _clear_append_markers(vectors.sparkSession, path)
     if quantized:
         assigned = quantize_embeddings(assigned, id_col, vec_col) \
             .select(id_col, "q_scale", "q_codes", "bucket")
+        # range-partition so files hold DISJOINT id ranges: the winner
+        # re-rank pushes an In(id,...) filter into this scan, and with
+        # disjoint ranges parquet min/max stats skip whole FILES, not
+        # just row groups inside every file (file-count pinned in
+        # tests/test_plans.py)
         (vectors.select(id_col, vec_col)
+         .repartitionByRange(F.col(id_col))
          .sortWithinPartitions(id_col)
          .write.mode("overwrite").parquet(path + "/doubles"))
     (assigned.repartition(max(4, len(centroids)), F.col("bucket"))
@@ -722,12 +842,10 @@ def cosine_topk_ivf_indexed(spark, path: str, queries: DataFrame,
     cent_rows = spark.read.parquet(path + "/centroids") \
         .orderBy("bucket").collect()
     centroids = [list(r.centroid) for r in cent_rows]
-    scores = _centroid_scores(F.col(vec_col), centroids)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
-        F.transform(F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
-                    lambda s: s["i"]).alias("probes"))
+        _centroid_topn(F.col(vec_col), centroids, nprobe).alias("probes"))
     qx = q.select("query_id", "qv", "qn",
                   F.explode("probes").alias("bucket"))
     probed = sorted(r[0] for r in
@@ -939,6 +1057,61 @@ def cosine_topk_quantized(vectors: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+#: Full ``_appended_*`` markers retained behind the newest append — the
+#: same trailing-window bound as ``streaming.windows.ROLLUP_MARKER_KEEP``
+#: so a crawl-per-day index's root ``listStatus`` stays O(window) instead
+#: of O(history).  Pruned tokens fold into ONE compact history file (a
+#: token is 8-24 bytes: 10k crawls ~ a 200 KB file), so replay detection
+#: never loses a batch — a replay of a PRUNED batch is still a no-op,
+#: pinned in tests/test_similarity.py.
+APPEND_MARKER_KEEP = 64
+
+
+def _clear_append_markers(spark, path: str) -> None:
+    """Delete every ``_appended_*`` / ``_appending_*`` marker and the
+    pruned-token history under an index root.  A REBUILD calls this:
+    ``write_ivf_index`` only overwrites ``/vectors`` / ``/doubles`` /
+    ``/centroids``, and markers surviving a rebuild would dedup new
+    appends against content that no longer exists (a re-appended batch
+    would silently return 0 and its rows stay missing forever)."""
+    from cloudbrush_spark.sources.corpus import _hfs
+    _, _, fs, root = _hfs(spark, path)
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(("_appended_", "_appending_",
+                            "_append_history_")):
+            fs.delete(st.getPath(), False)
+
+
+def _append_history(spark, path: str) -> tuple[set[str], int]:
+    """(pruned-token set, newest generation) from the index root's
+    ``_append_history_<g>`` file.  Generations exist because object
+    stores have no atomic overwrite: each marker-pruning pass writes a
+    complete NEW generation (create + close — visible whole), then
+    deletes older ones; a reader racing the swap sees the previous
+    complete generation, which is always a subset of the truth (the
+    full markers it omits still exist until the new generation lands).
+    Single writer per index assumed — same as parquet append itself."""
+    from cloudbrush_spark.sources.corpus import _hfs, fs_read_text
+    _, _, fs, root = _hfs(spark, path)
+    gens = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("_append_history_"):
+                try:
+                    gens.append(int(name[len("_append_history_"):]))
+                except ValueError:
+                    pass
+    if not gens:
+        return set(), 0
+    g = max(gens)
+    text = fs_read_text(spark, f"{path}/_append_history_{g}")
+    return {t for t in text.split() if t}, g
+
+
 def append_to_ivf_index(new_vectors: DataFrame, path: str,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> int:
@@ -961,33 +1134,42 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
 
     Parquet appends are not transactional, so the two quantized-layout
     writes cannot be atomic together.  This function therefore brackets
-    each append with a DETERMINISTIC batch token (order-insensitive id
-    digest): a completed append is a no-op on retry, and a retry that
-    finds the INTENT marker without the commit marker fails LOUDLY
-    (partially appended files cannot be safely rolled back — rebuild
-    the index or remove the partial files by their write timestamps)
-    instead of silently double-appending rows, which would duplicate
-    ranks in every later probe.  Returns the number of rows appended
-    (0 for a replayed, already-committed batch)."""
+    each append with a DETERMINISTIC batch token (order-insensitive
+    digest over ids AND vector content — r12, so a batch with the same
+    ids but re-embedded vectors is a NEW batch, not a replay): a
+    completed append is a no-op on retry, and a retry that finds the
+    INTENT marker without the commit marker fails LOUDLY (partially
+    appended files cannot be rolled back safely — rebuild the index or
+    remove the partial files by their write timestamps) instead of
+    silently double-appending rows, which would duplicate ranks in
+    every later probe.  Full markers are pruned behind a trailing
+    window (``APPEND_MARKER_KEEP``, r12) with the pruned tokens folded
+    into one compact history file, so the root listing stays bounded
+    while replay of ANY committed batch — however old — remains a
+    no-op.  Returns the number of rows appended (0 for a replay)."""
     spark = new_vectors.sparkSession
     # evaluated up to three times (token digest + two layout writes):
     # cache the input so an expensive upstream chain runs once
     new_vectors = new_vectors.persist()
     try:
-        # order-insensitive digest of the appended id set (32-bit-masked
-        # per-row hashes summed — the merge_upsert/bucket-digest pattern)
+        # order-insensitive digest of the appended (id, vector) rows
+        # (32-bit-masked per-row hashes summed — the merge_upsert/
+        # bucket-digest pattern; xxhash64 folds the array's elements in,
+        # so re-embedded vectors change the token)
         tok_row = new_vectors.agg(
-            F.sum(F.xxhash64(F.col(id_col)).bitwiseAND(F.lit(0xFFFFFFFF)))
+            F.sum(F.xxhash64(F.col(id_col), F.col(vec_col))
+                  .bitwiseAND(F.lit(0xFFFFFFFF)))
             .alias("h"), F.count(F.lit(1)).alias("n")).collect()[0]
         token = f"{int(tok_row.h or 0):x}_{int(tok_row.n)}"
-        jvm = spark._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        root = jvm.org.apache.hadoop.fs.Path(path)
-        fs = root.getFileSystem(conf)
+        from cloudbrush_spark.sources.corpus import _hfs, fs_write_text
+        jvm, _, fs, root = _hfs(spark, path)
         commit = jvm.org.apache.hadoop.fs.Path(root, f"_appended_{token}")
         intent = jvm.org.apache.hadoop.fs.Path(root, f"_appending_{token}")
         if fs.exists(commit):
             return 0
+        history, gen = _append_history(spark, path)
+        if token in history:
+            return 0  # committed long ago; its full marker was pruned
         if fs.exists(intent):
             raise RuntimeError(
                 f"append_to_ivf_index: found intent marker without "
@@ -1000,15 +1182,17 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
         cent_rows = spark.read.parquet(path + "/centroids") \
             .orderBy("bucket").collect()
         centroids = [list(r.centroid) for r in cent_rows]
-        scores = _centroid_scores(F.col(vec_col), centroids)
         assigned = new_vectors.withColumn(
-            "bucket", F.reverse(F.array_sort(scores))[0]["i"])
+            "bucket", _centroid_topn(F.col(vec_col), centroids, 1)[0])
         quantized = "q_codes" in \
             spark.read.parquet(path + "/vectors").columns
         if quantized:
             assigned = quantize_embeddings(assigned, id_col, vec_col) \
                 .select(id_col, "q_scale", "q_codes", "bucket")
+            # disjoint id ranges per appended file — same file-skipping
+            # contract as the writer's /doubles (see write_ivf_index)
             (new_vectors.select(id_col, vec_col)
+             .repartitionByRange(F.col(id_col))
              .sortWithinPartitions(id_col)
              .write.mode("append").parquet(path + "/doubles"))
         (assigned.repartition(max(4, len(centroids)), F.col("bucket"))
@@ -1017,6 +1201,28 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
          .parquet(path + "/vectors"))
         fs.create(commit, True).close()
         fs.delete(intent, False)
+        # trailing-window marker prune (the rollup sink's bound, r12):
+        # fold tokens older than the newest APPEND_MARKER_KEEP into the
+        # next history generation FIRST (a complete new file; older
+        # generations dropped after), and only then delete their full
+        # markers — a crash between the steps leaves a token in both
+        # places, which is harmless (either one makes replay a no-op)
+        marks = [(st.getModificationTime(), st.getPath())
+                 for st in fs.listStatus(root)
+                 if st.getPath().getName().startswith("_appended_")]
+        marks.sort(key=lambda t: (t[0], str(t[1].getName())))
+        stale = marks[:-APPEND_MARKER_KEEP] if APPEND_MARKER_KEEP else marks
+        if stale:
+            pruned = history | {
+                str(p.getName())[len("_appended_"):] for _, p in stale}
+            fs_write_text(spark, f"{path}/_append_history_{gen + 1}",
+                          "\n".join(sorted(pruned)) + "\n")
+            if gen and fs.exists(jvm.org.apache.hadoop.fs.Path(
+                    root, f"_append_history_{gen}")):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(
+                    root, f"_append_history_{gen}"), False)
+            for _, p in stale:
+                fs.delete(p, False)
         return int(tok_row.n)
     finally:
         new_vectors.unpersist()
@@ -1039,14 +1245,13 @@ def ivf_quantized_select(spark, path: str, queries: DataFrame,
     cent_rows = spark.read.parquet(path + "/centroids") \
         .orderBy("bucket").collect()
     centroids = [list(r.centroid) for r in cent_rows]
-    scores = _centroid_scores(F.col(vec_col), centroids)
     q = quantize_embeddings(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"), F.col("q_codes").alias("qc"),
         F.sqrt(_qdot(F.col("q_codes"), F.col("q_codes")).cast("double"))
         .alias("qcn"),
-        F.transform(F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
-                    lambda s: s["i"]).alias("probes")) \
+        _centroid_topn(F.col(vec_col), centroids, nprobe)
+        .alias("probes")) \
         .filter(F.col("qcn") > 0)
     qx = q.select("query_id", "qc", "qcn",
                   F.explode("probes").alias("bucket"))

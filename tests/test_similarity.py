@@ -547,7 +547,7 @@ def test_append_to_ivf_index_both_layouts(spark, clustered, tmp_path):
 
 def test_ivf_index_auto_centroids(spark, clustered, tmp_path):
     """n_centroids=None sizes the coarse quantizer at sqrt(corpus)
-    clamped to [16, 4096] — for the 100-vector fixture that is the
+    clamped to [16, 65536] — for the 100-vector fixture that is the
     16 floor — and the index stays probe-correct."""
     vecs = clustered.select("vec_id", "embedding")
     path = str(tmp_path / "auto")
@@ -557,3 +557,210 @@ def test_ivf_index_auto_centroids(spark, clustered, tmp_path):
     out = similarity.cosine_topk_ivf_indexed(
         spark, path, vecs.filter(F.col("vec_id") == 0), k=3, nprobe=2)
     assert out.count() == 3
+
+
+# --------------------------------------------------------------------------
+# round 12: broadcast centroid assignment, marker hygiene, file skipping
+# --------------------------------------------------------------------------
+
+def test_centroid_topn_literal_broadcast_equivalence(spark, monkeypatch):
+    """The two physical forms of centroid assignment — plan-literal score
+    arrays (<= CENTROID_LITERAL_MAX) and the broadcast-matrix Arrow
+    matmul (above it, r12) — produce IDENTICAL top-n bucket lists on a
+    fixture that exercises both exact ties (duplicate centroids,
+    duplicate vectors; ties break toward the larger index) and the
+    straddle point."""
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    rows += [(1000 + i, rows[i][1]) for i in range(10)]  # duplicate vectors
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(300)]
+    cents[42] = list(cents[41])  # duplicate centroid -> exact score tie
+    monkeypatch.setattr(similarity, "CENTROID_LITERAL_MAX", 1000)
+    lit = df.select(
+        "vec_id",
+        similarity._centroid_topn(F.col("embedding"), cents, 3).alias("t"),
+    ).collect()
+    monkeypatch.setattr(similarity, "CENTROID_LITERAL_MAX", 16)
+    bro = df.select(
+        "vec_id",
+        similarity._centroid_topn(F.col("embedding"), cents, 3).alias("t"),
+    ).collect()
+    dl = {r.vec_id: list(r.t) for r in lit}
+    db = {r.vec_id: list(r.t) for r in bro}
+    assert dl == db
+    # the duplicate-centroid tie resolved toward the larger index in both
+    assert all(41 not in v or v.index(42) < v.index(41)
+               for v in dl.values() if 41 in v and 42 in v)
+
+
+def test_ivf_index_past_literal_clamp_writes_and_probes(spark, tmp_path):
+    """A >=1024-centroid quantized index — four times the old 256 literal
+    clamp — is written through the broadcast-assignment path, lands one
+    directory per used bucket, and probes correctly: every query's
+    neighbors come back, cosines are exact doubles, and the selection
+    scan still carries the PartitionFilter (the pruning lever now scales
+    past 256 instead of saturating)."""
+    from cloudbrush_spark import plans
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(2.0 * (i % 10 == d), 0.5) for d in range(8)])
+            for i in range(3000)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(8)
+    path = str(tmp_path / "ivf1024")
+    cents = similarity.write_ivf_index(vecs, path, n_centroids=1024,
+                                       sample=3000, seed=42, quantized=True)
+    assert len(cents) == 1024
+    used = spark.read.parquet(path + "/vectors") \
+        .select("bucket").distinct().count()
+    assert used > 256  # the old clamp is genuinely exceeded
+    q = vecs.filter(F.col("vec_id") < 3)
+    _, sel = similarity.ivf_quantized_select(spark, path, q, k=3, nprobe=4)
+    plan = plans.explain_str(sel)
+    assert "PartitionFilters" in plan and "bucket" in \
+        plan.split("PartitionFilters", 1)[1][:200]
+    out = similarity.cosine_topk_ivf_quantized(spark, path, q, k=3, nprobe=4)
+    got = out.collect()
+    assert {r.query_id for r in got} == {0, 1, 2}
+    assert all(-1.0001 <= r.cosine <= 1.0001 for r in got)
+
+
+def test_ivf_centroids_distributed_kmeans_path(spark, monkeypatch):
+    """Past CENTROID_DRIVER_KMEANS_MAX the training leaves the driver
+    (Spark MLlib KMeans over the uniform sample) — forced low here; the
+    centers come back with the right count/dim and feed a working
+    index."""
+    monkeypatch.setattr(similarity, "CENTROID_DRIVER_KMEANS_MAX", 8)
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids(df, n_centroids=16, sample=300, seed=42)
+    assert len(cents) == 16 and all(len(c) == 6 for c in cents)
+
+
+def test_doubles_side_table_files_hold_disjoint_id_ranges(spark, tmp_path):
+    """The /doubles side table is range-partitioned before the sorted
+    write (r12): files hold DISJOINT id ranges, so the winner re-rank's
+    In() pushdown skips whole files instead of probing row groups inside
+    every file.  Pinned at the layout level (per-file parquet min/max of
+    the id column) plus the probed-file count for a point query set."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    rng = random.Random(9)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(2000)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(16)
+    path = str(tmp_path / "ivfq")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "200")
+    try:
+        similarity.write_ivf_index(vecs, path, n_centroids=8, seed=42,
+                                   quantized=True)
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    files = sorted(_glob.glob(path + "/doubles/*.parquet"))
+    assert len(files) >= 4, files
+    spans = []
+    for f in files:
+        ids = _pq.read_table(f, columns=["vec_id"])["vec_id"].to_pylist()
+        spans.append((min(ids), max(ids), f))
+    spans.sort()
+    for (lo1, hi1, _), (lo2, hi2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2, (spans,)  # disjoint, non-overlapping ranges
+    # a bounded winner set touches a strict subset of the files
+    winners = [5, 6, 7]
+    hit = [f for lo, hi, f in spans if any(lo <= w <= hi for w in winners)]
+    assert 0 < len(hit) < len(files)
+
+
+def _marker_names(path):
+    import os as _os
+    return sorted(n for n in _os.listdir(path)
+                  if n.startswith(("_appended_", "_appending_",
+                                   "_append_history_")))
+
+
+def test_append_markers_trailing_window_and_pruned_replay(
+        spark, clustered, tmp_path, monkeypatch):
+    """K+1 appends leave exactly K full markers plus ONE compact history
+    file (r12 — the rollup sink's trailing-window bound), and a replay
+    of a PRUNED batch is still a no-op (the pinned semantics: history
+    folds the pruned tokens, so replay detection never loses a batch)."""
+    monkeypatch.setattr(similarity, "APPEND_MARKER_KEEP", 3)
+    vecs = clustered.select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(vecs.filter(F.col("vec_id") < 20), path,
+                               n_centroids=4, seed=42, quantized=True)
+    batches = [vecs.filter((F.col("vec_id") >= 20 + 10 * i)
+                           & (F.col("vec_id") < 30 + 10 * i))
+               for i in range(4)]
+    for b in batches:
+        assert similarity.append_to_ivf_index(b, path) == 10
+    names = _marker_names(path)
+    full = [n for n in names if n.startswith("_appended_")]
+    hist = [n for n in names if n.startswith("_append_history_")]
+    assert len(full) == 3 and len(hist) == 1, names
+    before = spark.read.parquet(path + "/vectors").count()
+    # batch 0's marker was pruned into history: replay is STILL a no-op
+    assert similarity.append_to_ivf_index(batches[0], path) == 0
+    assert spark.read.parquet(path + "/vectors").count() == before
+
+
+def test_append_replay_noop_and_partial_append_fails_loudly(
+        spark, clustered, tmp_path):
+    """The append commit contract: an already-committed batch returns 0
+    and appends nothing; an intent marker without its commit marker (a
+    previous append died mid-write) fails LOUDLY instead of silently
+    double-appending."""
+    import os as _os
+    vecs = clustered.select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(vecs.filter(F.col("vec_id") < 50), path,
+                               n_centroids=4, seed=42, quantized=True)
+    batch = vecs.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 60))
+    assert similarity.append_to_ivf_index(batch, path) == 10
+    before = spark.read.parquet(path + "/vectors").count()
+    assert similarity.append_to_ivf_index(batch, path) == 0  # replay
+    assert spark.read.parquet(path + "/vectors").count() == before
+    # simulate a died-mid-write batch: intent marker, no commit marker
+    tok = [n for n in _os.listdir(path) if n.startswith("_appended_")][0]
+    _os.rename(_os.path.join(path, tok),
+               _os.path.join(path, tok.replace("_appended_", "_appending_")))
+    with pytest.raises(RuntimeError, match="died mid-write"):
+        similarity.append_to_ivf_index(batch, path)
+
+
+def test_append_token_covers_vector_content(spark, clustered, tmp_path):
+    """Same ids, re-embedded vectors => a NEW batch, not a replay (r12 —
+    the token digests (id, vector) rows, not the id set)."""
+    vecs = clustered.select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(vecs.filter(F.col("vec_id") < 50), path,
+                               n_centroids=4, seed=42, quantized=True)
+    batch = vecs.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 55))
+    assert similarity.append_to_ivf_index(batch, path) == 5
+    reembedded = batch.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 1.5).alias("embedding"))
+    assert similarity.append_to_ivf_index(reembedded, path) == 5
+
+
+def test_rebuild_clears_append_markers(spark, clustered, tmp_path):
+    """write_ivf_index at an existing root WIPES append markers and the
+    history (r12): after the documented remedy for drift/partial appends
+    — a rebuild — re-appending a previously appended batch really
+    appends instead of silently returning 0 with the rows missing."""
+    vecs = clustered.select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    base = vecs.filter(F.col("vec_id") < 50)
+    batch = vecs.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 60))
+    similarity.write_ivf_index(base, path, n_centroids=4, seed=42,
+                               quantized=True)
+    assert similarity.append_to_ivf_index(batch, path) == 10
+    # rebuild from base only — the appended rows are gone from /vectors
+    similarity.write_ivf_index(base, path, n_centroids=4, seed=42,
+                               quantized=True)
+    assert _marker_names(path) == []
+    assert similarity.append_to_ivf_index(batch, path) == 10
+    got = spark.read.parquet(path + "/vectors").count()
+    assert got == 60
