@@ -53,16 +53,17 @@ def main():
     cents = [list(r.centroid) for r in
              spark.read.parquet(pq + "/centroids").orderBy("bucket")
              .collect()]
-    scores = similarity._centroid_scores(F.col("embedding"), cents)
     all_dbl = du(pp + "/vectors")
     all_code = du(pq + "/vectors")
     n_rows = emb.count()
 
     def regime(name, q):
+        # _centroid_topn handles both forms: plan literals <=256
+        # centroids, broadcast matmul above (r12)
         probes = q.select(
-            F.explode(F.transform(
-                F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
-                lambda s: s["i"])).alias("b")).distinct().collect()
+            F.explode(similarity._centroid_topn(
+                F.col("embedding"), cents, nprobe)).alias("b")) \
+            .distinct().collect()
         probed = sorted(r.b for r in probes)
         probed_dbl = sum(du(pp + f"/vectors/bucket={b}") for b in probed)
         probed_code = sum(du(pq + f"/vectors/bucket={b}") for b in probed)
