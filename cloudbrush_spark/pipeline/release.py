@@ -345,6 +345,14 @@ class ReleasePipeline:
                                        >= embedding_threshold)
                             .select((-F.col("query_id") - 1)
                                     .alias(id_col)).distinct())
+                    drop = drop.persist()
+                    # gate observability (r12): drop count in the run's
+                    # counters — the number an operator watches release
+                    # over release to spot index-recall decay (frozen
+                    # centroids drifting; see the gate-recall contract
+                    # in tests/test_release.py for the measured
+                    # index-vs-LSH-vs-exact gap on the fixture)
+                    self.counters["embdedup_dropped"] = drop.count()
                     return manifest.join(drop, id_col, "left_anti")
                 dim = embedding_dim
                 if dim is None:
@@ -359,7 +367,9 @@ class ReleasePipeline:
                 matched = similarity.cross_corpus_embedding_near_dups(
                     new_v, ref_v, dim=dim, threshold=embedding_threshold,
                     seed=42, id_col=id_col, vec_col="embedding", tables=8)
-                drop = matched.select(F.col("a").alias(id_col)).distinct()
+                drop = matched.select(F.col("a").alias(id_col)).distinct() \
+                    .persist()
+                self.counters["embdedup_dropped"] = drop.count()
                 return manifest.join(drop, id_col, "left_anti")
 
             manifest = self._stage("embdedup", _embdedup)
@@ -560,11 +570,18 @@ class ReleasePipeline:
 
 def release(spark: SparkSession, docs: DataFrame, out_path: str,
             checkpoint_dir: str | None = None, verbose: bool = False,
-            **kw) -> DataFrame:
+            counters: dict | None = None, **kw) -> DataFrame:
     """Functional wrapper over :class:`ReleasePipeline` — see
-    :meth:`ReleasePipeline.run` for the stage chain and keyword surface."""
-    return ReleasePipeline(spark, checkpoint_dir=checkpoint_dir,
-                           verbose=verbose).run(docs, out_path, **kw)
+    :meth:`ReleasePipeline.run` for the stage chain and keyword surface.
+    ``counters``, if given, receives the run's stage/observability
+    counters (ran_/loaded_ per stage, publish carry stats,
+    ``embdedup_dropped`` when an embedding gate ran)."""
+    pipe = ReleasePipeline(spark, checkpoint_dir=checkpoint_dir,
+                           verbose=verbose)
+    out = pipe.run(docs, out_path, **kw)
+    if counters is not None:
+        counters.update(pipe.counters)
+    return out
 
 
 def incremental_release(spark: SparkSession, base_docs: DataFrame,

@@ -817,3 +817,64 @@ def test_release_write_index_feeds_next_release_gate(spark, tmp_path):
     with pytest.raises(ValueError, match="without a consumer"):
         release(spark, docs_n, str(tmp_path / "x"), max_tokens=2000,
                 embeddings=emb_n)
+
+
+def test_index_gate_recall_contract_vs_lsh_vs_exact(spark, tmp_path):
+    """Gate-level recall contract (r12): on the synthetic cross-release
+    fixture, the drop-set of the INDEX-BACKED gate (prior_index_path,
+    k=3, nprobe=4) and the all-pairs LSH gate (prior_embeddings) are
+    each measured against exact-cosine truth.  Both gates verify with
+    exact cosine, so neither may drop a non-duplicate (precision 1 by
+    construction — asserted); the pinned floor is RECALL >= 0.9 for
+    both, and the measured values are recorded in docs/COVERAGE.md so a
+    user choosing -prior_index over -prior_embeddings knows the gap.
+    The run's counters expose the drop count (embdedup_dropped)."""
+    import math
+
+    from cloudbrush_spark.operators import similarity
+    from cloudbrush_spark.sources import corpus as corpus_sink
+    docs = _docs_distinct(spark, 40)
+    emb = _emb_for(docs, spark)
+    # prior release: drifted twins of docs 0-19 under the same ids —
+    # some land above the threshold (true near-dups), some below
+    prior = _emb_for(docs.filter(F.col("doc_id") < 20), spark, drift=0.05)
+    thr = 0.995
+    # exact-cosine truth, python-side
+    new_vecs = {r.doc_id: list(r.embedding) for r in emb.collect()}
+    prior_vecs = {r.doc_id: list(r.embedding) for r in prior.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(x * x for x in b)))
+
+    truth = {i for i, v in new_vecs.items()
+             if any(cos(v, p) >= thr for p in prior_vecs.values())}
+    assert truth and truth < set(new_vecs)  # non-degenerate fixture
+
+    idx = str(tmp_path / "prior_idx")
+    similarity.write_ivf_index(prior, idx, n_centroids=16, sample=20,
+                               seed=42, id_col="doc_id", quantized=True)
+
+    def gate_drops(out, **gate_kw):
+        counters = {}
+        release(spark, docs, out, max_tokens=2000, embeddings=emb,
+                embedding_threshold=thr, counters=counters, **gate_kw)
+        kept = {r.doc_id for r in corpus_sink.read_corpus(
+            spark, os.path.join(out, "corpus")).select("doc_id").collect()}
+        dropped = set(new_vecs) - kept
+        assert counters.get("embdedup_dropped") == len(dropped)
+        return dropped
+
+    d_index = gate_drops(str(tmp_path / "rel_idx"),
+                         prior_index_path=idx, prior_index_nprobe=4)
+    d_lsh = gate_drops(str(tmp_path / "rel_lsh"),
+                       prior_embeddings=prior)
+    # precision 1 by construction: exact-cosine verification in both
+    assert d_index <= truth, (sorted(d_index - truth), sorted(truth))
+    assert d_lsh <= truth, (sorted(d_lsh - truth), sorted(truth))
+    recall_index = len(d_index & truth) / len(truth)
+    recall_lsh = len(d_lsh & truth) / len(truth)
+    # pinned floor; measured values recorded in docs/COVERAGE.md
+    assert recall_index >= 0.9, (recall_index, sorted(truth - d_index))
+    assert recall_lsh >= 0.9, (recall_lsh, sorted(truth - d_lsh))
