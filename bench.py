@@ -105,9 +105,11 @@ def main() -> None:
     # host-health probe: record the parallel/single ratio so a run under
     # a throttled host is distinguishable from an engine regression (one
     # shared implementation — see session.host_parallel_probe)
-    from cloudbrush_spark.session import host_parallel_probe
+    from cloudbrush_spark.session import (host_parallel_probe, host_witness,
+                                          host_witness_delta)
     par, single = host_parallel_probe(spark)
     host_ratio = round(par / single, 1)
+    witness0 = host_witness()
     unknown = [n for n in HEADLINE if n not in qs]
     if unknown:
         raise SystemExit(f"HEADLINE names missing from queries(): {unknown}")
@@ -137,6 +139,13 @@ def main() -> None:
         # not throttling.
         "host_parallel_sec": round(par, 2),
         "host_parallel_ratio": host_ratio,
+        # Orthogonal, CODE-INDEPENDENT witness (r12): kernel counters
+        # sampled before/after the query loop — cgroup CFS throttling,
+        # hypervisor steal share, PSI cpu stall.  host_parallel_sec can
+        # read healthy while capacity is degraded (BASELINE.md); these
+        # cannot be moved by any change to the engine, so a real plan
+        # regression can no longer hide inside the drift narrative.
+        "host_witness": host_witness_delta(witness0, host_witness()),
     }))
 
 

@@ -97,6 +97,80 @@ def host_parallel_probe(spark: SparkSession, rows: int = 200_000) -> tuple[float
     return par, max(time.time() - t0, 1e-9)
 
 
+def host_witness() -> dict:
+    """Snapshot of CODE-INDEPENDENT host-capacity counters (r12).
+
+    ``host_parallel_probe`` runs Spark work, so a reading that looks
+    healthy while capacity is degraded (its documented false-negative
+    mode) leaves the drift-vs-regression call without an independent
+    witness.  These counters come straight from the kernel — none of
+    them depend on Spark, the JVM, or this engine — so bench.py records
+    the DELTA across each run:
+
+    - ``cgroup_throttled_usec``: CFS bandwidth throttling charged to
+      this container (cgroup v2 ``cpu.stat: throttled_usec``, v1
+      ``cpu/cpu.stat: throttled_time`` ns) — nonzero delta = the kernel
+      itself stalled our runnable threads.
+    - ``proc_stat_steal_ticks`` / ``proc_stat_total_ticks``: hypervisor
+      steal time vs all CPU ticks (``/proc/stat``) — steal%% during the
+      run is the share of machine capacity the hypervisor took.
+    - ``psi_cpu_some_usec``: PSI cpu ``some`` stall total — time any
+      task sat runnable-but-not-running.
+
+    Missing files (non-Linux, masked /proc) simply omit keys — callers
+    emit whatever subset exists."""
+    out: dict = {}
+    for path, field, scale in (
+        ("/sys/fs/cgroup/cpu.stat", "throttled_usec", 1),
+        ("/sys/fs/cgroup/cpu/cpu.stat", "throttled_time", 1000),
+        ("/sys/fs/cgroup/unified/cpu.stat", "throttled_usec", 1),
+    ):
+        try:
+            with open(path) as f:
+                for line in f:
+                    k, _, v = line.partition(" ")
+                    if k == field:
+                        out["cgroup_throttled_usec"] = int(v) // scale
+                        break
+        except (OSError, ValueError):
+            continue
+        if "cgroup_throttled_usec" in out:
+            break
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        out["proc_stat_total_ticks"] = sum(vals)
+        out["proc_stat_steal_ticks"] = vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        pass
+    try:
+        with open("/proc/pressure/cpu") as f:
+            for line in f:
+                if line.startswith("some"):
+                    out["psi_cpu_some_usec"] = int(
+                        line.rsplit("total=", 1)[1])
+                    break
+    except (OSError, ValueError, IndexError):
+        pass
+    return out
+
+
+def host_witness_delta(before: dict, after: dict) -> dict:
+    """Per-run deltas of :func:`host_witness` snapshots, plus the
+    derived ``steal_pct`` (hypervisor-stolen share of all CPU ticks
+    during the window).  Keys absent from either snapshot are omitted."""
+    out: dict = {}
+    for k in ("cgroup_throttled_usec", "psi_cpu_some_usec",
+              "proc_stat_steal_ticks", "proc_stat_total_ticks"):
+        if k in before and k in after:
+            out[k + "_delta"] = after[k] - before[k]
+    total = out.pop("proc_stat_total_ticks_delta", 0)
+    steal = out.pop("proc_stat_steal_ticks_delta", None)
+    if steal is not None and total > 0:
+        out["steal_pct"] = round(100.0 * steal / total, 2)
+    return out
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Load the driver's parquet tables and register them as temp views.
 
