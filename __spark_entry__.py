@@ -1135,15 +1135,15 @@ def q_curation_pipeline(spark, sf_dir):
     breaks the value hash, and ``text_ok`` compares the read-back text
     md5 against the source md5 row-by-row (the oracle emits the
     trivially-true twin — the ann_contracts invariant pattern)."""
-    import tempfile
-
     from cloudbrush_spark.pipeline.release import release as run_release
     from cloudbrush_spark.sources import corpus
     docs = _t(spark, sf_dir, "documents")
     weights = {f"src{i}": (2.5 if i < 5 else 1.0 if i < 10 else 0.3)
                for i in range(20)}
+    # per-user 0700 root: the name is deterministic, so the shared
+    # system tmp would be poisonable/raceable by another local user
     path = os.path.join(
-        tempfile.gettempdir(),
+        _private_tmp_root(),
         "cb_release_" + os.path.basename(os.path.normpath(sf_dir)))
     rel = run_release(spark, docs, path, mixture_weights=weights,
                       budget=1000, files_per_split=4)
@@ -2097,16 +2097,36 @@ def q_emb_near_dup_lsh(spark, sf_dir):
     )
 
 
+def _private_tmp_root() -> str:
+    """Per-user mode-0700 scratch root for the harness's DETERMINISTIC
+    cache paths (r12, advisor finding): ``tempfile.gettempdir()`` is
+    shared, so a predictable name like ``cb_annidx_<md5>`` could be
+    pre-created/poisoned by another local user (the harness trusts a
+    cached index on its _SUCCESS marker alone).  Keying by uid and
+    refusing a directory we don't own closes that off; the poisoned
+    case falls back to a fresh private mkdtemp (cache reuse lost,
+    soundness kept).  Random mkdtemp paths elsewhere are already safe."""
+    import os as _os
+    import tempfile as _tf
+    root = _os.path.join(_tf.gettempdir(), f"cb_u{_os.getuid()}")
+    try:
+        _os.makedirs(root, mode=0o700, exist_ok=False)
+    except FileExistsError:
+        if _os.stat(root).st_uid != _os.getuid():
+            return _tf.mkdtemp(prefix="cb_priv_")
+    return root
+
+
 def _ann_index_root(sf_dir: str) -> str:
     """Deterministic per-sf_dir cache root for the persisted ANN
     indexes (codes / ivf / ivfq) — written once, reused across
     harness/bench invocations instead of accumulating mkdtemp copies.
     The key folds in the embeddings table's (mtime, size) fingerprint
     so a fixture regenerated in place invalidates the cache instead of
-    silently serving indexes built from the old vectors."""
+    silently serving indexes built from the old vectors.  Lives under
+    the per-user 0700 root (see ``_private_tmp_root``)."""
     import hashlib as _hl
     import os as _os
-    import tempfile as _tf
     ep = _os.path.join(_os.path.abspath(sf_dir), "embeddings.parquet")
     try:
         st = _os.stat(ep)
@@ -2115,7 +2135,7 @@ def _ann_index_root(sf_dir: str) -> str:
         fp = "nofile"
     slug = _hl.md5(f"{_os.path.abspath(sf_dir)}|{fp}".encode()) \
         .hexdigest()[:12]
-    return _os.path.join(_tf.gettempdir(), f"cb_annidx_{slug}")
+    return _os.path.join(_private_tmp_root(), f"cb_annidx_{slug}")
 
 
 def _ivf_complete(idx_path: str) -> bool:

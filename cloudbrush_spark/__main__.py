@@ -136,6 +136,16 @@ def _build_parser() -> argparse.ArgumentParser:
                          "doc_id/embedding table) — the index-backed form "
                          "of -prior_embeddings; each new doc probes "
                          "nprobe buckets instead of an all-pairs LSH pass")
+    ap.add_argument("-append_index", default=None, metavar="DIR",
+                    help="append -embeddings' vectors to an EXISTING "
+                         "persisted IVF index (plain or quantized "
+                         "layout) without a rebuild — the crawl-per-day "
+                         "maintenance flow (similarity."
+                         "append_to_ivf_index: frozen centroids, "
+                         "idempotent batch commit markers; prints the "
+                         "rows appended, 0 for a replayed batch).  The "
+                         "embeddings table's id column is vec_id, or "
+                         "doc_id if vec_id is absent")
     ap.add_argument("-dsir_target", default=None, metavar="PARQUET",
                     help="release: target-domain docs parquet (doc_id, "
                          "text); writes DSIR importance weights of the "
@@ -301,6 +311,18 @@ def main(argv: list[str] | None = None) -> int:
         out = os.path.join(args.convert_fa, "contigs.fa")
         write_fasta(nodes, out)
         print(f"wrote {out}")
+        return 0
+
+    if args.append_index:
+        if not args.embeddings:
+            raise SystemExit("-append_index requires -embeddings "
+                             "(the new crawl's vectors)")
+        from cloudbrush_spark.operators.similarity import \
+            append_to_ivf_index
+        vecs = spark.read.parquet(args.embeddings)
+        id_col = "vec_id" if "vec_id" in vecs.columns else "doc_id"
+        n = append_to_ivf_index(vecs, args.append_index, id_col=id_col)
+        print(f"appended: {n} rows -> {args.append_index}")
         return 0
 
     if args.compact:

@@ -352,3 +352,35 @@ def test_cli_prior_index_gate(tmp_path, spark, capsys):
     kept = {r.doc_id for r in corpus_sink.read_corpus(
         spark, os.path.join(out, "corpus")).select("doc_id").collect()}
     assert kept == set(range(6, 12)), kept
+
+
+def test_cli_append_index(tmp_path, spark, capsys):
+    """-append_index drives the crawl-per-day index maintenance flow
+    from the CLI (r12): append new embeddings to an existing quantized
+    index, idempotent on replay; refuses without -embeddings."""
+    import random as _rnd
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cloudbrush_spark.operators import similarity
+    rng = _rnd.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "idx")
+    similarity.write_ivf_index(vecs.filter(F.col("vec_id") < 50), idx,
+                               n_centroids=4, seed=42, quantized=True)
+    newp = str(tmp_path / "new.parquet")
+    vecs.filter(F.col("vec_id") >= 50).write.parquet(newp)
+
+    rc = main(["-append_index", idx, "-embeddings", newp])
+    assert rc == 0
+    assert "appended: 30 rows" in capsys.readouterr().out
+    assert spark.read.parquet(idx + "/vectors").count() == 80
+    # replay is a no-op through the CLI too
+    rc = main(["-append_index", idx, "-embeddings", newp])
+    assert rc == 0
+    assert "appended: 0 rows" in capsys.readouterr().out
+    assert spark.read.parquet(idx + "/vectors").count() == 80
+    with pytest.raises(SystemExit, match="requires -embeddings"):
+        main(["-append_index", idx])
