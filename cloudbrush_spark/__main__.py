@@ -136,6 +136,11 @@ def _build_parser() -> argparse.ArgumentParser:
                          "doc_id/embedding table) — the index-backed form "
                          "of -prior_embeddings; each new doc probes "
                          "nprobe buckets instead of an all-pairs LSH pass")
+    ap.add_argument("-prior_index_nprobe", type=int, default=4,
+                    help="release: buckets each new doc probes in the "
+                         "-prior_index gate — the recall/IO lever "
+                         "(gate-level recall contract in "
+                         "tests/test_release.py)")
     ap.add_argument("-append_index", default=None, metavar="DIR",
                     help="append -embeddings' vectors to an EXISTING "
                          "persisted IVF index (plain or quantized "
@@ -416,6 +421,7 @@ def main(argv: list[str] | None = None) -> int:
                 rel_kw["embeddings"] = _dvec(args.embeddings)
                 if args.prior_index:
                     rel_kw["prior_index_path"] = args.prior_index
+                    rel_kw["prior_index_nprobe"] = args.prior_index_nprobe
                 elif args.prior_embeddings:
                     rel_kw["prior_embeddings"] = _dvec(args.prior_embeddings)
                 rel_kw["embedding_threshold"] = args.emb_dedup_threshold

@@ -344,6 +344,7 @@ def test_cli_prior_index_gate(tmp_path, spark, capsys):
     out = str(tmp_path / "rel")
     rc = main(["-curate", p, "-out", out, "-max_tokens", "2000",
                "-embeddings", e_p, "-prior_index", idx,
+               "-prior_index_nprobe", "4",
                "-emb_dedup_threshold", "0.99"])
     assert rc == 0
     import os
