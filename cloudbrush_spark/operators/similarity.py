@@ -387,9 +387,14 @@ def ivf_centroids(vectors: DataFrame, n_centroids: int = 16, sample: int = 4096,
         feats = (sampled
                  .repartition(spark.sparkContext.defaultParallelism or 4)
                  .select(array_to_vector(
-                     F.col(vec_col).cast("array<double>")).alias("__fv")))
-        model = KMeans(k=n_centroids, maxIter=iters, seed=seed,
+                     F.col(vec_col).cast("array<double>")).alias("__fv"))
+                 .persist())
+        # MLlib errors on k > sample rows; the driver path clamps
+        # silently — match that contract (one bounded count)
+        k = min(n_centroids, feats.count())
+        model = KMeans(k=k, maxIter=iters, seed=seed,
                        initMode="random", featuresCol="__fv").fit(feats)
+        feats.unpersist()
         return [[float(x) for x in c] for c in model.clusterCenters()]
     rows = sampled.collect()
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
@@ -429,6 +434,33 @@ def _centroid_scores(vec, centroids: list[list[float]]):
 #: path; the two are equivalence-pinned (tests/test_similarity.py).
 CENTROID_LITERAL_MAX = 256
 
+#: Centroid broadcasts kept alive per session (LRU): a crawl-per-day
+#: session probes the SAME index many times, and re-broadcasting a
+#: 30k x 512 matrix per probe would pile ~100 MB driver-held copies
+#: per call.  Evicted entries are explicitly unpersisted.
+_CENTROID_BC_KEEP = 4
+_centroid_bc_cache: "dict[tuple, object]" = {}
+
+
+def _broadcast_centroids(spark, cmat, bias):
+    """One Spark broadcast per distinct centroid matrix per session,
+    LRU-bounded (see ``_CENTROID_BC_KEEP``).  Keyed by content digest +
+    the JVM app id, so a restarted session never reuses a dead handle."""
+    import hashlib
+    key = (spark.sparkContext.applicationId,
+           hashlib.md5(cmat.tobytes()).hexdigest())
+    bc = _centroid_bc_cache.pop(key, None)
+    if bc is None:
+        bc = spark.sparkContext.broadcast((cmat, bias))
+    _centroid_bc_cache[key] = bc  # re-insert = move to MRU position
+    while len(_centroid_bc_cache) > _CENTROID_BC_KEEP:
+        evicted = _centroid_bc_cache.pop(next(iter(_centroid_bc_cache)))
+        try:
+            evicted.unpersist()
+        except Exception:
+            pass  # the owning session may already be stopped
+    return bc
+
 
 def _centroid_topn(vec, centroids: list[list[float]], n: int):
     """``array<int>`` of the ``n`` nearest centroid indices for a vector
@@ -462,10 +494,11 @@ def _centroid_topn(vec, centroids: list[list[float]], n: int):
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
-    spark = SparkSession.getActiveSession()
+    spark = SparkSession.getActiveSession() \
+        or SparkSession.builder.getOrCreate()
     cmat = np.asarray(centroids, dtype=np.float64)
     bias = -0.5 * (cmat * cmat).sum(axis=1)
-    bc = spark.sparkContext.broadcast((cmat, bias))
+    bc = _broadcast_centroids(spark, cmat, bias)
     # rows per score chunk so chunk x K stays ~32 MB regardless of K
     step = max(1, 4_000_000 // k)
 

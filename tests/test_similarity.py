@@ -764,3 +764,24 @@ def test_rebuild_clears_append_markers(spark, clustered, tmp_path):
     assert similarity.append_to_ivf_index(batch, path) == 10
     got = spark.read.parquet(path + "/vectors").count()
     assert got == 60
+
+
+def test_broadcast_centroid_cache_reused_and_bounded(spark, monkeypatch):
+    """The broadcast-path centroid matrix is cached per (session,
+    content) and LRU-bounded (r12): re-probing the same index must NOT
+    pile a fresh ~K x dim broadcast onto the driver per call, and
+    evicted entries are unpersisted."""
+    import numpy as np
+    monkeypatch.setattr(similarity, "_CENTROID_BC_KEEP", 2)
+    monkeypatch.setattr(similarity, "_centroid_bc_cache", {})
+    mats = [np.full((4, 4), float(i)) for i in range(3)]
+    bias = np.zeros(4)
+    b0 = similarity._broadcast_centroids(spark, mats[0], bias)
+    assert similarity._broadcast_centroids(spark, mats[0], bias) is b0
+    similarity._broadcast_centroids(spark, mats[1], bias)
+    assert len(similarity._centroid_bc_cache) == 2
+    similarity._broadcast_centroids(spark, mats[2], bias)  # evicts mats[0]
+    assert len(similarity._centroid_bc_cache) == 2
+    b0b = similarity._broadcast_centroids(spark, mats[0], bias)
+    assert b0b is not b0  # evicted -> rebroadcast, still usable
+    assert list(b0b.value[0][0]) == [0.0] * 4
