@@ -1181,6 +1181,16 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
     while replay of ANY committed batch — however old — remains a
     no-op.  Returns the number of rows appended (0 for a replay)."""
     spark = new_vectors.sparkSession
+    vec_schema = spark.read.parquet(path + "/vectors").schema
+    quantized = "q_codes" in vec_schema.fieldNames()
+    tgt_type = (spark.read.parquet(path + "/doubles").schema[vec_col]
+                if quantized else vec_schema[vec_col]).dataType
+    # align the appended vector type with the index's stored type BEFORE
+    # the token digest: a float crawl appended raw to a double index
+    # would leave the bucket directory with two parquet element types
+    # and break every later scan of it
+    new_vectors = new_vectors.withColumn(
+        vec_col, F.col(vec_col).cast(tgt_type))
     # evaluated up to three times (token digest + two layout writes):
     # cache the input so an expensive upstream chain runs once
     new_vectors = new_vectors.persist()
@@ -1217,8 +1227,6 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
         centroids = [list(r.centroid) for r in cent_rows]
         assigned = new_vectors.withColumn(
             "bucket", _centroid_topn(F.col(vec_col), centroids, 1)[0])
-        quantized = "q_codes" in \
-            spark.read.parquet(path + "/vectors").columns
         if quantized:
             assigned = quantize_embeddings(assigned, id_col, vec_col) \
                 .select(id_col, "q_scale", "q_codes", "bucket")

@@ -785,3 +785,27 @@ def test_broadcast_centroid_cache_reused_and_bounded(spark, monkeypatch):
     b0b = similarity._broadcast_centroids(spark, mats[0], bias)
     assert b0b is not b0  # evicted -> rebroadcast, still usable
     assert list(b0b.value[0][0]) == [0.0] * 4
+
+
+def test_append_aligns_vector_type_with_index(spark, clustered, tmp_path):
+    """A float crawl appended to a double index is CAST to the index's
+    stored element type before anything else (r12) — appending raw
+    would leave the bucket directories with two parquet element types
+    and break every later scan.  Exercises the real CLI shape: the
+    driver's embeddings fixtures store array<float>."""
+    vecs = clustered.select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(vecs.filter(F.col("vec_id") < 50), path,
+                               n_centroids=4, seed=42, quantized=True)
+    crawl = (vecs.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 60))
+             .select("vec_id", F.transform(
+                 "embedding", lambda x: x.cast("float")).alias("embedding")))
+    assert dict(crawl.dtypes)["embedding"] == "array<float>"
+    assert similarity.append_to_ivf_index(crawl, path) == 10
+    # every scan of the index still works, and the appended rows rank
+    dbl = spark.read.parquet(path + "/doubles")
+    assert dict(dbl.dtypes)["embedding"] == "array<double>"
+    assert dbl.count() == 60
+    out = similarity.cosine_topk_ivf_quantized(
+        spark, path, vecs.filter(F.col("vec_id") == 55), k=3, nprobe=4)
+    assert out.count() == 3
