@@ -870,7 +870,12 @@ def cosine_topk_ivf_indexed(spark, path: str, queries: DataFrame,
     query frame broadcast; pass ``False`` for corpus-scale query
     batches (e.g. a whole crawl probing a release index) — a forced
     broadcast of millions of double vectors would hit Spark's broadcast
-    size limit, where a plain join lets stats/AQE pick the strategy."""
+    size limit, where a plain join lets stats/AQE pick the strategy.
+
+    Scale note (r12): the probed fraction is nprobe/n_centroids — at a
+    fixed nprobe recall falls as the centroid count grows, so scale
+    nprobe with the index size (hold nprobe/K or a probed-bytes
+    budget)."""
     bcast = F.broadcast if broadcast_queries else (lambda d: d)
     cent_rows = spark.read.parquet(path + "/centroids") \
         .orderBy("bucket").collect()
@@ -1347,6 +1352,11 @@ def cosine_topk_ivf_quantized(spark, path: str, queries: DataFrame,
     ``rerank_collect_max``), so the reported cosine is the exact double
     cosine.  Recall loses only what IVF probing and int8 selection each
     lose (measured vs brute force in ``tests/test_similarity.py``).
+    Scale note (r12): the probed FRACTION is nprobe/n_centroids, so at
+    a fixed nprobe recall falls as the index's centroid count grows —
+    when the sqrt-n auto-sizing scales centroids with the corpus,
+    scale nprobe alongside (hold nprobe/K, or target a probed-bytes
+    budget: bytes/query ~ nprobe x corpus_bytes / K).
     Output: (query_id, neighbor_id, rank, cosine)."""
     q, top = ivf_quantized_select(spark, path, queries, k, nprobe,
                                   id_col, vec_col, broadcast_queries)
