@@ -325,8 +325,17 @@ def main(argv: list[str] | None = None) -> int:
         from cloudbrush_spark.operators.similarity import \
             append_to_ivf_index
         vecs = spark.read.parquet(args.embeddings)
-        id_col = "vec_id" if "vec_id" in vecs.columns else "doc_id"
-        n = append_to_ivf_index(vecs, args.append_index, id_col=id_col)
+        # the INDEX's id column is authoritative (a release-written
+        # index uses doc_id, standalone ones usually vec_id) — appending
+        # under a different id name would fork the parquet schema
+        idx_cols = spark.read.parquet(
+            args.append_index + "/vectors").columns
+        idx_id = next(c for c in idx_cols if c not in
+                      ("bucket", "q_scale", "q_codes", "embedding"))
+        if idx_id not in vecs.columns:
+            src = "vec_id" if "vec_id" in vecs.columns else "doc_id"
+            vecs = vecs.withColumnRenamed(src, idx_id)
+        n = append_to_ivf_index(vecs, args.append_index, id_col=idx_id)
         print(f"appended: {n} rows -> {args.append_index}")
         return 0
 

@@ -385,3 +385,31 @@ def test_cli_append_index(tmp_path, spark, capsys):
     assert spark.read.parquet(idx + "/vectors").count() == 80
     with pytest.raises(SystemExit, match="requires -embeddings"):
         main(["-append_index", idx])
+
+
+def test_cli_append_index_resolves_index_id_column(tmp_path, spark, capsys):
+    """The CLI appends under the INDEX's id column even when the crawl
+    table names it differently (a release-written index uses doc_id,
+    crawl embeddings usually vec_id) — a mismatched name would fork the
+    bucket directories' parquet schema."""
+    import random as _rnd
+
+    from pyspark.sql import functions as F
+
+    from cloudbrush_spark.operators import similarity
+    rng = _rnd.Random(17)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    prior = spark.createDataFrame(
+        rows[:25], "doc_id long, embedding array<double>")
+    idx = str(tmp_path / "idx")
+    similarity.write_ivf_index(prior, idx, n_centroids=4, seed=42,
+                               id_col="doc_id", quantized=True)
+    crawl = spark.createDataFrame(
+        rows[25:], "vec_id long, embedding array<double>")
+    newp = str(tmp_path / "new.parquet")
+    crawl.write.parquet(newp)
+    rc = main(["-append_index", idx, "-embeddings", newp])
+    assert rc == 0
+    assert "appended: 15 rows" in capsys.readouterr().out
+    part = spark.read.parquet(idx + "/vectors")
+    assert "doc_id" in part.columns and part.count() == 40
