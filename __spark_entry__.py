@@ -2105,15 +2105,29 @@ def _private_tmp_root() -> str:
     cached index on its _SUCCESS marker alone).  Keying by uid and
     refusing a directory we don't own closes that off; the poisoned
     case falls back to a fresh private mkdtemp (cache reuse lost,
-    soundness kept).  Random mkdtemp paths elsewhere are already safe."""
+    soundness kept).  Random mkdtemp paths elsewhere are already safe.
+
+    The pre-existing-root check uses lstat and requires a REAL
+    directory with no group/other permission bits (r13, advisor
+    finding): a plain ``os.stat().st_uid`` check follows symlinks, so
+    an attacker could pre-create the deterministic name as a symlink
+    to some directory the victim uid owns (/tmp itself, when running
+    as root) and reinstate the poisoning vector; ``makedirs(mode=)``
+    is also umask-masked, so the fresh root is chmod'd explicitly."""
     import os as _os
+    import stat as _st
     import tempfile as _tf
     root = _os.path.join(_tf.gettempdir(), f"cb_u{_os.getuid()}")
     try:
         _os.makedirs(root, mode=0o700, exist_ok=False)
+        _os.chmod(root, 0o700)
     except FileExistsError:
-        if _os.stat(root).st_uid != _os.getuid():
+        st = _os.lstat(root)
+        if (not _st.S_ISDIR(st.st_mode) or st.st_uid != _os.getuid()
+                or (st.st_mode & 0o077) != 0):
             return _tf.mkdtemp(prefix="cb_priv_")
+    except OSError:
+        return _tf.mkdtemp(prefix="cb_priv_")
     return root
 
 

@@ -70,10 +70,56 @@ HEADLINE = [
 ]
 
 
+_WORK_KEYS = ("cpu_sec", "run_sec", "shuffle_read_mb", "shuffle_write_mb",
+              "input_mb")
+
+
+def _work_totals(spark) -> dict | None:
+    """Cumulative executor WORK counters from the Spark status REST API
+    (the AppStatusStore behind the UI): executor CPU time (on-CPU
+    nanoseconds — barely moved by host steal/CFS throttling), executor
+    run time, shuffle read/write bytes and input bytes, summed over all
+    stages so far.  Per-query deltas of these are the code-independent
+    work witness (r13): a throttled host inflates wall 2-3x while CPU
+    time moves a few percent and shuffle bytes not at all, whereas an
+    engine regression (a new shuffle, a lost pushdown, a UDF in the hot
+    path) moves them directly — what makes the 2x gate gradable when
+    wall is out-of-band (BASELINE.md anchoring protocol).  Returns None
+    when the UI store is unavailable (work fields then emit null)."""
+    import urllib.request
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return None
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages", timeout=10) as r:
+            stages = json.load(r)
+    except Exception:
+        return None
+    t = dict.fromkeys(_WORK_KEYS, 0.0)
+    for s in stages:
+        t["cpu_sec"] += s.get("executorCpuTime", 0) / 1e9
+        t["run_sec"] += s.get("executorRunTime", 0) / 1e3
+        t["shuffle_read_mb"] += s.get("shuffleReadBytes", 0) / 1e6
+        t["shuffle_write_mb"] += s.get("shuffleWriteBytes", 0) / 1e6
+        t["input_mb"] += s.get("inputBytes", 0) / 1e6
+    return t
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark("cloudbrush-bench")
+    # the UI is normally off (session.get_spark); the bench enables the
+    # status store so per-query WORK deltas can be read back — retained
+    # stage/job windows sized so a full 33-query run never evicts
+    # mid-diff (eviction would silently undercount a delta)
+    spark = get_spark("cloudbrush-bench", extra_conf={
+        "spark.ui.enabled": "true",
+        "spark.ui.port": "0",
+        "spark.ui.retainedStages": "20000",
+        "spark.ui.retainedJobs": "20000",
+    })
     qs = entrymod.queries()
     # some headline queries were pruned from the (50-capped) driver
     # registry but keep their q_* functions — resolve those directly so
@@ -114,12 +160,23 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"HEADLINE names missing from queries(): {unknown}")
     timings: dict[str, float] = {}
+    work: dict[str, dict | None] = {}
+    w_prev = _work_totals(spark)
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        w_now = _work_totals(spark)
+        if w_prev is not None and w_now is not None:
+            work[name] = {k: round(w_now[k] - w_prev[k], 3)
+                          for k in _WORK_KEYS}
+            work[name]["rows"] = n
+        else:
+            work[name] = None
+        w_prev = w_now
+        print(f"# {name}: {timings[name]}s ({n} rows) "
+              f"{work[name]}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -146,6 +203,11 @@ def main() -> None:
         # cannot be moved by any change to the engine, so a real plan
         # regression can no longer hide inside the drift narrative.
         "host_witness": host_witness_delta(witness0, host_witness()),
+        # Per-query WORK deltas (r13): executor CPU sec, executor run
+        # sec, shuffle read/write MB, input MB, result rows — the
+        # engine-side counters the anchoring protocol grades on when
+        # wall is out-of-band (see _work_totals and BASELINE.md).
+        "work": work,
     }))
 
 

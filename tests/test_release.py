@@ -878,3 +878,59 @@ def test_index_gate_recall_contract_vs_lsh_vs_exact(spark, tmp_path):
     # pinned floor; measured values recorded in docs/COVERAGE.md
     assert recall_index >= 0.9, (recall_index, sorted(truth - d_index))
     assert recall_lsh >= 0.9, (recall_lsh, sorted(truth - d_lsh))
+
+
+def test_index_gate_recall_on_big_k_prior_index(spark, tmp_path):
+    """r13 extension of the gate recall contract: the same drifted-twin
+    drop-set measured against a >=1024-centroid prior index probed at
+    the AUTO-scaled nprobe (the gate's new default,
+    similarity.auto_nprobe -> 32 at K=1024) — the r12 contract ran at
+    16 centroids / nprobe=4, exactly the regime where the nprobe/K
+    coupling cannot be observed.  Floor held at 0.9; precision stays 1
+    by construction (exact-cosine verification)."""
+    import math
+    import random as _rnd
+
+    from cloudbrush_spark.operators import similarity
+    from cloudbrush_spark.sources import corpus as corpus_sink
+    docs = _docs_distinct(spark, 40)
+    emb = _emb_for(docs, spark)
+    twins = _emb_for(docs.filter(F.col("doc_id") < 20), spark, drift=0.05)
+    # pad the prior release with distinct filler vectors so its index
+    # genuinely trains >=1024 centroids (ids disjoint from the corpus)
+    filler = []
+    for i in range(1480):
+        rng = _rnd.Random(10_000 + i)
+        filler.append((10_000 + i,
+                       [rng.uniform(-1, 1) for _ in range(8)]))
+    prior = twins.unionByName(spark.createDataFrame(
+        filler, "doc_id long, embedding array<double>"))
+    thr = 0.995
+    new_vecs = {r.doc_id: list(r.embedding) for r in emb.collect()}
+    prior_vecs = [list(r.embedding) for r in prior.collect()]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(x * x for x in b)))
+
+    truth = {i for i, v in new_vecs.items()
+             if any(cos(v, p) >= thr for p in prior_vecs)}
+    assert truth and truth < set(new_vecs)  # non-degenerate fixture
+    idx = str(tmp_path / "prior_idx_bigk")
+    cents = similarity.write_ivf_index(prior, idx, n_centroids=1024,
+                                       sample=1500, seed=42,
+                                       id_col="doc_id", quantized=True)
+    assert len(cents) == 1024
+    counters = {}
+    out = str(tmp_path / "rel_bigk")
+    release(spark, docs, out, max_tokens=2000, embeddings=emb,
+            embedding_threshold=thr, prior_index_path=idx,
+            counters=counters)  # prior_index_nprobe defaults to auto
+    kept = {r.doc_id for r in corpus_sink.read_corpus(
+        spark, os.path.join(out, "corpus")).select("doc_id").collect()}
+    dropped = set(new_vecs) - kept
+    assert counters.get("embdedup_dropped") == len(dropped)
+    assert dropped <= truth, (sorted(dropped - truth), sorted(truth))
+    recall = len(dropped & truth) / len(truth)
+    assert recall >= 0.9, (recall, sorted(truth - dropped))

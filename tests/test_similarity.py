@@ -809,3 +809,214 @@ def test_append_aligns_vector_type_with_index(spark, clustered, tmp_path):
     out = similarity.cosine_topk_ivf_quantized(
         spark, path, vecs.filter(F.col("vec_id") == 55), k=3, nprobe=4)
     assert out.count() == 3
+
+
+# --------------------------------------------------------------------------
+# round 13: auto-nprobe, legacy-token replay, appender enforcement,
+# compaction
+# --------------------------------------------------------------------------
+
+def test_auto_nprobe_rule():
+    """sqrt-K, floor 2, never above K — and the small-index corner
+    reproduces the tuned constant the release gate shipped with
+    (auto_nprobe(16) == 4, its historical fixed default)."""
+    assert similarity.auto_nprobe(1) == 1
+    assert similarity.auto_nprobe(2) == 2
+    assert similarity.auto_nprobe(4) == 2
+    assert similarity.auto_nprobe(16) == 4
+    assert similarity.auto_nprobe(447) == 21
+    assert similarity.auto_nprobe(1024) == 32
+    assert similarity.auto_nprobe(30000) == 173
+
+
+@pytest.fixture(scope="module")
+def bigk_index(spark, tmp_path_factory):
+    """A >=1024-centroid quantized index over a 3000-vector clustered
+    corpus (10 soft clusters, 8-d) — the fixture every big-K recall pin
+    probes.  Module-scoped: training 1024 centroids once is the
+    expensive part."""
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(2.0 * (i % 10 == d), 0.5) for d in range(8)])
+            for i in range(3000)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(8)
+    path = str(tmp_path_factory.mktemp("bigk") / "ivf1024")
+    similarity.write_ivf_index(vecs, path, n_centroids=1024,
+                               sample=3000, seed=42, quantized=True)
+    return path, vecs
+
+
+def _recall_vs_bruteforce(spark, path, vecs, q, k, nprobe):
+    truth = similarity.cosine_topk_bruteforce(vecs, q, k=k)
+    t = {}
+    for r in truth.collect():
+        t.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = similarity.cosine_topk_ivf_quantized(spark, path, q, k=k,
+                                               nprobe=nprobe)
+    g = {}
+    for r in got.collect():
+        g.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(t[qid] & g.get(qid, set())) for qid in t)
+    return hits / sum(len(s) for s in t.values())
+
+
+def test_ivfq_recall_at_big_k_auto_nprobe(spark, bigk_index):
+    """THE r13 recall contract at big K: on a >=1024-centroid index the
+    default (auto-scaled) nprobe holds recall@5 where the r12 fixed
+    default nprobe=2 craters — every prior recall pin ran at 16
+    centroids, which is exactly how the nprobe/K coupling stayed
+    unmeasured.  Floors pinned under the measured values (deterministic
+    fixture/seeds); the 16->447->1024 sweep lives in
+    probes/ivfq_autonprobe_recall.json."""
+    path, vecs = bigk_index
+    q = vecs.filter(F.col("vec_id") % 100 == 7)  # 30 queries, all clusters
+    auto = _recall_vs_bruteforce(spark, path, vecs, q, k=5, nprobe=None)
+    fixed = _recall_vs_bruteforce(spark, path, vecs, q, k=5, nprobe=2)
+    assert auto >= 0.6, (auto, fixed)
+    assert auto > fixed + 0.1, (auto, fixed)
+
+
+def test_append_legacy_id_only_token_is_replay(spark, clustered, tmp_path):
+    """A batch committed PRE-r12 left markers under the legacy id-only
+    token format; replaying it against the r13 appender must still be a
+    no-op (advisor finding: checking only the content-bearing token
+    would silently double-append every pre-r12 batch)."""
+    vecs = clustered.select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(vecs.filter(F.col("vec_id") < 50), path,
+                               n_centroids=4, seed=42, quantized=True)
+    batch = vecs.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 60))
+    row = batch.agg(
+        F.sum(F.xxhash64(F.col("vec_id"))
+              .bitwiseAND(F.lit(0xFFFFFFFF))).alias("h"),
+        F.count(F.lit(1)).alias("n")).collect()[0]
+    legacy = f"{int(row.h):x}_{int(row.n)}"
+    open(f"{path}/_appended_{legacy}", "w").close()
+    before = spark.read.parquet(path + "/vectors").count()
+    assert similarity.append_to_ivf_index(batch, path) == 0
+    assert spark.read.parquet(path + "/vectors").count() == before
+    # ... and a legacy token folded into the pruned HISTORY also replays
+    import os as _os
+    _os.remove(f"{path}/_appended_{legacy}")
+    with open(f"{path}/_append_history_1", "w") as fh:
+        fh.write(legacy + "\n")
+    assert similarity.append_to_ivf_index(batch, path) == 0
+
+
+def test_exclusive_create_refuses_existing(spark, tmp_path):
+    """The mutual-exclusion primitive both the appender and compactor
+    build on: create(overwrite=False) on an existing marker raises the
+    caller's message instead of truncating the other writer's marker."""
+    from cloudbrush_spark.sources.corpus import _hfs
+    jvm, _, fs, root = _hfs(spark, str(tmp_path))
+    marker = jvm.org.apache.hadoop.fs.Path(root, "_m")
+    similarity._exclusive_create(fs, marker, "first take")
+    with pytest.raises(RuntimeError, match="lost race"):
+        similarity._exclusive_create(fs, marker, "lost race")
+
+
+def test_failed_rebuild_keeps_markers(spark, clustered, tmp_path,
+                                      monkeypatch):
+    """Markers are cleared AFTER the rebuild's overwrites land (r13,
+    advisor finding): a rebuild that dies before writing leaves the OLD
+    index live WITH its replay protection — clearing first would let a
+    replayed append double-append into the surviving old index."""
+    vecs = clustered.select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    base = vecs.filter(F.col("vec_id") < 50)
+    similarity.write_ivf_index(base, path, n_centroids=4, seed=42,
+                               quantized=True)
+    batch = vecs.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 60))
+    assert similarity.append_to_ivf_index(batch, path) == 10
+    def boom(*a, **k):
+        raise RuntimeError("simulated mid-rebuild failure")
+    monkeypatch.setattr(similarity, "quantize_embeddings", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        similarity.write_ivf_index(base, path, n_centroids=4, seed=42,
+                                   quantized=True)
+    monkeypatch.undo()
+    # old index + markers both survive: replay is still a no-op
+    assert spark.read.parquet(path + "/vectors").count() == 60
+    assert similarity.append_to_ivf_index(batch, path) == 0
+
+
+def test_compact_index_bounds_files_preserves_probes_and_replay(
+        spark, clustered, tmp_path):
+    """compact_index after N appends: file count drops to ~one per
+    bucket dir (+ the doubles budget), probe results are IDENTICAL,
+    replay of every compacted-away batch is still a no-op, and new
+    appends keep working — the crawl-per-day file-growth fix (r13)."""
+    import glob as _glob
+    vecs = clustered.select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(vecs.filter(F.col("vec_id") < 40), path,
+                               n_centroids=4, seed=42, quantized=True)
+    batches = [vecs.filter((F.col("vec_id") >= 40 + 10 * i)
+                           & (F.col("vec_id") < 50 + 10 * i))
+               for i in range(5)]
+    for b in batches:
+        assert similarity.append_to_ivf_index(b, path) == 10
+    q = vecs.filter(F.col("vec_id") < 3)
+    def probe():
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+            for r in similarity.cosine_topk_ivf_quantized(
+                spark, path, q, k=5, nprobe=4).collect())
+    want = probe()
+    nvec = spark.read.parquet(path + "/vectors").count()
+    files_of = lambda sub: [f for f in _glob.glob(
+        path + f"/{sub}/**/*.parquet", recursive=True)]
+    before_v, before_d = len(files_of("vectors")), len(files_of("doubles"))
+    got_before = similarity.compact_index(spark, path, files=2)
+    assert got_before == before_v + before_d
+    buckets = len(_glob.glob(path + "/vectors/bucket=*"))
+    assert len(files_of("vectors")) == buckets < before_v
+    assert len(files_of("doubles")) == 2 < before_d
+    # no marker/tmp litter, data identical, probe identical
+    assert not _glob.glob(path + "/*_compact_*")
+    import os as _os
+    assert not _os.path.exists(path + "/_compacting")
+    assert spark.read.parquet(path + "/vectors").count() == nvec
+    assert probe() == want
+    # replay of a compacted-away batch: still a no-op
+    assert similarity.append_to_ivf_index(batches[0], path) == 0
+    # and a genuinely new batch still appends
+    new = vecs.filter(F.col("vec_id") >= 90)
+    assert similarity.append_to_ivf_index(new, path) == new.count()
+
+
+def test_compact_index_interlocks_and_repair(spark, clustered, tmp_path):
+    """The _compacting marker excludes appenders and concurrent
+    compactors; in-flight append intents abort compaction; repair=True
+    finishes a crashed swap (live dir missing, complete tmp present)."""
+    import os as _os
+    import shutil as _sh
+    vecs = clustered.select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(vecs.filter(F.col("vec_id") < 50), path,
+                               n_centroids=4, seed=42, quantized=True)
+    batch = vecs.filter(F.col("vec_id") >= 50)
+    # 1) _compacting blocks appends and other compactors
+    open(path + "/_compacting", "w").close()
+    with pytest.raises(RuntimeError, match="compaction is in progress"):
+        similarity.append_to_ivf_index(batch, path)
+    with pytest.raises(RuntimeError, match="already in progress"):
+        similarity.compact_index(spark, path)
+    _os.remove(path + "/_compacting")
+    # 2) an in-flight append intent aborts compaction (marker released)
+    open(path + "/_appending_deadbeef_1", "w").close()
+    with pytest.raises(RuntimeError, match="in-flight append"):
+        similarity.compact_index(spark, path)
+    assert not _os.path.exists(path + "/_compacting")
+    _os.remove(path + "/_appending_deadbeef_1")
+    # 3) crashed mid-swap: live /vectors renamed aside, complete tmp
+    #    present, marker held -> repair=True finishes the swap
+    want = spark.read.parquet(path + "/vectors").count()
+    _sh.copytree(path + "/vectors", path + "/vectors_compact_tmp")
+    _os.rename(path + "/vectors", path + "/vectors_compact_old")
+    open(path + "/_compacting", "w").close()
+    with pytest.raises(RuntimeError, match="repair=True"):
+        similarity.compact_index(spark, path)
+    similarity.compact_index(spark, path, repair=True)
+    assert spark.read.parquet(path + "/vectors").count() == want
+    assert not _os.path.exists(path + "/_compacting")
