@@ -341,8 +341,18 @@ class ReleasePipeline:
                         prior_index_path + "/vectors").columns
                     probe = (similarity.cosine_topk_ivf_quantized if qz
                              else similarity.cosine_topk_ivf_indexed)
+                    # resolve auto-nprobe HERE (one bounded count) so
+                    # the effective value lands in the run's counters —
+                    # the number an operator checks when gate recall
+                    # drifts release over release
+                    nprobe = prior_index_nprobe
+                    if nprobe is None:
+                        ncent = self.spark.read.parquet(
+                            prior_index_path + "/centroids").count()
+                        nprobe = similarity.auto_nprobe(int(ncent))
+                    self.counters["embdedup_nprobe"] = nprobe
                     top = probe(self.spark, prior_index_path, q, k=3,
-                                nprobe=prior_index_nprobe, id_col=id_col,
+                                nprobe=nprobe, id_col=id_col,
                                 broadcast_queries=False)
                     drop = (top.filter(F.col("cosine")
                                        >= embedding_threshold)

@@ -931,6 +931,7 @@ def test_index_gate_recall_on_big_k_prior_index(spark, tmp_path):
         spark, os.path.join(out, "corpus")).select("doc_id").collect()}
     dropped = set(new_vecs) - kept
     assert counters.get("embdedup_dropped") == len(dropped)
+    assert counters.get("embdedup_nprobe") == 32  # auto_nprobe(1024)
     assert dropped <= truth, (sorted(dropped - truth), sorted(truth))
     recall = len(dropped & truth) / len(truth)
     assert recall >= 0.9, (recall, sorted(truth - dropped))
