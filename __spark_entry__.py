@@ -2122,7 +2122,13 @@ def _private_tmp_root() -> str:
         _os.makedirs(root, mode=0o700, exist_ok=False)
         _os.chmod(root, 0o700)
     except FileExistsError:
-        st = _os.lstat(root)
+        try:
+            st = _os.lstat(root)
+        except OSError:
+            # vanished between makedirs and lstat (tmp cleaner, or an
+            # attacker churning the name) — degrade like every other
+            # odd state instead of crashing the harness
+            return _tf.mkdtemp(prefix="cb_priv_")
         if (not _st.S_ISDIR(st.st_mode) or st.st_uid != _os.getuid()
                 or (st.st_mode & 0o077) != 0):
             return _tf.mkdtemp(prefix="cb_priv_")

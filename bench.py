@@ -107,6 +107,23 @@ def _work_totals(spark) -> dict | None:
     return t
 
 
+def _work_totals_settled(spark) -> dict | None:
+    """The status store is fed by an ASYNC listener queue: snapshotting
+    right after count() returns can read stale totals and misattribute
+    one query's work to the next.  Settle: re-read until two consecutive
+    snapshots agree (typically the first retry), bounded at ~1 s."""
+    prev = _work_totals(spark)
+    if prev is None:
+        return None
+    for _ in range(8):
+        time.sleep(0.12)
+        cur = _work_totals(spark)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -161,13 +178,13 @@ def main() -> None:
         raise SystemExit(f"HEADLINE names missing from queries(): {unknown}")
     timings: dict[str, float] = {}
     work: dict[str, dict | None] = {}
-    w_prev = _work_totals(spark)
+    w_prev = _work_totals_settled(spark)
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
-        w_now = _work_totals(spark)
+        w_now = _work_totals_settled(spark)
         if w_prev is not None and w_now is not None:
             work[name] = {k: round(w_now[k] - w_prev[k], 3)
                           for k in _WORK_KEYS}

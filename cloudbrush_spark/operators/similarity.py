@@ -566,7 +566,7 @@ def auto_nprobe(n_centroids: int) -> int:
 
 
 def cosine_topk_ivf(vectors: DataFrame, k: int = 10, n_centroids: int = 16,
-                    nprobe: int | None = 2, seed: int = 42,
+                    nprobe: int | None = None, seed: int = 42,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """IVF approximate all-pairs top-k: a driver-trained coarse quantizer
@@ -581,7 +581,9 @@ def cosine_topk_ivf(vectors: DataFrame, k: int = 10, n_centroids: int = 16,
     on the centroid id (bounded, ~uniform by construction of k-means);
     probe fan-out = nprobe rows per query.  Recall < 1 by construction
     (like the LSH variant); raise nprobe for recall, n_centroids for
-    selectivity.
+    selectivity.  The default ``nprobe=None`` auto-scales with the
+    centroid count (:func:`auto_nprobe` — sqrt-K), matching every other
+    probe entry point (r13).
     """
     keyed, groups = _collapse(vectors, id_col, vec_col)
     centroids = ivf_centroids(groups, n_centroids, seed=seed, vec_col="__vec")
@@ -1290,14 +1292,6 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
         history, gen = _append_history(spark, path)
         if token in history or legacy in history:
             return 0  # committed long ago; its full marker was pruned
-        if fs.exists(hpath(root, "_compacting")):
-            raise RuntimeError(
-                f"append_to_ivf_index: a compaction is in progress (or "
-                f"died) under {path} — appending now would write files "
-                "a concurrent compact_index snapshot does not include "
-                "(silently lost on its swap).  Wait for the compaction, "
-                "or if it crashed, re-run compact_index (it repairs and "
-                "clears the marker) or delete _compacting by hand.")
         for t in (token, legacy):
             if fs.exists(hpath(root, f"_appending_{t}")):
                 raise RuntimeError(
@@ -1310,8 +1304,8 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
         # exclusive create (r13, enforcing what was previously only
         # documented): two concurrent appenders of the SAME batch both
         # passing the exists-checks above would otherwise both append.
-        # create(overwrite=False) makes the second one fail loudly here
-        # — a distinct error from the died-mid-write case above.
+        # create-no-overwrite makes the second one fail loudly here —
+        # a distinct error from the died-mid-write case above.
         _exclusive_create(
             fs, intent,
             f"append_to_ivf_index: another appender is writing "
@@ -1320,6 +1314,22 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
             "exclusive create) — concurrent appends to one "
             "index are not supported; retry after it commits "
             "(the retry will then be a no-op replay).")
+        # compaction interlock, checked AFTER our intent marker exists
+        # (Dekker ordering, r13 review): the compactor creates
+        # _compacting first and THEN scans for intents, so whichever
+        # order the two racers interleave in, at least one sees the
+        # other and backs off — checking before creating the intent
+        # would leave a window where an append slips past a compaction
+        # snapshot and its files are silently dropped by the swap.
+        if fs.exists(hpath(root, "_compacting")):
+            fs.delete(intent, False)  # back off: release our claim
+            raise RuntimeError(
+                f"append_to_ivf_index: a compaction is in progress (or "
+                f"died) under {path} — appending now would write files "
+                "a concurrent compact_index snapshot does not include "
+                "(silently lost on its swap).  Wait for the compaction, "
+                "or if it crashed, re-run compact_index(repair=True) "
+                "or delete _compacting by hand, then retry.")
         cent_rows = spark.read.parquet(path + "/centroids") \
             .orderBy("bucket").collect()
         centroids = [list(r.centroid) for r in cent_rows]
@@ -1495,11 +1505,31 @@ def cosine_topk_ivf_quantized(spark, path: str, queries: DataFrame,
 
 
 def _exclusive_create(fs, marker, already_exists_msg: str) -> None:
-    """Create a zero-byte marker with ``overwrite=False`` — the atomic
+    """Create a zero-byte marker with create-no-overwrite — the
     mutual-exclusion primitive both the appender and the compactor
-    build on (HDFS create-no-overwrite is atomic; local FS likewise).
-    A lost race raises ``already_exists_msg`` as a RuntimeError,
-    distinct from any prior exists-check's error."""
+    build on.  A lost race raises ``already_exists_msg`` as a
+    RuntimeError, distinct from any prior exists-check's error.
+
+    Atomicity is filesystem-dependent and handled per scheme: on
+    ``file://`` paths Hadoop's RawLocalFileSystem implements
+    create(overwrite=False) as a client-side exists-check + create
+    (NOT atomic), so local paths go through ``os.open(O_CREAT|O_EXCL)``
+    — a true kernel-atomic exclusive create.  On HDFS the namenode
+    makes ``fs.create(overwrite=False)`` atomic.  On object stores
+    without atomic create-no-overwrite (plain S3A), this degrades to
+    best-effort exclusion — the documented residual window; deploys
+    needing hard exclusion there should front the index with a
+    consistent store (HDFS, S3 Express/conditional-write connector) or
+    an external lock."""
+    uri = marker.toUri()
+    if (uri.getScheme() or "file") == "file":
+        import os
+        try:
+            os.close(os.open(uri.getPath(),
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644))
+        except FileExistsError as e:
+            raise RuntimeError(already_exists_msg) from e
+        return
     try:
         fs.create(marker, False).close()
     except Exception as e:
@@ -1547,8 +1577,11 @@ def _swap_compacted(fs, hpath, root, name: str) -> None:
     live, tmp = hpath(root, name), hpath(root, name + "_compact_tmp")
     old = hpath(root, name + "_compact_old")
     if not fs.rename(live, old):
-        raise RuntimeError(f"compact_index: rename {name} -> "
-                           f"{name}_compact_old failed")
+        raise RuntimeError(
+            f"compact_index: rename {name} -> {name}_compact_old "
+            f"failed — if a stray {name}_compact_old remains from an "
+            "earlier failed cleanup, re-run with repair=True to clear "
+            "it first")
     if not fs.rename(tmp, live):
         raise RuntimeError(f"compact_index: rename {name}_compact_tmp "
                            f"-> {name} failed ({name}_compact_old holds "
@@ -1684,6 +1717,11 @@ def compact_index(spark, path: str, files: int = 16,
             raise
         for name in ("vectors", "doubles"):
             fs.delete(_hp(name + "_compact_tmp"), True)
+            # a swapped-out copy whose final delete threw (transient FS
+            # error after both renames succeeded) is also safe to clear
+            # here — live exists, so the old copy is superseded; leaving
+            # it would wedge the next compaction's rename-aside
+            fs.delete(_hp(name + "_compact_old"), True)
         fs.delete(marker, False)
         raise
     fs.delete(marker, False)

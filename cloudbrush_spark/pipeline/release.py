@@ -87,10 +87,16 @@ class ReleasePipeline:
             # no durable checkpoint: still CUT each stage (in-memory
             # materialization) — every stage output fans out into at
             # least two consumers, and a lazy plan would re-execute the
-            # whole upstream chain (the regex-heavy curate DAG) per use
+            # whole upstream chain (the regex-heavy curate DAG) per use.
+            # A stage that already cut its own output (the embdedup
+            # gate does, so it can unpersist its cached drop frame
+            # eagerly) marks it _cb_precut — re-cutting would hold a
+            # second checkpoint copy of the same manifest per release.
             from cloudbrush_spark.operators.dedup import _stage_cut
             self.counters[f"ran_{name}"] = 1
-            return _stage_cut(fn())
+            out = fn()
+            return out if getattr(out, "_cb_precut", False) \
+                else _stage_cut(out)
         # markers go through the Hadoop FS API so a checkpoint_dir on
         # HDFS/S3 resumes exactly like a local one (os.path marker
         # checks silently never resume there, and the marker write
@@ -373,11 +379,14 @@ class ReleasePipeline:
                         # materializes lazily-returned frames after
                         # this function exits, which previously leaked
                         # the cached blocks per release in a long-lived
-                        # session (r13, advisor finding)
+                        # session (r13, advisor finding).  _cb_precut
+                        # tells _stage not to cut a second copy.
                         from cloudbrush_spark.operators.dedup import \
                             _stage_cut
-                        return _stage_cut(
+                        out = _stage_cut(
                             manifest.join(drop, id_col, "left_anti"))
+                        out._cb_precut = True
+                        return out
                     finally:
                         drop.unpersist()
                 dim = embedding_dim
@@ -401,8 +410,10 @@ class ReleasePipeline:
                     # index-backed branch above
                     from cloudbrush_spark.operators.dedup import \
                         _stage_cut
-                    return _stage_cut(
+                    out = _stage_cut(
                         manifest.join(drop, id_col, "left_anti"))
+                    out._cb_precut = True
+                    return out
                 finally:
                     drop.unpersist()
 
