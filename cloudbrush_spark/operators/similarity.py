@@ -940,11 +940,16 @@ def cosine_topk_ivf_indexed(spark, path: str, queries: DataFrame,
                   F.explode("probes").alias("bucket"))
     probed = sorted(r[0] for r in
                     qx.select("bucket").distinct().collect())
-    corpus = (spark.read.parquet(path + "/vectors")
-              .filter(F.col("bucket").isin(probed))
-              .select(F.col("bucket"), F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv"),
-                      _norm(F.col(vec_col)).alias("cn")))
+    corpus = spark.read.parquet(path + "/vectors")
+    if len(probed) < len(centroids):
+        # partition filter on the probed union; skipped when a
+        # corpus-scale batch probes EVERY bucket — a K-literal InSet
+        # that prunes nothing only bloats the plan (K can be 65k)
+        corpus = corpus.filter(F.col("bucket").isin(probed))
+    corpus = corpus.select(F.col("bucket"),
+                           F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("cv"),
+                           _norm(F.col(vec_col)).alias("cn"))
     scored = (
         corpus.join(bcast(qx), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1410,8 +1415,11 @@ def ivf_quantized_select(spark, path: str, queries: DataFrame,
                   F.explode("probes").alias("bucket"))
     probed = sorted(r[0] for r in
                     qx.select("bucket").distinct().collect())
-    codes = (spark.read.parquet(path + "/vectors")
-             .filter(F.col("bucket").isin(probed))
+    codes = spark.read.parquet(path + "/vectors")
+    if len(probed) < len(centroids):
+        # see cosine_topk_ivf_indexed: prune only when pruning prunes
+        codes = codes.filter(F.col("bucket").isin(probed))
+    codes = (codes
              .select(F.col("bucket"), F.col(id_col).alias("neighbor_id"),
                      F.col("q_codes").alias("cc"),
                      F.sqrt(_qdot(F.col("q_codes"), F.col("q_codes"))
