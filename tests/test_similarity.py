@@ -1000,6 +1000,10 @@ def test_compact_index_interlocks_and_repair(spark, clustered, tmp_path):
     open(path + "/_compacting", "w").close()
     with pytest.raises(RuntimeError, match="compaction is in progress"):
         similarity.append_to_ivf_index(batch, path)
+    # the Dekker back-off released the appender's own intent marker —
+    # a leftover would read as died-mid-write on the next attempt
+    assert not [n for n in _os.listdir(path)
+                if n.startswith("_appending_")]
     with pytest.raises(RuntimeError, match="already in progress"):
         similarity.compact_index(spark, path)
     _os.remove(path + "/_compacting")
@@ -1020,3 +1024,35 @@ def test_compact_index_interlocks_and_repair(spark, clustered, tmp_path):
     similarity.compact_index(spark, path, repair=True)
     assert spark.read.parquet(path + "/vectors").count() == want
     assert not _os.path.exists(path + "/_compacting")
+
+
+def test_broadcast_centroid_cache_thread_hammer(spark, monkeypatch):
+    """The LRU cache is shared module state; concurrent probes of
+    DIFFERENT indexes from a threaded host must not corrupt it or
+    unpersist a broadcast another thread just took (r13 — the lock
+    around pop/insert/evict)."""
+    import threading
+
+    import numpy as np
+    monkeypatch.setattr(similarity, "_CENTROID_BC_KEEP", 2)
+    monkeypatch.setattr(similarity, "_centroid_bc_cache", {})
+    mats = [np.full((4, 4), float(i)) for i in range(6)]
+    bias = np.zeros(4)
+    errs = []
+
+    def worker(i):
+        try:
+            for j in range(40):
+                bc = similarity._broadcast_centroids(
+                    spark, mats[(i + j) % 6], bias)
+                assert bc is not None
+        except Exception as e:  # pragma: no cover - the failure mode
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert len(similarity._centroid_bc_cache) <= 2
