@@ -150,6 +150,12 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-compact_repair", action="store_true",
                     help="with -compact_index: finish/roll back a "
                          "crashed compaction's swap before compacting")
+    ap.add_argument("-index_stats", default=None, metavar="DIR",
+                    help="print an IVF index's operational snapshot as "
+                         "JSON: bucket-size histogram + skew (the "
+                         "frozen-centroid drift signal), file counts "
+                         "(the compaction signal), marker/intent state "
+                         "(similarity.index_stats)")
     ap.add_argument("-append_index", default=None, metavar="DIR",
                     help="append -embeddings' vectors to an EXISTING "
                          "persisted IVF index (plain or quantized "
@@ -385,6 +391,11 @@ def main(argv: list[str] | None = None) -> int:
         n = compact_index(spark, args.compact_index,
                           repair=args.compact_repair)
         print(f"compacted index: {n} files before -> {args.compact_index}")
+        return 0
+
+    if args.index_stats:
+        from cloudbrush_spark.operators.similarity import index_stats
+        print(json.dumps(index_stats(spark, args.index_stats)))
         return 0
 
     if args.compact:

@@ -1512,6 +1512,69 @@ def cosine_topk_ivf_quantized(spark, path: str, queries: DataFrame,
     )
 
 
+def index_stats(spark, path: str) -> dict:
+    """Operational snapshot of a persisted IVF index — the measurement
+    behind the maintenance guidance this module hands out ("rebuild
+    when the bucket-size histogram degrades", "compact after ~
+    APPEND_MARKER_KEEP appends"):
+
+    - ``n_centroids`` / ``buckets_used`` / ``rows``: declared vs
+      actually-populated buckets and total indexed rows (a widening gap
+      means the frozen centroids no longer cover the data's support).
+    - ``bucket_rows_{min,p50,p90,p99,max}`` and ``bucket_skew`` (max /
+      median): the histogram itself.  Skew drifting up release over
+      release is the frozen-centroid decay signal — probes pay for the
+      fattest probed bucket, and k-means-fresh indexes sit near ~1-4.
+    - ``data_files`` / ``files_per_bucket``: the append-accretion
+      signal; compact (:func:`compact_index`) when files_per_bucket
+      creeps past a handful.
+    - ``quantized``, ``append_markers``, ``history_batches``,
+      ``in_flight_intents``, ``compacting``: layout + marker state (a
+      non-empty intent list or a ``compacting`` flag on a quiet index
+      means a writer died — see the appender/compactor recovery docs).
+
+    Everything is bounded work: one groupBy over the index keyed by
+    bucket (aggregated column-pruned scan), one centroid count, and
+    root-directory listings."""
+    from cloudbrush_spark.sources.corpus import _hfs
+    jvm, _, fs, root = _hfs(spark, path)
+    vec = spark.read.parquet(path + "/vectors")
+    sizes = vec.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("used"), F.sum("n").alias("rows"),
+        F.min("n").alias("mn"), F.expr("percentile(n, 0.5)").alias("p50"),
+        F.expr("percentile(n, 0.9)").alias("p90"),
+        F.expr("percentile(n, 0.99)").alias("p99"),
+        F.max("n").alias("mx")).collect()[0]
+    n_cent = spark.read.parquet(path + "/centroids").count()
+    files = _count_data_files(
+        fs, jvm.org.apache.hadoop.fs.Path(root, "vectors"))
+    markers = [st.getPath().getName() for st in fs.listStatus(root)]
+    history, _ = _append_history(spark, path)
+    used = int(row.used or 0)
+    return {
+        "n_centroids": int(n_cent),
+        "buckets_used": used,
+        "rows": int(row.rows or 0),
+        "bucket_rows_min": int(row.mn or 0),
+        "bucket_rows_p50": float(row.p50 or 0),
+        "bucket_rows_p90": float(row.p90 or 0),
+        "bucket_rows_p99": float(row.p99 or 0),
+        "bucket_rows_max": int(row.mx or 0),
+        "bucket_skew": (float(row.mx) / float(row.p50)
+                        if row.p50 else 0.0),
+        "data_files": files,
+        "files_per_bucket": round(files / used, 2) if used else 0.0,
+        "quantized": "q_codes" in vec.columns,
+        "append_markers": sum(1 for n in markers
+                              if n.startswith("_appended_")),
+        "history_batches": len(history),
+        "in_flight_intents": [n for n in markers
+                              if n.startswith("_appending_")],
+        "compacting": "_compacting" in markers,
+    }
+
+
 def _exclusive_create(fs, marker, already_exists_msg: str) -> None:
     """Create a zero-byte marker with create-no-overwrite — the
     mutual-exclusion primitive both the appender and the compactor

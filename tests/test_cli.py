@@ -516,3 +516,22 @@ def test_private_tmp_root_rejects_symlink_and_lax_modes(tmp_path,
     os.chmod(expect, 0o755)
     alt3 = entrymod._private_tmp_root()
     assert alt3 != expect
+
+
+def test_cli_index_stats(tmp_path, spark, capsys):
+    """-index_stats prints the operational snapshot as one JSON line."""
+    import json as _json
+    import random as _rnd
+
+    from cloudbrush_spark.operators import similarity
+    rng = _rnd.Random(29)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "idx")
+    similarity.write_ivf_index(vecs, idx, n_centroids=4, seed=42,
+                               quantized=True)
+    rc = main(["-index_stats", idx])
+    assert rc == 0
+    st = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["rows"] == 50 and st["n_centroids"] == 4
+    assert st["compacting"] is False

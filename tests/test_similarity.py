@@ -1056,3 +1056,34 @@ def test_broadcast_centroid_cache_thread_hammer(spark, monkeypatch):
         t.join()
     assert not errs, errs
     assert len(similarity._centroid_bc_cache) <= 2
+
+
+def test_index_stats_snapshot(spark, clustered, tmp_path):
+    """index_stats (r13): the measurement behind the module's own
+    maintenance guidance — bucket histogram + skew (frozen-centroid
+    drift), file counts (compaction cadence), marker/intent state
+    (writer-death detection)."""
+    vecs = clustered.select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(vecs.filter(F.col("vec_id") < 60), path,
+                               n_centroids=4, seed=42, quantized=True)
+    assert similarity.append_to_ivf_index(
+        vecs.filter(F.col("vec_id") >= 60), path) == 40
+    st = similarity.index_stats(spark, path)
+    assert st["n_centroids"] == 4
+    assert 1 <= st["buckets_used"] <= 4
+    assert st["rows"] == 100
+    assert st["bucket_rows_max"] >= st["bucket_rows_p50"] \
+        >= st["bucket_rows_min"] >= 1
+    assert st["bucket_skew"] >= 1.0
+    assert st["quantized"] is True
+    assert st["data_files"] >= st["buckets_used"]
+    assert st["files_per_bucket"] >= 1.0
+    assert st["append_markers"] == 1 and st["history_batches"] == 0
+    assert st["in_flight_intents"] == [] and st["compacting"] is False
+    # a dead writer's intent and a compaction marker both surface
+    open(path + "/_appending_feed_9", "w").close()
+    open(path + "/_compacting", "w").close()
+    st2 = similarity.index_stats(spark, path)
+    assert st2["in_flight_intents"] == ["_appending_feed_9"]
+    assert st2["compacting"] is True
