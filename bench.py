@@ -1,8 +1,13 @@
 """Benchmark the engine's headline queries.
 
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS].  The FINAL stdout line is the driver's
+artifact and must stay under its 2,000-char tail window:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ..., health + compact work digest}
+The bulky per-query WORK map prints as its own EARLIER JSON line
+("metric": "headline_queries_work") and is mirrored to
+probes/bench_work_latest.json.
 
 Each query is forced with a full materialization (collect of the final,
 already-aggregated result — headline results are small by construction).
@@ -124,6 +129,47 @@ def _work_totals_settled(spark) -> dict | None:
     return prev
 
 
+def final_line(total: float, timings: dict, sf: float, par: float,
+               host_ratio: float, witness: dict | None,
+               work_digest: dict | None) -> str:
+    """The driver-parsed FINAL stdout line.  MUST stay under the
+    driver's 2,000-char tail window (r13 lesson: inlining the per-query
+    work map grew it to 5.6KB and BENCH_r13.json came back
+    parsed:null).  Pinned in tests/test_host_witness.py."""
+    return json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # Two health signals (BASELINE.md round-6 measurement policy):
+        # host_parallel_sec is the PRIMARY one — absolute wall for the
+        # fixed cpus x 200k sha2 parallel probe; it moves with exactly
+        # the aggregate-CPU capacity the shuffle-heavy queries see
+        # (incident range 5.9-16.7s vs ~2s when query times match their
+        # healthy anchors).  The ratio is secondary: its single-thread
+        # denominator burst-boosts on credit-based hosts (observed 0.77s
+        # -> 0.22s), which inflates the ratio while query times are
+        # fine — a high ratio with low parallel_sec is a probe artifact,
+        # not throttling.
+        "host_parallel_sec": round(par, 2),
+        "host_parallel_ratio": host_ratio,
+        # Orthogonal, CODE-INDEPENDENT witness (r12): kernel counters
+        # sampled before/after the query loop — cgroup CFS throttling,
+        # hypervisor steal share, PSI cpu stall.  host_parallel_sec can
+        # read healthy while capacity is degraded (BASELINE.md); these
+        # cannot be moved by any change to the engine, so a real plan
+        # regression can no longer hide inside the drift narrative.
+        "host_witness": witness,
+        # Compact digest of the per-query WORK deltas (r13/r14): total
+        # executor CPU sec, shuffle-read MB and input MB across the run.
+        # The full per-query map is on the earlier headline_queries_work
+        # line and in probes/bench_work_latest.json (see _work_totals
+        # and BASELINE.md anchoring protocol).
+        "work_total": work_digest,
+    })
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -195,37 +241,31 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows) "
               f"{work[name]}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf),
-        # Two health signals (BASELINE.md round-6 measurement policy):
-        # host_parallel_sec is the PRIMARY one — absolute wall for the
-        # fixed cpus x 200k sha2 parallel probe; it moves with exactly
-        # the aggregate-CPU capacity the shuffle-heavy queries see
-        # (incident range 5.9-16.7s vs ~2s when query times match their
-        # healthy anchors).  The ratio is secondary: its single-thread
-        # denominator burst-boosts on credit-based hosts (observed 0.77s
-        # -> 0.22s), which inflates the ratio while query times are
-        # fine — a high ratio with low parallel_sec is a probe artifact,
-        # not throttling.
-        "host_parallel_sec": round(par, 2),
-        "host_parallel_ratio": host_ratio,
-        # Orthogonal, CODE-INDEPENDENT witness (r12): kernel counters
-        # sampled before/after the query loop — cgroup CFS throttling,
-        # hypervisor steal share, PSI cpu stall.  host_parallel_sec can
-        # read healthy while capacity is degraded (BASELINE.md); these
-        # cannot be moved by any change to the engine, so a real plan
-        # regression can no longer hide inside the drift narrative.
-        "host_witness": host_witness_delta(witness0, host_witness()),
-        # Per-query WORK deltas (r13): executor CPU sec, executor run
-        # sec, shuffle read/write MB, input MB, result rows — the
-        # engine-side counters the anchoring protocol grades on when
-        # wall is out-of-band (see _work_totals and BASELINE.md).
-        "work": work,
-    }))
+    # The full per-query work map made the r13 final line 5.6KB — past
+    # the driver's 2,000-char stdout tail window, so BENCH_r13.json had
+    # parsed:null.  Emit the bulky map on its OWN earlier line plus a
+    # committed sidecar under probes/, and keep the FINAL line compact
+    # (headline wall + health + a work digest), well under the window.
+    work_line = {"metric": "headline_queries_work", "sf": float(sf),
+                 "work": work}
+    print(json.dumps(work_line))
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "probes", "bench_work_latest.json"),
+                  "w") as f:
+            json.dump({"total_sec": total, "queries": timings,
+                       "host_parallel_sec": round(par, 2),
+                       "host_parallel_ratio": host_ratio, **work_line},
+                      f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stdout line above still has it
+    work_digest = None
+    if all(w is not None for w in work.values()):
+        work_digest = {k: round(sum(w[k] for w in work.values()), 1)
+                       for k in ("cpu_sec", "shuffle_read_mb", "input_mb")}
+    print(final_line(total, timings, float(sf), par, host_ratio,
+                     host_witness_delta(witness0, host_witness()),
+                     work_digest))
 
 
 if __name__ == "__main__":
