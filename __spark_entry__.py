@@ -2277,6 +2277,23 @@ def q_ann_contracts(spark, sf_dir):
     ivfq = similarity.cosine_topk_ivf_quantized(spark, _iqpath, emb, k=5,
                                                 nprobe=2)
     r_ivfq = tag(_ann_contract(emb, ivfq, recall_pct=20), "ann_ivfq")
+    # r14 'ann_auto': the SHIPPED probe default — nprobe=None resolved
+    # through auto_nprobe(K) = clamp(round(sqrt(K)), 2, K) against the
+    # index's actual centroid count — driver-hash-verified on a
+    # dedicated 64-centroid composed index (auto = 8, probing 12.5% of
+    # buckets, the same fraction as the explicit-nprobe legs above but
+    # through the resolution path every production caller hits).  Until
+    # r14 the default's correctness rested on pytest + probes alone
+    # (r13 verdict missing #1).  recall_pct=20 matches the other IVF
+    # legs; measured well above (sqrt-K holds recall where a fixed
+    # nprobe craters — probes/ivfq_autonprobe_recall*.json).
+    _iapath = _idx + "/ivfauto64"
+    if not _ivf_complete(_iapath):
+        similarity.write_ivf_index(emb, _iapath, n_centroids=64, seed=42,
+                                   quantized=True)
+    ivfa = similarity.cosine_topk_ivf_quantized(spark, _iapath, emb, k=5,
+                                                nprobe=None)
+    r_auto = tag(_ann_contract(emb, ivfa, recall_pct=20), "ann_auto")
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
     exact = (
@@ -2388,8 +2405,8 @@ def q_ann_contracts(spark, sf_dir):
                 (F.lit(100) * F.col("got") >= F.lit(50) * F.col("n_base"))
                 .alias("recall_ok")))
     return (r_lsh.unionByName(r_ivf).unionByName(r_q8).unionByName(r_q8p)
-            .unionByName(r_ivfp).unionByName(r_ivfq).unionByName(r_emb)
-            .unionByName(r_embc).unionByName(r_cross))
+            .unionByName(r_ivfp).unionByName(r_ivfq).unionByName(r_auto)
+            .unionByName(r_emb).unionByName(r_embc).unionByName(r_cross))
 
 
 def q_probe_funnel(spark, sf_dir):
@@ -4692,6 +4709,10 @@ _ORACLES["ann_contracts"] = """
     FROM nq
     UNION ALL
     SELECT 'ann_ivfq', CAST(nq.n AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), TRUE
+    FROM nq
+    UNION ALL
+    SELECT 'ann_auto', CAST(nq.n AS BIGINT), CAST(0 AS BIGINT),
            CAST(0 AS BIGINT), TRUE
     FROM nq
     UNION ALL
