@@ -150,6 +150,18 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-compact_repair", action="store_true",
                     help="with -compact_index: finish/roll back a "
                          "crashed compaction's swap before compacting")
+    ap.add_argument("-split_index", default=None, metavar="DIR",
+                    help="re-cluster an IVF index's over-skewed buckets "
+                         "in place (the remedy for index_stats' "
+                         "bucket_skew drift signal; markers/replay "
+                         "preserved; similarity.split_fat_buckets)")
+    ap.add_argument("-skew_threshold", type=float, default=4.0,
+                    help="with -split_index: split buckets holding more "
+                         "than this multiple of the median bucket's "
+                         "rows (default 4.0)")
+    ap.add_argument("-split_repair", action="store_true",
+                    help="with -split_index: finish/roll back a crashed "
+                         "split's swap before splitting")
     ap.add_argument("-index_stats", default=None, metavar="DIR",
                     help="print an IVF index's operational snapshot as "
                          "JSON: bucket-size histogram + skew (the "
@@ -362,7 +374,16 @@ def main(argv: list[str] | None = None) -> int:
                       spark.read.parquet(vec_src).schema.fields
                       if isinstance(f.dataType, ArrayType)
                       and f.name != "q_codes"]
-        idx_vec = vec_arrays[0] if len(vec_arrays) == 1 else "embedding"
+        # same contract as the id column (r14, advisor finding): an
+        # unrecognizable vector layout is a NAMED error, not a silent
+        # 'embedding' guess — a wrong pick forks the parquet schema the
+        # same way a wrong id would
+        if len(vec_arrays) != 1:
+            raise SystemExit(
+                f"-append_index: cannot resolve the index vector "
+                f"column: expected exactly one non-code array column "
+                f"in {vec_src}, found {vec_arrays or 'none'}")
+        idx_vec = vec_arrays[0]
         if idx_id not in vecs.columns:
             src = next((c for c in ("vec_id", "doc_id")
                         if c in vecs.columns), None)
@@ -391,6 +412,14 @@ def main(argv: list[str] | None = None) -> int:
         n = compact_index(spark, args.compact_index,
                           repair=args.compact_repair)
         print(f"compacted index: {n} files before -> {args.compact_index}")
+        return 0
+
+    if args.split_index:
+        from cloudbrush_spark.operators.similarity import split_fat_buckets
+        s = split_fat_buckets(spark, args.split_index,
+                              skew_threshold=args.skew_threshold,
+                              repair=args.split_repair)
+        print(json.dumps(s))
         return 0
 
     if args.index_stats:

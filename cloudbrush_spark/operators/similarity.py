@@ -866,6 +866,7 @@ def write_ivf_index(vectors: DataFrame, path: str,
                               vec_col=vec_col)
     assigned = vectors.withColumn(
         "bucket", _centroid_topn(F.col(vec_col), centroids, 1)[0])
+    doubles_plan = None
     if quantized:
         assigned = quantize_embeddings(assigned, id_col, vec_col) \
             .select(id_col, "q_scale", "q_codes", "bucket")
@@ -874,15 +875,31 @@ def write_ivf_index(vectors: DataFrame, path: str,
         # disjoint ranges parquet min/max stats skip whole FILES, not
         # just row groups inside every file (file-count pinned in
         # tests/test_plans.py)
-        (vectors.select(id_col, vec_col)
-         .repartitionByRange(F.col(id_col))
-         .sortWithinPartitions(id_col)
-         .write.mode("overwrite").parquet(path + "/doubles"))
+        doubles_plan = (vectors.select(id_col, vec_col)
+                        .repartitionByRange(F.col(id_col))
+                        .sortWithinPartitions(id_col))
+    # a ``_rebuilding`` sentinel brackets the destructive writes (r14,
+    # advisor finding): mode('overwrite') destroys the previous
+    # /vectors at write start, so a rebuild that dies mid-write leaves
+    # a BROKEN index — and one that completes its writes but dies
+    # before the marker clear below leaves stale markers silently
+    # suppressing re-appends.  The sentinel makes both states
+    # detectable: append_to_ivf_index refuses while it exists, and only
+    # a COMPLETED rebuild removes it.  Taken here, after all plan
+    # construction and training, so a pre-write failure leaves the old
+    # index intact AND un-wedged.
+    spark = vectors.sparkSession
+    from cloudbrush_spark.sources.corpus import _hfs, fs_write_text
+    jvm, _, fs, root = _hfs(spark, path)
+    fs.mkdirs(root)
+    rebuilding = jvm.org.apache.hadoop.fs.Path(root, "_rebuilding")
+    fs.create(rebuilding, True).close()
+    if doubles_plan is not None:
+        doubles_plan.write.mode("overwrite").parquet(path + "/doubles")
     (assigned.repartition(max(4, len(centroids)), F.col("bucket"))
      .sortWithinPartitions("bucket", id_col)
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(path + "/vectors"))
-    spark = vectors.sparkSession
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "bucket int, centroid array<double>")
@@ -891,12 +908,18 @@ def write_ivf_index(vectors: DataFrame, path: str,
     # markers dedup batches against the OLD index's content, and leaving
     # them would make a legitimate re-append of those rows into the new
     # index silently return 0 (rows permanently missing).  Cleared AFTER
-    # all three overwrites land (r13, advisor finding): a rebuild that
-    # dies mid-write then leaves the OLD index live WITH its markers, so
-    # replays of prior appends stay no-ops until a rebuild actually
-    # completes — clearing first would strip replay protection off an
-    # index that still exists.
-    _clear_append_markers(vectors.sparkSession, path)
+    # the three overwrites land: a rebuild that dies mid-write leaves a
+    # broken index either way (mode('overwrite') destroys the old
+    # /vectors at write start, r14 comment fix), but clearing FIRST
+    # would additionally strip replay protection off batches whose
+    # re-append into the half-written index the _rebuilding sentinel
+    # blocks; either crash ordering is detectable via the sentinel.
+    _clear_append_markers(spark, path)
+    # stamp the format LAST, then drop the sentinel: a post-r14 index is
+    # born format-2 (content-bearing markers only — the appender skips
+    # the legacy id-only token check outright)
+    fs_write_text(spark, f"{path}/_format", f"{INDEX_FORMAT}\n")
+    fs.delete(rebuilding, False)
     return centroids
 
 
@@ -938,13 +961,18 @@ def cosine_topk_ivf_indexed(spark, path: str, queries: DataFrame,
         _centroid_topn(F.col(vec_col), centroids, nprobe).alias("probes"))
     qx = q.select("query_id", "qv", "qn",
                   F.explode("probes").alias("bucket"))
-    probed = sorted(r[0] for r in
-                    qx.select("bucket").distinct().collect())
+    # when nprobe covers every centroid, EVERY bucket is probed by
+    # construction — skip the probed-union pre-job entirely (r14; it is
+    # a full Spark job over the exploded query set) and read the corpus
+    # unfiltered; a K-literal InSet that prunes nothing would only
+    # bloat the plan (K can be 65k)
+    probed = (list(range(len(centroids))) if nprobe >= len(centroids)
+              else sorted(r[0] for r in
+                          qx.select("bucket").distinct().collect()))
     corpus = spark.read.parquet(path + "/vectors")
     if len(probed) < len(centroids):
-        # partition filter on the probed union; skipped when a
-        # corpus-scale batch probes EVERY bucket — a K-literal InSet
-        # that prunes nothing only bloats the plan (K can be 65k)
+        # partition filter on the probed union (bounded by n_centroids
+        # no matter how many queries)
         corpus = corpus.filter(F.col("bucket").isin(probed))
     corpus = corpus.select(F.col("bucket"),
                            F.col(id_col).alias("neighbor_id"),
@@ -1162,6 +1190,31 @@ def cosine_topk_quantized(vectors: DataFrame, queries: DataFrame, k: int = 10,
 APPEND_MARKER_KEEP = 64
 
 
+#: Index metadata format stamped by ``write_ivf_index`` into
+#: ``<path>/_format``.  1 (implicit — no ``_format`` file): pre-r14
+#: index whose marker/history space may hold LEGACY id-only batch
+#: tokens, so the appender must check both digests.  2: every marker is
+#: content-bearing; the appender skips the legacy check entirely, so a
+#: fresh index carries no legacy-collision surface (r13 advisor
+#: finding: two different batches with the same ids collide under the
+#: id-only digest).
+INDEX_FORMAT = 2
+
+
+def _index_format(spark, path: str) -> int:
+    """The stamped format version of the index at ``path`` (see
+    :data:`INDEX_FORMAT`); a missing or unreadable ``_format`` file
+    means a pre-r14 index → 1."""
+    from cloudbrush_spark.sources.corpus import _hfs, fs_read_text
+    jvm, _, fs, root = _hfs(spark, path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(root, "_format")):
+        return 1
+    try:
+        return int(fs_read_text(spark, f"{path}/_format").strip() or 1)
+    except Exception:
+        return 1
+
+
 def _clear_append_markers(spark, path: str) -> None:
     """Delete every ``_appended_*`` / ``_appending_*`` marker and the
     pruned-token history under an index root.  A REBUILD calls this:
@@ -1223,8 +1276,10 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
     alternative is re-clustering and rewriting the world per crawl.
     Frozen centroids are the documented trade: if the new data's
     distribution drifts far from the training sample, buckets skew and
-    probe recall decays — rebuild with :func:`write_ivf_index` when the
-    bucket-size histogram degrades.  Appending an id that already
+    probe recall decays — split the fat buckets in place with
+    :func:`split_fat_buckets` (r14) when :func:`index_stats` shows
+    ``bucket_skew`` climbing, or rebuild with :func:`write_ivf_index`
+    when the whole histogram degrades.  Appending an id that already
     exists in the index creates a duplicate (this function does not
     dedup; run the dedup operators upstream).
 
@@ -1292,20 +1347,58 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
         hpath = jvm.org.apache.hadoop.fs.Path
         commit = hpath(root, f"_appended_{token}")
         intent = hpath(root, f"_appending_{token}")
-        if fs.exists(commit) or fs.exists(hpath(root, f"_appended_{legacy}")):
+        if fs.exists(hpath(root, "_rebuilding")):
+            raise RuntimeError(
+                f"append_to_ivf_index: a rebuild of {path} is in "
+                "flight or died before completing (_rebuilding marker "
+                "present) — the index data may be partial and appends "
+                "against it would be lost or duplicated by the next "
+                "rebuild.  Wait for the rebuild, or re-run "
+                "write_ivf_index to completion.")
+        # post-r13 indexes stamp _format >= 2: their marker/history
+        # space NEVER held legacy id-only tokens, so the legacy check
+        # is skipped outright — a fresh index keeps no legacy-collision
+        # surface (advisor finding).  On older indexes a LEGACY match
+        # (not a content match) is ambiguous — same ids re-embedded
+        # with new vectors digests to the same legacy token — so the
+        # suppressed append is made observable with a warning.
+        check_legacy = _index_format(spark, path) < 2
+
+        def _legacy_suppressed():
+            import warnings
+            warnings.warn(
+                f"append_to_ivf_index: batch {token} was suppressed by "
+                f"a LEGACY id-only marker ({legacy}) under {path}. If "
+                "these ids were re-embedded (same ids, new vectors), "
+                "the new vectors are NOT in the index — legacy markers "
+                "cannot tell the two apart. Rebuild with "
+                "write_ivf_index to clear legacy markers and re-append.",
+                RuntimeWarning, stacklevel=3)
+
+        if fs.exists(commit):
+            return 0
+        if check_legacy and fs.exists(hpath(root, f"_appended_{legacy}")):
+            _legacy_suppressed()
             return 0
         history, gen = _append_history(spark, path)
-        if token in history or legacy in history:
+        if token in history:
             return 0  # committed long ago; its full marker was pruned
-        for t in (token, legacy):
+        if check_legacy and legacy in history:
+            _legacy_suppressed()
+            return 0
+        for t in (token,) + ((legacy,) if check_legacy else ()):
             if fs.exists(hpath(root, f"_appending_{t}")):
                 raise RuntimeError(
                     f"append_to_ivf_index: found intent marker without "
-                    f"commit for batch {t} under {path} — a previous "
-                    "append of this batch died mid-write and its partial "
-                    "files cannot be rolled back safely; rebuild the "
-                    "index (write_ivf_index) or remove the partial "
-                    "files, then delete the marker.")
+                    f"commit for batch {t} under {path}.  This marker "
+                    "may belong to an append of the same batch that is "
+                    "STILL IN FLIGHT — wait for writers to quiesce and "
+                    "retry first (a committed batch replays as a "
+                    "no-op).  Only if the marker persists with no "
+                    "active writer did that append die mid-write; its "
+                    "partial files cannot be rolled back safely — then "
+                    "rebuild the index (write_ivf_index) or remove the "
+                    "partial files, and delete the marker.")
         # exclusive create (r13, enforcing what was previously only
         # documented): two concurrent appenders of the SAME batch both
         # passing the exists-checks above would otherwise both append.
@@ -1413,8 +1506,13 @@ def ivf_quantized_select(spark, path: str, queries: DataFrame,
         .filter(F.col("qcn") > 0)
     qx = q.select("query_id", "qc", "qcn",
                   F.explode("probes").alias("bucket"))
-    probed = sorted(r[0] for r in
-                    qx.select("bucket").distinct().collect())
+    # nprobe >= n_centroids probes every bucket by construction: skip
+    # the probed-union pre-job (a full Spark job over the exploded
+    # query set — the release-gate corpus-batch shape pays one wasted
+    # stage per run otherwise, r14) and read unfiltered
+    probed = (list(range(len(centroids))) if nprobe >= len(centroids)
+              else sorted(r[0] for r in
+                          qx.select("bucket").distinct().collect()))
     codes = spark.read.parquet(path + "/vectors")
     if len(probed) < len(centroids):
         # see cosine_topk_ivf_indexed: prune only when pruning prunes
@@ -1514,9 +1612,10 @@ def cosine_topk_ivf_quantized(spark, path: str, queries: DataFrame,
 
 def index_stats(spark, path: str) -> dict:
     """Operational snapshot of a persisted IVF index — the measurement
-    behind the maintenance guidance this module hands out ("rebuild
-    when the bucket-size histogram degrades", "compact after ~
-    APPEND_MARKER_KEEP appends"):
+    behind the maintenance guidance this module hands out ("split fat
+    buckets when bucket_skew climbs", "compact after ~
+    APPEND_MARKER_KEEP appends", "rebuild when the whole histogram
+    degrades"):
 
     - ``n_centroids`` / ``buckets_used`` / ``rows``: declared vs
       actually-populated buckets and total indexed rows (a widening gap
@@ -1525,6 +1624,8 @@ def index_stats(spark, path: str) -> dict:
       median): the histogram itself.  Skew drifting up release over
       release is the frozen-centroid decay signal — probes pay for the
       fattest probed bucket, and k-means-fresh indexes sit near ~1-4.
+      The remedy is :func:`split_fat_buckets` (r14), which re-clusters
+      only the skewed buckets in place.
     - ``data_files`` / ``files_per_bucket``: the append-accretion
       signal; compact (:func:`compact_index`) when files_per_bucket
       creeps past a handful.
@@ -1575,6 +1676,12 @@ def index_stats(spark, path: str) -> dict:
     }
 
 
+# schemes whose create(overwrite=False) is server-side atomic: the
+# HDFS namenode family.  Everything else (minus file://, which gets the
+# kernel O_EXCL path) warns that exclusion degrades to best-effort.
+_ATOMIC_CREATE_SCHEMES = frozenset({"hdfs", "webhdfs", "viewfs", "ofs"})
+
+
 def _exclusive_create(fs, marker, already_exists_msg: str) -> None:
     """Create a zero-byte marker with create-no-overwrite — the
     mutual-exclusion primitive both the appender and the compactor
@@ -1593,7 +1700,8 @@ def _exclusive_create(fs, marker, already_exists_msg: str) -> None:
     consistent store (HDFS, S3 Express/conditional-write connector) or
     an external lock."""
     uri = marker.toUri()
-    if (uri.getScheme() or "file") == "file":
+    scheme = uri.getScheme() or "file"
+    if scheme == "file":
         import os
         try:
             os.close(os.open(uri.getPath(),
@@ -1601,6 +1709,19 @@ def _exclusive_create(fs, marker, already_exists_msg: str) -> None:
         except FileExistsError as e:
             raise RuntimeError(already_exists_msg) from e
         return
+    if scheme not in _ATOMIC_CREATE_SCHEMES:
+        # r14 (verdict #7): name the residual race out loud instead of
+        # only in the docstring — a docstring never fires in production
+        import warnings
+        warnings.warn(
+            f"_exclusive_create on scheme '{scheme}': "
+            "create(overwrite=False) is not atomic here (exists-check "
+            "+ create), so two writers racing within the check window "
+            "can BOTH proceed — exclusion is best-effort. For hard "
+            "exclusion, host the index on HDFS, use an S3 "
+            "conditional-write connector, or front appends/compactions "
+            "with an external lock.",
+            RuntimeWarning, stacklevel=3)
     try:
         fs.create(marker, False).close()
     except Exception as e:
@@ -1735,10 +1856,17 @@ def compact_index(spark, path: str, files: int = 16,
 
     marker = _hp("_compacting")
     if repair:
-        for name in ("vectors", "doubles"):
-            if any(fs.exists(_hp(name + sfx)) for sfx in
-                   ("", "_compact_tmp", "_compact_old")):
-                _repair_compaction(fs, hpath, root, name)
+        # /vectors must exist in any recoverable index, so repair it
+        # UNCONDITIONALLY: on a root where /vectors and all its
+        # tmp/old copies are gone this raises the clear 'rebuild it'
+        # error instead of re-taking _compacting, failing the read,
+        # and wedging every retry on the leftover marker (r13 advisor
+        # finding).  /doubles keeps the any-exists guard — the plain
+        # layout legitimately has none.
+        _repair_compaction(fs, hpath, root, "vectors")
+        if any(fs.exists(_hp("doubles" + sfx)) for sfx in
+               ("", "_compact_tmp", "_compact_old")):
+            _repair_compaction(fs, hpath, root, "doubles")
         fs.delete(marker, False)
     _exclusive_create(
         fs, marker,
@@ -1797,3 +1925,280 @@ def compact_index(spark, path: str, files: int = 16,
         raise
     fs.delete(marker, False)
     return before
+
+
+def _repair_split(spark, fs, hpath, root, path: str) -> None:
+    """Finish or roll back an interrupted :func:`split_fat_buckets`.
+
+    The split's commit point is the centroid-table swap (bucket-dir
+    swaps all happen strictly BEFORE it starts), so the crash state is
+    decided by the centroid table alone:
+
+    - live ``/centroids`` missing → the crash was INSIDE the centroid
+      swap; every bucket swap had completed, so finishing the swap
+      (``_repair_compaction``) completes the split (or rolls it back to
+      the old copy if the tmp never landed — bucket dirs then get
+      rolled back below).
+    - ``centroids_compact_tmp`` present with live intact → the swap
+      never started: ROLL BACK — restore swapped-aside bucket dirs,
+      drop bucket dirs whose ids are beyond the live centroid count
+      (sub-buckets already moved in), drop tmp dirs.
+    - otherwise → the split committed (or none was in flight): ROLL
+      FORWARD — drop aside/tmp leftovers.
+    """
+
+    def _hp(name):
+        return hpath(root, name)
+
+    if not fs.exists(_hp("centroids")):
+        _repair_compaction(fs, hpath, root, "centroids")
+    roll_back = fs.exists(_hp("centroids_compact_tmp")) \
+        and fs.exists(_hp("centroids"))
+    asides = [st.getPath() for st in fs.listStatus(root)
+              if st.getPath().getName().startswith("vectors_split_old_")]
+    tmps = [st.getPath() for st in fs.listStatus(root)
+            if st.getPath().getName().startswith("vectors_split_tmp_")]
+    if roll_back:
+        k_live = spark.read.parquet(path + "/centroids").count()
+        for aside in asides:
+            b = aside.getName()[len("vectors_split_old_"):]
+            live = _hp(f"vectors/bucket={b}")
+            if fs.exists(live):
+                fs.delete(live, True)
+            if not fs.rename(aside, live):
+                raise RuntimeError(
+                    f"split repair: restoring bucket {b} failed")
+        if fs.exists(_hp("vectors")):
+            for st in fs.listStatus(_hp("vectors")):
+                name = st.getPath().getName()
+                if name.startswith("bucket="):
+                    try:
+                        gid = int(name[len("bucket="):])
+                    except ValueError:
+                        continue
+                    if gid >= k_live:
+                        fs.delete(st.getPath(), True)
+        fs.delete(_hp("centroids_compact_tmp"), True)
+    else:
+        for aside in asides:
+            fs.delete(aside, True)
+        _repair_compaction(fs, hpath, root, "centroids")
+    for tmp in tmps:
+        fs.delete(tmp, True)
+    fs.delete(_hp("_compacting"), False)
+
+
+def split_fat_buckets(spark, path: str, skew_threshold: float = 4.0,
+                      max_split: int = 64, seed: int = 42,
+                      repair: bool = False) -> dict:
+    """Incrementally re-cluster an IVF index's over-skewed buckets IN
+    PLACE — the remedy for the frozen-centroid drift that
+    :func:`index_stats` measures (``bucket_skew``) and that, until r14,
+    only a full :func:`write_ivf_index` rebuild could fix.
+
+    Appends assign new vectors to FROZEN centroids, so a crawl whose
+    distribution drifts piles rows into a few buckets; probes pay for
+    the fattest probed bucket, and recall decays because one centroid
+    covers what should be many lists.  A full rebuild rewrites the
+    world (re-train + re-write every row — untenable per-crawl at
+    100 TB); this operator instead rewrites ONLY the fat buckets:
+
+    1. one column-pruned groupBy gives per-bucket counts (bounded by
+       n_centroids rows); buckets with ``rows > skew_threshold *
+       median`` are fat;
+    2. each fat bucket's rows are re-clustered with k-means INTO
+       ``clamp(round(rows/median), 2, max_split)`` sub-buckets (trained
+       on the bucket's own vectors; on the quantized layout the int8
+       codes are dequantized for training/assignment — error bounded by
+       ``q_scale/2`` per component, far below centroid granularity);
+    3. the bucket's directory is rewritten: sub-bucket 0 keeps the old
+       bucket id (its centroid row is UPDATED), the rest append as NEW
+       bucket ids/centroid rows — ``auto_nprobe`` then scales with the
+       grown centroid count automatically.
+
+    Everything else — unsplit bucket dirs, ``/doubles``, every append
+    marker and the token history — is untouched, so committed batches
+    keep their replay-is-a-no-op contract and the re-rank contracts hold
+    unchanged (all pinned in ``tests/test_similarity.py``).
+
+    Concurrency/crash protocol: takes the same exclusive ``_compacting``
+    marker as :func:`compact_index` (appenders and compactors already
+    refuse on it — one structural rewrite at a time), refuses on
+    in-flight append intents and ``_rebuilding``.  New data lands in
+    ``vectors_split_tmp_<b>`` dirs; bucket dirs swap via rename with the
+    old copy kept aside; the centroid-table swap is the COMMIT POINT
+    (readers before it see old centroids + old bucket contents probed
+    consistently; after it, the split layout).  ``repair=True`` finishes
+    or rolls back a crashed run (see :func:`_repair_split`).
+
+    Mass-duplicate buckets (one vector repeated) cannot be split by
+    k-means — sub-centroids collapse and rows stay in sub-bucket 0;
+    such a bucket is detected (no rows moved) and left as-is with no
+    new centroid ids allocated (exact-dedup upstream is the real fix,
+    as the appender docs note).  For buckets that DO split, every
+    sub-centroid row is kept even if its list came out empty: probes
+    resolve buckets positionally, so centroid ids must stay contiguous.
+
+    Returns a summary dict: buckets split, centroid counts before and
+    after, and the skew before/after (recomputed from the same groupBy).
+    """
+    import statistics
+
+    from cloudbrush_spark.sources.corpus import _hfs
+    jvm, _, fs, root = _hfs(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+
+    def _hp(name):
+        return hpath(root, name)
+
+    if repair:
+        _repair_split(spark, fs, hpath, root, path)
+    _exclusive_create(
+        fs, _hp("_compacting"),
+        f"split_fat_buckets: another structural rewrite (split or "
+        f"compaction) is in progress (or died) under {path} — if the "
+        "previous run crashed, re-run with repair=True.")
+    try:
+        if fs.exists(_hp("_rebuilding")):
+            raise RuntimeError(
+                f"split_fat_buckets: a rebuild of {path} is in flight "
+                "or died before completing (_rebuilding marker) — "
+                "re-run write_ivf_index to completion first.")
+        for st in fs.listStatus(root):
+            if st.getPath().getName().startswith("_appending_"):
+                raise RuntimeError(
+                    f"split_fat_buckets: in-flight append intent "
+                    f"{st.getPath().getName()} under {path} — wait for "
+                    "it to commit before splitting.")
+        schema = spark.read.parquet(path + "/vectors").schema
+        id_col = _infer_index_id_col(schema.fields)
+        quantized = "q_codes" in schema.fieldNames()
+        # plain layout stores the double vectors in /vectors; the
+        # quantized layout has no vector column there (codes only)
+        vec_col = None if quantized else next(
+            f.name for f in schema.fields
+            if f.name not in ("bucket", id_col))
+        counts = {r.bucket: r.n for r in
+                  spark.read.parquet(path + "/vectors")
+                  .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        cent_rows = spark.read.parquet(path + "/centroids") \
+            .orderBy("bucket").collect()
+        centroids = {r.bucket: list(r.centroid) for r in cent_rows}
+        k_before = len(centroids)
+        p50 = statistics.median(counts.values()) if counts else 0
+        skew_before = (max(counts.values()) / p50) if p50 else 0.0
+        fat = sorted(b for b, n in counts.items()
+                     if p50 and n > skew_threshold * p50 and n >= 8)
+        summary = {
+            "split_buckets": [], "n_centroids_before": k_before,
+            "n_centroids_after": k_before,
+            "bucket_skew_before": round(skew_before, 2),
+            "bucket_skew_after": round(skew_before, 2),
+        }
+        if not fat:
+            fs.delete(_hp("_compacting"), False)
+            return summary
+        next_gid = max(centroids) + 1
+        gids_of = {}
+        for b in fat:
+            part = spark.read.parquet(path + "/vectors") \
+                .filter(F.col("bucket") == b)
+            if quantized:
+                dv = F.transform(
+                    "q_codes",
+                    lambda c: c.cast("double") * F.col("q_scale"))
+                train = part.withColumn("__dv", dv)
+                tcol = "__dv"
+            else:
+                train, tcol = part, vec_col
+            k_b = max(2, min(max_split, round(counts[b] / p50)))
+            subc = ivf_centroids(train, k_b,
+                                 sample=min(4096, counts[b]),
+                                 seed=seed + b, vec_col=tcol)
+            gids = [b] + list(range(next_gid, next_gid + len(subc) - 1))
+            sub_idx = _centroid_topn(F.col(tcol), subc, 1)[0]
+            gid_arr = F.array(*[F.lit(g) for g in gids])
+            assigned = (train
+                        .withColumn("bucket",
+                                    F.element_at(gid_arr, sub_idx + 1))
+                        .select(*[f.name for f in schema.fields]))
+            (assigned.repartition(len(gids), F.col("bucket"))
+             .sortWithinPartitions("bucket", id_col)
+             .write.mode("overwrite").partitionBy("bucket")
+             .parquet(path + f"/vectors_split_tmp_{b}"))
+            # k-means on near-identical mass can leave sub-buckets
+            # empty (no dir written).  If everything stayed in
+            # sub-bucket 0 the bucket is unsplittable (mass-duplicate)
+            # — leave it as-is and allocate NO new ids.  Otherwise keep
+            # EVERY sub-centroid row, empty or not: probes resolve
+            # buckets POSITIONALLY (centroid-list index == bucket id),
+            # so centroid ids must stay contiguous — an empty probed
+            # list costs nothing.
+            live_gids = [g for g in gids if fs.exists(
+                _hp(f"vectors_split_tmp_{b}/bucket={g}"))]
+            if live_gids == [b] or len(live_gids) < 2:
+                fs.delete(_hp(f"vectors_split_tmp_{b}"), True)
+                continue
+            for j, g in enumerate(gids):
+                centroids[g] = subc[j]
+            next_gid += len(subc) - 1
+            gids_of[b] = gids
+            summary["split_buckets"].append(
+                {"bucket": b, "rows": counts[b],
+                 "sub_buckets": len(live_gids)})
+        if not gids_of:
+            fs.delete(_hp("_compacting"), False)
+            return summary
+        cdf = spark.createDataFrame(
+            sorted((b, c) for b, c in centroids.items()),
+            "bucket int, centroid array<double>")
+        (cdf.coalesce(1).write.mode("overwrite")
+         .parquet(path + "/centroids_compact_tmp"))
+        # ---- swap phase: bucket dirs first, centroid table (the
+        # commit point) last ----
+        for b, gids in gids_of.items():
+            aside = _hp(f"vectors_split_old_{b}")
+            if not fs.rename(_hp(f"vectors/bucket={b}"), aside):
+                raise RuntimeError(
+                    f"split_fat_buckets: rename bucket={b} aside "
+                    "failed — re-run with repair=True")
+            for g in gids:
+                if fs.exists(_hp(f"vectors_split_tmp_{b}/bucket={g}")):
+                    if not fs.rename(
+                            _hp(f"vectors_split_tmp_{b}/bucket={g}"),
+                            _hp(f"vectors/bucket={g}")):
+                        raise RuntimeError(
+                            f"split_fat_buckets: moving sub-bucket {g} "
+                            "in failed — re-run with repair=True")
+        _swap_compacted(fs, hpath, root, "centroids")
+        for b in gids_of:
+            fs.delete(_hp(f"vectors_split_old_{b}"), True)
+            fs.delete(_hp(f"vectors_split_tmp_{b}"), True)
+    except Exception:
+        # leave the marker only when a swap actually started (repair
+        # required to restore consistency); a failure before any swap
+        # cleans its tmp dirs and releases the marker
+        mid_swap = any(
+            st.getPath().getName().startswith("vectors_split_old_")
+            for st in fs.listStatus(root)) or not fs.exists(
+                _hp("centroids"))
+        if mid_swap:
+            raise
+        for st in fs.listStatus(root):
+            if st.getPath().getName().startswith("vectors_split_tmp_"):
+                fs.delete(st.getPath(), True)
+        fs.delete(_hp("centroids_compact_tmp"), True)
+        fs.delete(_hp("_compacting"), False)
+        raise
+    fs.delete(_hp("_compacting"), False)
+    new_counts = {r.bucket: r.n for r in
+                  spark.read.parquet(path + "/vectors")
+                  .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+    p50n = statistics.median(new_counts.values())
+    summary["n_centroids_after"] = spark.read \
+        .parquet(path + "/centroids").count()
+    summary["bucket_skew_after"] = round(
+        max(new_counts.values()) / p50n, 2) if p50n else 0.0
+    return summary

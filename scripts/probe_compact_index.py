@@ -83,7 +83,8 @@ def main():
     files_after = _data_files(path)
     wall_after, rows_after = timed_probe()
     payload = {
-        "probe": "compact_index_x10", "fixture": fixture, "corpus": n,
+        "probe": os.path.splitext(os.path.basename(out))[0],
+        "fixture": fixture, "corpus": n,
         "n_centroids": 447, "n_appends": n_appends,
         "index_write_sec": write_sec, "appends_total_sec": append_sec,
         "files_before": files_before, "files_after": files_after,

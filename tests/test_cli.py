@@ -535,3 +535,57 @@ def test_cli_index_stats(tmp_path, spark, capsys):
     st = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st["rows"] == 50 and st["n_centroids"] == 4
     assert st["compacting"] is False
+
+
+def test_cli_append_index_ambiguous_vec_col_is_named_error(tmp_path, spark):
+    """r14 (advisor finding): when the index's vector source has zero or
+    multiple candidate array columns, the CLI raises a NAMED SystemExit
+    listing them instead of silently guessing 'embedding' — a wrong
+    silent pick forks the bucket directories' parquet schema."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 4, [0.2] * 4, 0)],
+        "doc_id long, v1 array<double>, v2 array<double>, bucket int")
+    idx = str(tmp_path / "idx")
+    df.write.partitionBy("bucket").parquet(idx + "/vectors")
+    emb = spark.createDataFrame(
+        [(2, [0.3] * 4)], "doc_id long, embedding array<double>")
+    newp = str(tmp_path / "new.parquet")
+    emb.write.parquet(newp)
+    with pytest.raises(SystemExit,
+                       match="cannot resolve the index vector column"):
+        main(["-append_index", idx, "-embeddings", newp])
+
+
+def test_cli_split_index(tmp_path, spark, capsys):
+    """-split_index drives the r14 drift remedy from the CLI: a drifted
+    index's skew drops, the summary prints as JSON, and a healthy index
+    is a no-op."""
+    import json as _json
+    import random as _rnd
+
+    from cloudbrush_spark.operators import similarity
+    rng = _rnd.Random(23)
+
+    def cluster(c, n, base):
+        ctr = [10.0 * (1 if i == c else 0) for i in range(8)]
+        return [(base + j, [x + rng.gauss(0, 0.5) for x in ctr])
+                for j in range(n)]
+
+    train = spark.createDataFrame(
+        cluster(0, 100, 0), "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "idx")
+    similarity.write_ivf_index(train, idx, n_centroids=8, seed=42,
+                               quantized=True)
+    drift = spark.createDataFrame(
+        cluster(1, 150, 1000) + cluster(2, 150, 2000),
+        "vec_id long, embedding array<double>")
+    assert similarity.append_to_ivf_index(drift, idx) == 300
+    rc = main(["-split_index", idx, "-skew_threshold", "3.0"])
+    assert rc == 0
+    s = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["split_buckets"] and s["n_centroids_after"] > 8
+    # second run: healthy now (or at least strictly less to do)
+    rc = main(["-split_index", idx, "-skew_threshold", "3.0"])
+    assert rc == 0
