@@ -2007,10 +2007,14 @@ def split_fat_buckets(spark, path: str, skew_threshold: float = 4.0,
        n_centroids rows); buckets with ``rows > skew_threshold *
        median`` are fat;
     2. each fat bucket's rows are re-clustered with k-means INTO
-       ``clamp(round(rows/median), 2, max_split)`` sub-buckets (trained
-       on the bucket's own vectors; on the quantized layout the int8
-       codes are dequantized for training/assignment — error bounded by
-       ``q_scale/2`` per component, far below centroid granularity);
+       ``clamp(round(rows / max(median, sqrt(corpus))), 2, max_split)``
+       sub-buckets — targeting the IVF-optimal ``sqrt(n)`` rows per
+       list so the post-split centroid count stays near the sqrt-n
+       rule and ``auto_nprobe``'s probed fraction (hence recall) is
+       preserved (trained on the bucket's own vectors; on the
+       quantized layout the int8 codes are dequantized for
+       training/assignment — error bounded by ``q_scale/2`` per
+       component, far below centroid granularity);
     3. the bucket's directory is rewritten: sub-bucket 0 keeps the old
        bucket id (its centroid row is UPDATED), the rest append as NEW
        bucket ids/centroid rows — ``auto_nprobe`` then scales with the
@@ -2112,7 +2116,17 @@ def split_fat_buckets(spark, path: str, skew_threshold: float = 4.0,
                 tcol = "__dv"
             else:
                 train, tcol = part, vec_col
-            k_b = max(2, min(max_split, round(counts[b] / p50)))
+            # sub-bucket count targets the IVF-optimal sqrt(corpus)
+            # rows per list, NOT the median bucket size: after heavy
+            # drift the median is far below sqrt(n), and splitting to
+            # it overshoots the sqrt-n centroid rule — auto_nprobe's
+            # probed FRACTION (nprobe/K ~ 1/sqrt(K)) then shrinks and
+            # recall drops (measured at the x100 drift fixture: the
+            # median target gave K=1357 and recall 0.73; the sqrt
+            # target K=640 and recall 0.833 at the same skew repair —
+            # probes/split_skew_x100.json)
+            target = max(p50, math.sqrt(sum(counts.values())))
+            k_b = max(2, min(max_split, round(counts[b] / target)))
             subc = ivf_centroids(train, k_b,
                                  sample=min(4096, counts[b]),
                                  seed=seed + b, vec_col=tcol)
