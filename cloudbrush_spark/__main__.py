@@ -162,6 +162,29 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-split_repair", action="store_true",
                     help="with -split_index: finish/roll back a crashed "
                          "split's swap before splitting")
+    ap.add_argument("-merge_index", default=None, metavar="DIR",
+                    help="merge an IVF index's under-populated buckets "
+                         "into their nearest neighbors in place "
+                         "(renumbered contiguously; markers/replay "
+                         "preserved; similarity.merge_small_buckets)")
+    ap.add_argument("-small_threshold", type=float, default=4.0,
+                    help="with -merge_index/-rebalance_index: merge "
+                         "buckets holding fewer than median/this rows "
+                         "(default 4.0); never merges below the "
+                         "sqrt(corpus) centroid floor")
+    ap.add_argument("-merge_repair", action="store_true",
+                    help="with -merge_index: roll a crashed merge "
+                         "forward from its committed plan before "
+                         "merging")
+    ap.add_argument("-k_floor", type=int, default=None,
+                    help="with -merge_index: never merge below this "
+                         "many centroids (default: the ceil(sqrt("
+                         "corpus)) IVF sizing rule)")
+    ap.add_argument("-rebalance_index", default=None, metavar="DIR",
+                    help="full drift maintenance: split fat buckets "
+                         "then merge thin ones back toward the sqrt(n) "
+                         "centroid floor (uses -skew_threshold and "
+                         "-small_threshold; similarity.rebalance_index)")
     ap.add_argument("-index_stats", default=None, metavar="DIR",
                     help="print an IVF index's operational snapshot as "
                          "JSON: bucket-size histogram + skew (the "
@@ -419,6 +442,24 @@ def main(argv: list[str] | None = None) -> int:
         s = split_fat_buckets(spark, args.split_index,
                               skew_threshold=args.skew_threshold,
                               repair=args.split_repair)
+        print(json.dumps(s))
+        return 0
+
+    if args.merge_index:
+        from cloudbrush_spark.operators.similarity import \
+            merge_small_buckets
+        s = merge_small_buckets(spark, args.merge_index,
+                                small_threshold=args.small_threshold,
+                                k_floor=args.k_floor,
+                                repair=args.merge_repair)
+        print(json.dumps(s))
+        return 0
+
+    if args.rebalance_index:
+        from cloudbrush_spark.operators.similarity import rebalance_index
+        s = rebalance_index(spark, args.rebalance_index,
+                            skew_threshold=args.skew_threshold,
+                            small_threshold=args.small_threshold)
         print(json.dumps(s))
         return 0
 

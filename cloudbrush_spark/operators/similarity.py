@@ -34,6 +34,7 @@ bomb:
 
 from __future__ import annotations
 
+import json
 import math
 import random
 import threading
@@ -1856,6 +1857,19 @@ def compact_index(spark, path: str, files: int = 16,
 
     marker = _hp("_compacting")
     if repair:
+        # the _compacting marker is shared by three structural ops;
+        # refuse to "repair" another op's crash state — each leaves
+        # distinct artifacts and needs its own direction-aware repair
+        for st in fs.listStatus(root):
+            n = st.getPath().getName()
+            if n == "_merge_plan" or n.startswith(
+                    ("vectors_split_old_", "vectors_split_tmp_",
+                     "vectors_merge_tmp")):
+                raise RuntimeError(
+                    f"compact_index repair: {n} under {path} belongs to "
+                    "a crashed split/merge, not a compaction — run "
+                    "split_fat_buckets(repair=True) or "
+                    "merge_small_buckets(repair=True) instead.")
         # /vectors must exist in any recoverable index, so repair it
         # UNCONDITIONALLY: on a root where /vectors and all its
         # tmp/old copies are gone this raises the clear 'rebuild it'
@@ -1950,6 +1964,11 @@ def _repair_split(spark, fs, hpath, root, path: str) -> None:
     def _hp(name):
         return hpath(root, name)
 
+    if fs.exists(_hp("_merge_plan")):
+        raise RuntimeError(
+            f"split repair: _merge_plan under {path} belongs to a "
+            "crashed merge, not a split — run "
+            "merge_small_buckets(repair=True) instead.")
     if not fs.exists(_hp("centroids")):
         _repair_compaction(fs, hpath, root, "centroids")
     roll_back = fs.exists(_hp("centroids_compact_tmp")) \
@@ -2216,3 +2235,304 @@ def split_fat_buckets(spark, path: str, skew_threshold: float = 4.0,
     summary["bucket_skew_after"] = round(
         max(new_counts.values()) / p50n, 2) if p50n else 0.0
     return summary
+
+
+def _execute_merge_moves(spark, fs, hpath, root, path: str,
+                         plan: dict) -> None:
+    """Execute (or resume, idempotently) a merge's rename sequence from
+    its committed ``_merge_plan``: build ``vectors_merge_tmp`` with the
+    renumbered layout — survivor bucket dirs RENAMED in under their new
+    ids, absorbed buckets' files MOVED into their absorber's dir (the
+    ``bucket`` value comes from the directory name, so relabeling a row
+    is a metadata move, zero data rewrite) — swap the whole dir in, then
+    swap the centroid table and drop the plan.
+
+    Crash-state detection is structural, so repair just re-runs this:
+
+    - ``vectors_merge_tmp`` present + live ``/vectors`` present → moves
+      may be pending: resume them (renames skip sources already moved),
+      verify no data file is left behind, swap the dir.
+    - ``vectors_merge_tmp`` present + live missing → the old dir was
+      deleted but the rename-in didn't happen: rename it in.
+    - ``vectors_merge_tmp`` gone → the layout committed; finish the
+      centroid swap if its tmp is still there, then drop the plan.
+    """
+    renumber = {int(k): v for k, v in plan["renumber"].items()}
+    absorb = {int(k): int(v) for k, v in plan["absorb"].items()}
+
+    def _hp(name):
+        return hpath(root, name)
+
+    tmp, live = _hp("vectors_merge_tmp"), _hp("vectors")
+    if fs.exists(tmp):
+        if fs.exists(live):
+            for old in sorted(renumber):
+                src = _hp(f"vectors/bucket={old}")
+                if fs.exists(src):
+                    if not fs.rename(
+                            src, _hp(f"vectors_merge_tmp/"
+                                     f"bucket={renumber[old]}")):
+                        raise RuntimeError(
+                            f"merge_small_buckets: renaming bucket "
+                            f"{old} -> {renumber[old]} failed — re-run "
+                            "with repair=True")
+            for t, a in sorted(absorb.items()):
+                src_dir = _hp(f"vectors/bucket={t}")
+                if not fs.exists(src_dir):
+                    continue
+                dst = _hp(f"vectors_merge_tmp/bucket={renumber[a]}")
+                if not fs.exists(dst):
+                    fs.mkdirs(dst)
+                for st in fs.listStatus(src_dir):
+                    name = st.getPath().getName()
+                    if name.startswith(("_", ".")):
+                        continue
+                    # the m<t>_ prefix keeps names unique across source
+                    # buckets and makes resumed moves idempotent
+                    if not fs.rename(st.getPath(),
+                                     hpath(dst, f"m{t}_{name}")):
+                        raise RuntimeError(
+                            f"merge_small_buckets: moving a file of "
+                            f"bucket {t} into {a} failed — re-run with "
+                            "repair=True")
+                fs.delete(src_dir, True)
+            if _count_data_files(fs, live) != 0:
+                raise RuntimeError(
+                    "merge_small_buckets: data files remain under "
+                    "/vectors outside the planned bucket set — refusing "
+                    "to delete them; inspect the index layout")
+            fs.delete(live, True)
+        if not fs.rename(tmp, live):
+            raise RuntimeError(
+                "merge_small_buckets: swapping the merged layout in "
+                "failed — re-run with repair=True")
+    ctmp = _hp("centroids_compact_tmp")
+    if fs.exists(ctmp) and fs.exists(
+            _hp("centroids_compact_tmp/_SUCCESS")):
+        fs.delete(_hp("centroids"), True)
+        if not fs.rename(ctmp, _hp("centroids")):
+            raise RuntimeError(
+                "merge_small_buckets: centroid-table swap failed — "
+                "re-run with repair=True")
+    fs.delete(_hp("_merge_plan"), False)
+
+
+def _repair_merge(spark, fs, hpath, root, path: str) -> None:
+    """Finish or roll back an interrupted :func:`merge_small_buckets`.
+
+    The plan file decides the direction: a committed ``_merge_plan``
+    (written atomically BEFORE any live mutation) means every remaining
+    step is deterministic — ROLL FORWARD by re-running the move
+    sequence, which detects and resumes any crash state.  No plan means
+    nothing live was touched — ROLL BACK by dropping the merge's tmp
+    artifacts."""
+
+    def _hp(name):
+        return hpath(root, name)
+
+    for st in fs.listStatus(root):
+        n = st.getPath().getName()
+        if n.startswith(("vectors_split_old_", "vectors_split_tmp_")):
+            raise RuntimeError(
+                f"merge repair: {n} under {path} belongs to a crashed "
+                "split, not a merge — run "
+                "split_fat_buckets(repair=True) instead.")
+    if fs.exists(_hp("_merge_plan")):
+        from cloudbrush_spark.sources.corpus import fs_read_text
+        plan = json.loads(fs_read_text(spark, path + "/_merge_plan"))
+        _execute_merge_moves(spark, fs, hpath, root, path, plan)
+    else:
+        for name in ("vectors_merge_tmp", "centroids_compact_tmp",
+                     "_merge_plan_tmp"):
+            fs.delete(_hp(name), True)
+    fs.delete(_hp("_compacting"), False)
+
+
+def merge_small_buckets(spark, path: str, small_threshold: float = 4.0,
+                        k_floor: int | None = None,
+                        repair: bool = False) -> dict:
+    """Merge an IVF index's under-populated buckets into their nearest
+    surviving neighbors IN PLACE — the counterpart of
+    :func:`split_fat_buckets`, completing the rebalance story: splits
+    repair buckets drift made too FAT; this repairs the ones history
+    left too THIN (over-provisioned initial K, post-split remnants, a
+    corpus that grew past its original clustering).
+
+    Why it matters at the auto-nprobe default: recall tracks the probed
+    FRACTION nprobe/K ~ 1/sqrt(K), so a K inflated by thin lists costs
+    recall for no selectivity win (measured at the x100 drift fixture:
+    the split repairs skew but lands K=640 vs sqrt-n 447 and recall dips
+    0.887 -> 0.833; merging back toward the sqrt-n floor recovers it —
+    ``probes/split_skew_x100.json``).  Thin lists also each cost a probe
+    a directory listing + file open for a handful of rows.
+
+    Mechanics — zero data rewrite: ``bucket`` is a partition column, so
+    a row's bucket id IS its directory name.  Merging moves the thin
+    bucket's parquet files into the absorber's directory and renumbering
+    renames directories; only the centroid table (K rows) is rewritten.
+    Selection: buckets with ``rows < max(median, 1)/small_threshold``
+    merge, smallest first, never below ``k_floor`` (default
+    ``ceil(sqrt(corpus))`` — the IVF sizing rule — capped at the current
+    K).  Each merged bucket is absorbed by its nearest surviving
+    centroid (same L2 score as probe assignment) and the absorber's
+    centroid moves to the row-count-weighted mean, so probes near either
+    cluster still rank the merged list early.  Probes resolve buckets
+    positionally, hence the contiguity-preserving renumber.
+
+    Concurrency/crash protocol: same exclusive ``_compacting`` marker as
+    the compactor and splitter (one structural rewrite at a time;
+    appends refuse while it stands), refuses on in-flight append intents
+    and ``_rebuilding``.  A ``_merge_plan`` file (absorb + renumber
+    maps) is committed atomically BEFORE any live mutation, making crash
+    recovery ROLL-FORWARD-ONLY: ``repair=True`` resumes the rename
+    sequence from the plan (see :func:`_execute_merge_moves`).  Append
+    markers and the token history are untouched — committed batches keep
+    their replay-is-a-no-op contract.  As with split/compaction,
+    concurrent PROBES during the two swap renames can see a transient
+    mixed state; run structural maintenance in a quiet window.
+
+    Returns a summary dict: merged buckets (with absorbers), centroid
+    counts and skew before/after."""
+    import statistics
+
+    import numpy as np
+
+    from cloudbrush_spark.sources.corpus import _hfs, fs_write_text
+    jvm, _, fs, root = _hfs(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+
+    def _hp(name):
+        return hpath(root, name)
+
+    if repair:
+        _repair_merge(spark, fs, hpath, root, path)
+    _exclusive_create(
+        fs, _hp("_compacting"),
+        f"merge_small_buckets: another structural rewrite (split, merge "
+        f"or compaction) is in progress (or died) under {path} — if the "
+        "previous run crashed, re-run with repair=True.")
+    plan_committed = False
+    try:
+        if fs.exists(_hp("_rebuilding")):
+            raise RuntimeError(
+                f"merge_small_buckets: a rebuild of {path} is in flight "
+                "or died before completing (_rebuilding marker) — "
+                "re-run write_ivf_index to completion first.")
+        for st in fs.listStatus(root):
+            if st.getPath().getName().startswith("_appending_"):
+                raise RuntimeError(
+                    f"merge_small_buckets: in-flight append intent "
+                    f"{st.getPath().getName()} under {path} — wait for "
+                    "it to commit before merging.")
+        cent_rows = spark.read.parquet(path + "/centroids") \
+            .orderBy("bucket").collect()
+        centroids = {r.bucket: list(r.centroid) for r in cent_rows}
+        k_before = len(centroids)
+        got = {r.bucket: r.n for r in
+               spark.read.parquet(path + "/vectors")
+               .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+        counts = {b: got.get(b, 0) for b in centroids}
+        total = sum(counts.values())
+        p50 = statistics.median(counts.values()) if counts else 0
+        skew_before = (max(counts.values()) / p50) if p50 else 0.0
+        floor = k_floor if k_floor is not None else min(
+            k_before, max(2, math.ceil(math.sqrt(total))))
+        thin = sorted((b for b, n in counts.items()
+                       if n < max(p50, 1.0) / small_threshold),
+                      key=lambda b: (counts[b], b))
+        thin = thin[:max(0, k_before - max(2, floor))]
+        summary = {
+            "merged_buckets": [], "n_centroids_before": k_before,
+            "n_centroids_after": k_before,
+            "bucket_skew_before": round(skew_before, 2),
+            "bucket_skew_after": round(skew_before, 2),
+        }
+        if not thin:
+            fs.delete(_hp("_compacting"), False)
+            return summary
+        thin_set = set(thin)
+        survivors = sorted(b for b in centroids if b not in thin_set)
+        smat = np.array([centroids[s] for s in survivors],
+                        dtype=np.float64)
+        bias = -0.5 * (smat * smat).sum(axis=1)
+        absorb = {}
+        for t in thin:
+            scores = smat @ np.asarray(centroids[t],
+                                       dtype=np.float64) + bias
+            absorb[t] = survivors[int(scores.argmax())]
+        new_cent, new_n = {}, {}
+        for s in survivors:
+            new_cent[s] = np.asarray(centroids[s], dtype=np.float64) \
+                * counts[s]
+            new_n[s] = counts[s]
+        for t, a in absorb.items():
+            new_cent[a] = new_cent[a] + np.asarray(
+                centroids[t], dtype=np.float64) * counts[t]
+            new_n[a] += counts[t]
+        renumber = {s: i for i, s in enumerate(survivors)}
+        rows = []
+        for s in survivors:
+            c = (new_cent[s] / new_n[s]) if new_n[s] else np.asarray(
+                centroids[s], dtype=np.float64)
+            rows.append((renumber[s], [float(x) for x in c]))
+        cdf = spark.createDataFrame(rows,
+                                    "bucket int, centroid array<double>")
+        (cdf.coalesce(1).write.mode("overwrite")
+         .parquet(path + "/centroids_compact_tmp"))
+        plan = {"renumber": renumber,
+                "absorb": {str(t): a for t, a in absorb.items()}}
+        # tmp dir BEFORE the plan commit: once the plan exists, repair
+        # reads "vectors_merge_tmp absent" as "layout swap committed" —
+        # so the plan must never exist without the tmp dir
+        fs.mkdirs(_hp("vectors_merge_tmp"))
+        fs_write_text(spark, path + "/_merge_plan_tmp", json.dumps(plan))
+        if not fs.rename(_hp("_merge_plan_tmp"), _hp("_merge_plan")):
+            raise RuntimeError(
+                "merge_small_buckets: committing the merge plan failed")
+        plan_committed = True
+        _execute_merge_moves(spark, fs, hpath, root, path, plan)
+        for t, a in sorted(absorb.items()):
+            summary["merged_buckets"].append(
+                {"bucket": t, "rows": counts[t], "into": a,
+                 "into_new_id": renumber[a]})
+    except Exception:
+        if plan_committed:
+            # live state mutated (or about to be) under a deterministic
+            # committed plan — repair=True rolls forward
+            raise
+        for name in ("vectors_merge_tmp", "centroids_compact_tmp",
+                     "_merge_plan_tmp"):
+            fs.delete(_hp(name), True)
+        fs.delete(_hp("_compacting"), False)
+        raise
+    fs.delete(_hp("_compacting"), False)
+    new_counts = {r.bucket: r.n for r in
+                  spark.read.parquet(path + "/vectors")
+                  .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+    full = {b: new_counts.get(b, 0) for b in range(len(survivors))}
+    p50n = statistics.median(full.values()) if full else 0
+    summary["n_centroids_after"] = len(survivors)
+    summary["bucket_skew_after"] = round(
+        max(full.values()) / p50n, 2) if p50n else 0.0
+    return summary
+
+
+def rebalance_index(spark, path: str, skew_threshold: float = 4.0,
+                    small_threshold: float = 4.0, max_split: int = 64,
+                    seed: int = 42) -> dict:
+    """Full drift maintenance in one call: :func:`split_fat_buckets`
+    (repair the buckets drift made too fat) then
+    :func:`merge_small_buckets` (fold the thin remnants back toward the
+    ``sqrt(n)`` centroid floor).  The pair keeps K near the IVF sizing
+    rule from both sides, so ``auto_nprobe``'s probed fraction — hence
+    recall AND probe cost — stays where a fresh :func:`write_ivf_index`
+    would put it, without rewriting anything but the drifted mass.
+    Cadence: run when ``index_stats.bucket_skew`` drifts past
+    ``skew_threshold`` (the same signal either half acts on)."""
+    return {"split": split_fat_buckets(spark, path,
+                                       skew_threshold=skew_threshold,
+                                       max_split=max_split, seed=seed),
+            "merge": merge_small_buckets(spark, path,
+                                         small_threshold=small_threshold)}

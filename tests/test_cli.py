@@ -589,3 +589,73 @@ def test_cli_split_index(tmp_path, spark, capsys):
     # second run: healthy now (or at least strictly less to do)
     rc = main(["-split_index", idx, "-skew_threshold", "3.0"])
     assert rc == 0
+
+
+def test_cli_merge_and_rebalance_index(tmp_path, spark, capsys):
+    """-merge_index folds thin buckets from the CLI (JSON summary);
+    -rebalance_index chains split+merge on a drifted index and the
+    resulting centroid set stays contiguous."""
+    import json as _json
+    import random as _rnd
+
+    from cloudbrush_spark.operators import similarity
+    from pyspark.sql import functions as F
+    rng = _rnd.Random(31)
+
+    def cluster(sign, n, base):
+        return [(base + j, [sign * 10.0 + rng.gauss(0, 0.5)
+                            for _ in range(8)]) for j in range(n)]
+
+    rows = cluster(1, 100, 0) + cluster(-1, 100, 500)
+    rows += [(900 + i, [100.0 + 7.0 * i if d == i else 0.0
+                        for d in range(8)]) for i in range(3)]
+    vecs = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "idx")
+    similarity.write_ivf_index(vecs, idx, n_centroids=8, seed=42,
+                               quantized=True)
+    # the sqrt(corpus) default floor (15 > K=8 here) correctly refuses
+    # to shrink a small index; an explicit -k_floor overrides it
+    rc = main(["-merge_index", idx, "-small_threshold", "3.0"])
+    assert rc == 0
+    s = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["merged_buckets"] == []
+    rc = main(["-merge_index", idx, "-small_threshold", "3.0",
+               "-k_floor", "2"])
+    assert rc == 0
+    s = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["merged_buckets"], s
+    assert s["n_centroids_after"] < s["n_centroids_before"]
+    cent = sorted(r.bucket for r in
+                  spark.read.parquet(idx + "/centroids").collect())
+    assert cent == list(range(s["n_centroids_after"]))
+
+    # rebalance on a drifted index: split then merge in one call
+    rng2 = _rnd.Random(23)
+
+    def dcluster(c, n, base):
+        ctr = [10.0 * (1 if i == c else 0) for i in range(8)]
+        return [(base + j, [x + rng2.gauss(0, 0.5) for x in ctr])
+                for j in range(n)]
+
+    train = spark.createDataFrame(
+        dcluster(0, 100, 0), "vec_id long, embedding array<double>")
+    idx2 = str(tmp_path / "idx2")
+    similarity.write_ivf_index(train, idx2, n_centroids=8, seed=42,
+                               quantized=True)
+    drift = spark.createDataFrame(
+        dcluster(1, 150, 1000) + dcluster(2, 150, 2000),
+        "vec_id long, embedding array<double>")
+    assert similarity.append_to_ivf_index(drift, idx2) == 300
+    rc = main(["-rebalance_index", idx2, "-skew_threshold", "3.0",
+               "-small_threshold", "3.0"])
+    assert rc == 0
+    s2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["split"]["split_buckets"]
+    k = spark.read.parquet(idx2 + "/centroids").count()
+    assert sorted(r.bucket for r in
+                  spark.read.parquet(idx2 + "/centroids").collect()) \
+        == list(range(k))
+    mx = spark.read.parquet(idx2 + "/vectors") \
+        .agg(F.max("bucket")).collect()[0][0]
+    assert mx < k

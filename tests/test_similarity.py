@@ -1459,3 +1459,238 @@ def test_split_fat_buckets_plain_layout_and_unsplittable_mass(
     got = similarity.cosine_topk_ivf_indexed(spark, path, q, k=3,
                                              nprobe=None)
     assert got.select("query_id").distinct().count() == 3
+
+
+def _thin_bucket_index(spark, tmp_path, quantized=True):
+    """An over-provisioned index: two real clusters plus three extreme
+    outliers, K=8 — k-means gives the outliers near-singleton lists, so
+    the index carries thin buckets a merge should fold away."""
+    rng = random.Random(31)
+
+    def cluster(sign, n, base):
+        return [(base + j, [sign * 10.0 + rng.gauss(0, 0.5)
+                            for _ in range(8)]) for j in range(n)]
+
+    rows = cluster(1, 100, 0) + cluster(-1, 100, 500)
+    rows += [(900 + i, [100.0 + 7.0 * i if d == i else 0.0
+                        for d in range(8)]) for i in range(3)]
+    vecs = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<double>")
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(vecs, path, n_centroids=8, seed=42,
+                               quantized=quantized)
+    return path, vecs
+
+
+def test_merge_small_buckets_folds_thin_buckets(spark, tmp_path):
+    """The counterpart of the split: thin buckets merge into their
+    nearest surviving neighbor by metadata moves only.  Pins: K drops
+    but never below the floor, centroid ids stay contiguous (probes are
+    positional), no rows lost, probes at the auto default keep matching
+    brute force, replay of committed batches is still a no-op, and
+    appends keep flowing against the renumbered centroid set."""
+    path, vecs = _thin_bucket_index(spark, tmp_path)
+    before = similarity.index_stats(spark, path)
+    s = similarity.merge_small_buckets(spark, path, small_threshold=3.0,
+                                       k_floor=2)
+    assert s["merged_buckets"], s
+    assert s["n_centroids_after"] < s["n_centroids_before"]
+    assert s["n_centroids_after"] >= 2
+    after = similarity.index_stats(spark, path)
+    assert after["rows"] == before["rows"]
+    cent = sorted(r.bucket for r in
+                  spark.read.parquet(path + "/centroids").collect())
+    assert cent == list(range(s["n_centroids_after"]))
+    # every vector row's bucket id resolves inside the new centroid set
+    mx = spark.read.parquet(path + "/vectors") \
+        .agg(F.max("bucket")).collect()[0][0]
+    assert mx < s["n_centroids_after"]
+    q = vecs.filter(F.col("vec_id") % 40 == 1)
+    rec = _recall_vs_bruteforce(spark, path, vecs, q, k=5, nprobe=None)
+    assert rec >= 0.85, rec
+    # marker cleanliness + appends against the renumbered index
+    import os as _os
+    assert not _os.path.exists(f"{path}/_compacting")
+    assert not _os.path.exists(f"{path}/_merge_plan")
+    extra = spark.createDataFrame(
+        [(5000 + i, [5.0 - 0.01 * i] * 8) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    assert similarity.append_to_ivf_index(extra, path) == 10
+    assert similarity.append_to_ivf_index(extra, path) == 0  # replay
+
+
+def test_merge_small_buckets_weighted_centroid_and_floor(spark, tmp_path):
+    """The absorber's centroid moves to the row-count-weighted mean of
+    itself and everything it absorbed; k_floor stops the merge (the
+    sqrt rule by default, explicit floors win)."""
+    import numpy as np
+    path, vecs = _thin_bucket_index(spark, tmp_path, quantized=False)
+    cent0 = {r.bucket: np.array(r.centroid) for r in
+             spark.read.parquet(path + "/centroids").collect()}
+    counts0 = {r.bucket: r.n for r in
+               spark.read.parquet(path + "/vectors")
+               .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+    counts0 = {b: counts0.get(b, 0) for b in cent0}
+    # floor at the current K: nothing may merge
+    s = similarity.merge_small_buckets(spark, path, small_threshold=3.0,
+                                       k_floor=len(cent0))
+    assert s["merged_buckets"] == []
+    assert s["n_centroids_after"] == len(cent0)
+    # now merge for real and check one absorber's weighted mean
+    s = similarity.merge_small_buckets(spark, path, small_threshold=3.0,
+                                       k_floor=2)
+    assert s["merged_buckets"]
+    cent1 = {r.bucket: np.array(r.centroid) for r in
+             spark.read.parquet(path + "/centroids").collect()}
+    by_absorber = {}
+    for m in s["merged_buckets"]:
+        by_absorber.setdefault(m["into"], []).append(m["bucket"])
+    merged_set = {m["bucket"] for m in s["merged_buckets"]}
+    survivors = sorted(b for b in cent0 if b not in merged_set)
+    renum = {old: i for i, old in enumerate(survivors)}
+    for a, ts in by_absorber.items():
+        w = counts0[a]
+        acc = cent0[a] * w
+        for t in ts:
+            acc = acc + cent0[t] * counts0[t]
+            w += counts0[t]
+        expect = acc / w if w else cent0[a]
+        assert np.allclose(cent1[renum[a]], expect), (a, ts)
+    # untouched survivors keep their centroid bit-for-bit
+    for old in survivors:
+        if old not in by_absorber:
+            assert np.allclose(cent1[renum[old]], cent0[old])
+
+
+def test_merge_small_buckets_noop_and_interlocks(spark, clustered,
+                                                 tmp_path):
+    """A balanced index has nothing to merge; the merge refuses on a
+    concurrent structural rewrite, on in-flight append intents, and on
+    a crashed SPLIT's artifacts (cross-op repair confusion would mangle
+    the layout)."""
+    vecs = clustered.select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(vecs, path, n_centroids=4, seed=42,
+                               quantized=True)
+    before = sorted(r.vec_id for r in
+                    spark.read.parquet(path + "/vectors").collect())
+    s = similarity.merge_small_buckets(spark, path, small_threshold=4.0)
+    assert s["merged_buckets"] == []
+    assert sorted(r.vec_id for r in
+                  spark.read.parquet(path + "/vectors").collect()) == before
+    import os as _os
+    assert not _os.path.exists(f"{path}/_compacting")
+    open(f"{path}/_compacting", "w").close()
+    with pytest.raises(RuntimeError, match="structural rewrite"):
+        similarity.merge_small_buckets(spark, path)
+    _os.remove(f"{path}/_compacting")
+    open(f"{path}/_appending_deadbeef_5", "w").close()
+    with pytest.raises(RuntimeError, match="in-flight append intent"):
+        similarity.merge_small_buckets(spark, path)
+    _os.remove(f"{path}/_appending_deadbeef_5")
+    # cross-op guards: merge repair refuses split leftovers; compact
+    # repair refuses merge leftovers
+    _os.mkdir(f"{path}/vectors_split_old_3")
+    with pytest.raises(RuntimeError, match="crashed split"):
+        similarity.merge_small_buckets(spark, path, repair=True)
+    _os.rmdir(f"{path}/vectors_split_old_3")
+    open(f"{path}/_merge_plan", "w").close()
+    with pytest.raises(RuntimeError, match="crashed split/merge"):
+        similarity.compact_index(spark, path, repair=True)
+    with pytest.raises(RuntimeError, match="crashed merge"):
+        similarity.split_fat_buckets(spark, path, repair=True)
+    _os.remove(f"{path}/_merge_plan")
+    assert not _os.path.exists(f"{path}/_compacting")
+
+
+def test_merge_small_buckets_crash_repair(spark, tmp_path, monkeypatch):
+    """A merge that dies after committing its plan leaves the marker and
+    the plan; repair=True rolls FORWARD deterministically — no rows
+    lost, contiguous ids, probes matching brute force.  Two crash
+    points: before any move, and after every rename but before the
+    layout swap (resume path)."""
+    import os as _os
+    path, vecs = _thin_bucket_index(spark, tmp_path)
+    rows_before = spark.read.parquet(path + "/vectors").count()
+
+    real_moves = similarity._execute_merge_moves
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash before the moves")
+    monkeypatch.setattr(similarity, "_execute_merge_moves", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        similarity.merge_small_buckets(spark, path, small_threshold=3.0,
+                                       k_floor=2)
+    monkeypatch.undo()
+    assert _os.path.exists(f"{path}/_compacting")
+    assert _os.path.exists(f"{path}/_merge_plan")
+    with pytest.raises(RuntimeError, match="compaction is in progress"):
+        similarity.append_to_ivf_index(
+            spark.createDataFrame([(7777, [1.0] * 8)],
+                                  "vec_id long, embedding array<double>"),
+            path)
+    s = similarity.merge_small_buckets(spark, path, small_threshold=3.0,
+                                       k_floor=2, repair=True)
+    assert not _os.path.exists(f"{path}/_compacting")
+    assert not _os.path.exists(f"{path}/_merge_plan")
+    assert spark.read.parquet(path + "/vectors").count() == rows_before
+    k_after = spark.read.parquet(path + "/centroids").count()
+    cent = sorted(r.bucket for r in
+                  spark.read.parquet(path + "/centroids").collect())
+    assert cent == list(range(k_after))
+    q = vecs.filter(F.col("vec_id") % 40 == 1)
+    rec = _recall_vs_bruteforce(spark, path, vecs, q, k=5, nprobe=None)
+    assert rec >= 0.85, rec
+
+    # second fixture: crash AFTER all renames (inside the sanity check,
+    # before the old dir is deleted) — repair resumes mid-move
+    path2, vecs2 = _thin_bucket_index(
+        spark, tmp_path.joinpath("two"), quantized=False)
+    rows2 = spark.read.parquet(path2 + "/vectors").count()
+
+    def late_boom(fs, dirpath):
+        raise RuntimeError("simulated crash after the renames")
+    monkeypatch.setattr(similarity, "_count_data_files", late_boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        similarity.merge_small_buckets(spark, path2, small_threshold=3.0,
+                                       k_floor=2)
+    monkeypatch.undo()
+    assert _os.path.exists(f"{path2}/_merge_plan")
+    s2 = similarity.merge_small_buckets(spark, path2,
+                                        small_threshold=3.0,
+                                        k_floor=2, repair=True)
+    assert spark.read.parquet(path2 + "/vectors").count() == rows2
+    k2 = spark.read.parquet(path2 + "/centroids").count()
+    assert sorted(r.bucket for r in
+                  spark.read.parquet(path2 + "/centroids").collect()) \
+        == list(range(k2))
+    got = similarity.cosine_topk_ivf_indexed(
+        spark, path2, vecs2.filter(F.col("vec_id").isin([0, 500, 900])),
+        k=3, nprobe=None)
+    assert got.select("query_id").distinct().count() == 3
+
+
+def test_rebalance_index_drift_lifecycle(spark, tmp_path):
+    """The full maintenance story on the drift fixture: rebalance =
+    split (skew repaired) then merge (K held near the sqrt floor), with
+    probes at the shipped auto default still matching brute force and
+    the replay contract intact end-to-end."""
+    path, allv, drift = _drifted_index(spark, tmp_path)
+    before = similarity.index_stats(spark, path)
+    assert before["bucket_skew"] > 3.0
+    s = similarity.rebalance_index(spark, path, skew_threshold=3.0,
+                                   small_threshold=3.0)
+    assert s["split"]["split_buckets"]
+    after = similarity.index_stats(spark, path)
+    assert after["bucket_skew"] < before["bucket_skew"]
+    assert after["rows"] == before["rows"]
+    k = after["n_centroids"]
+    assert k == s["merge"]["n_centroids_after"]
+    cent = sorted(r.bucket for r in
+                  spark.read.parquet(path + "/centroids").collect())
+    assert cent == list(range(k))
+    q = allv.filter(F.col("vec_id") % 50 == 3)
+    rec = _recall_vs_bruteforce(spark, path, allv, q, k=5, nprobe=None)
+    assert rec >= 0.85, rec
+    assert similarity.append_to_ivf_index(drift, path) == 0  # replay
