@@ -185,6 +185,21 @@ def _build_parser() -> argparse.ArgumentParser:
                          "then merge thin ones back toward the sqrt(n) "
                          "centroid floor (uses -skew_threshold and "
                          "-small_threshold; similarity.rebalance_index)")
+    ap.add_argument("-delete_index", default=None, metavar="DIR",
+                    help="tombstone ids in an IVF index (takedown "
+                         "lever): effective immediately at probe time, "
+                         "purged physically by the next -compact_index "
+                         "(similarity.delete_from_ivf_index; requires "
+                         "-ids)")
+    ap.add_argument("-undelete_index", default=None, metavar="DIR",
+                    help="lift pending tombstones not yet purged "
+                         "(similarity.undelete_from_ivf_index; "
+                         "requires -ids)")
+    ap.add_argument("-ids", default=None,
+                    help="with -delete_index/-undelete_index: comma-"
+                         "separated id list, or a path to a parquet "
+                         "of ids (single column or the index id "
+                         "column)")
     ap.add_argument("-index_stats", default=None, metavar="DIR",
                     help="print an IVF index's operational snapshot as "
                          "JSON: bucket-size histogram + skew (the "
@@ -461,6 +476,29 @@ def main(argv: list[str] | None = None) -> int:
                             skew_threshold=args.skew_threshold,
                             small_threshold=args.small_threshold)
         print(json.dumps(s))
+        return 0
+
+    if args.delete_index or args.undelete_index:
+        from cloudbrush_spark.operators.similarity import (
+            delete_from_ivf_index, undelete_from_ivf_index)
+        if not args.ids:
+            raise SystemExit(
+                "-delete_index/-undelete_index require -ids "
+                "(comma-separated list or a parquet path)")
+        if "," in args.ids or not args.ids.endswith(".parquet"):
+            raw = [s.strip() for s in args.ids.split(",") if s.strip()]
+            try:
+                ids = [int(s) for s in raw]
+            except ValueError:
+                ids = raw
+        else:
+            ids = spark.read.parquet(args.ids)
+        if args.delete_index:
+            n = delete_from_ivf_index(spark, args.delete_index, ids)
+            print(json.dumps({"tombstoned": n}))
+        else:
+            n = undelete_from_ivf_index(spark, args.undelete_index, ids)
+            print(json.dumps({"lifted": n}))
         return 0
 
     if args.index_stats:

@@ -975,6 +975,9 @@ def cosine_topk_ivf_indexed(spark, path: str, queries: DataFrame,
         # partition filter on the probed union (bounded by n_centroids
         # no matter how many queries)
         corpus = corpus.filter(F.col("bucket").isin(probed))
+    dels = _pending_deletes(spark, path, id_col)
+    if dels is not None:
+        corpus = corpus.join(dels, id_col, "left_anti")
     corpus = corpus.select(F.col("bucket"),
                            F.col(id_col).alias("neighbor_id"),
                            F.col(vec_col).alias("cv"),
@@ -1429,6 +1432,25 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
                 "(silently lost on its swap).  Wait for the compaction, "
                 "or if it crashed, re-run compact_index(repair=True) "
                 "or delete _compacting by hand, then retry.")
+        if fs.exists(hpath(root, "deletes")):
+            # takedown interplay (r14): appended rows whose ids carry a
+            # pending tombstone land in the partitions but stay
+            # invisible to probes — make that observable, not silent
+            dels = spark.read.parquet(path + "/deletes") \
+                .select(F.col(id_col)).distinct()
+            bad = [r[0] for r in new_vectors
+                   .join(F.broadcast(dels), id_col, "left_semi")
+                   .select(id_col).limit(5).collect()]
+            if bad:
+                import warnings
+                warnings.warn(
+                    f"append_to_ivf_index: batch {token} carries ids "
+                    f"with PENDING DELETE tombstones under {path} "
+                    f"(sample: {bad}) — their rows will append but stay "
+                    "invisible to probes until the tombstones are "
+                    "lifted (undelete_from_ivf_index); the next "
+                    "compact_index purges them.",
+                    RuntimeWarning, stacklevel=2)
         cent_rows = spark.read.parquet(path + "/centroids") \
             .orderBy("bucket").collect()
         centroids = [list(r.centroid) for r in cent_rows]
@@ -1518,6 +1540,9 @@ def ivf_quantized_select(spark, path: str, queries: DataFrame,
     if len(probed) < len(centroids):
         # see cosine_topk_ivf_indexed: prune only when pruning prunes
         codes = codes.filter(F.col("bucket").isin(probed))
+    dels = _pending_deletes(spark, path, id_col)
+    if dels is not None:
+        codes = codes.join(dels, id_col, "left_anti")
     codes = (codes
              .select(F.col("bucket"), F.col(id_col).alias("neighbor_id"),
                      F.col("q_codes").alias("cc"),
@@ -1674,6 +1699,13 @@ def index_stats(spark, path: str) -> dict:
         "in_flight_intents": [n for n in markers
                               if n.startswith("_appending_")],
         "compacting": "_compacting" in markers,
+        # pending takedowns (r14): distinct tombstoned ids awaiting the
+        # next compaction's physical purge — probes already exclude them
+        "pending_deletes": (
+            spark.read.parquet(path + "/deletes")
+            .select(_infer_index_id_col(vec.schema.fields))
+            .distinct().count()
+            if "deletes" in markers else 0),
     }
 
 
@@ -1681,6 +1713,138 @@ def index_stats(spark, path: str) -> dict:
 # HDFS namenode family.  Everything else (minus file://, which gets the
 # kernel O_EXCL path) warns that exclusion degrades to best-effort.
 _ATOMIC_CREATE_SCHEMES = frozenset({"hdfs", "webhdfs", "viewfs", "ofs"})
+
+
+def _pending_deletes(spark, path: str, id_col: str):
+    """The index's pending tombstone frame (single ``id_col`` column),
+    or None when no deletes are pending.  One FS existence check per
+    probe — the price of takedown support on the read path."""
+    from cloudbrush_spark.sources.corpus import _hfs
+    jvm, _, fs, root = _hfs(spark, path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(root, "deletes")):
+        return None
+    return (spark.read.parquet(path + "/deletes")
+            .select(F.col(id_col)).distinct())
+
+
+def _normalize_delete_ids(spark, path: str, ids, id_col: str | None):
+    """Resolve (ids frame, id_col) for the tombstone ops: infer the id
+    column from the index layout when not given, accept a DataFrame or
+    a plain list/iterable, and cast to the index's stored id type so
+    the anti-joins compare like with like."""
+    schema = spark.read.parquet(path + "/vectors").schema
+    if id_col is None:
+        id_col = _infer_index_id_col(schema.fields)
+    id_type = schema[id_col].dataType
+    if isinstance(ids, DataFrame):
+        if id_col in ids.columns:
+            df = ids.select(F.col(id_col))
+        elif len(ids.columns) == 1:
+            df = ids.select(F.col(ids.columns[0]).alias(id_col))
+        else:
+            raise ValueError(
+                f"delete/undelete ids frame must carry the index id "
+                f"column '{id_col}' (or be single-column); got "
+                f"{ids.columns}")
+    else:
+        df = spark.createDataFrame([(i,) for i in ids], f"`{id_col}` string") \
+            if id_type.simpleString() == "string" else \
+            spark.createDataFrame([(int(i),) for i in ids],
+                                  f"`{id_col}` long")
+    return df.select(F.col(id_col).cast(id_type)).distinct(), id_col
+
+
+def delete_from_ivf_index(spark, path: str, ids,
+                          id_col: str | None = None) -> int:
+    """Tombstone rows of a persisted IVF index — the takedown /
+    right-to-be-forgotten lever.  At 100 TB a physical delete means
+    rewriting bucket partitions per request; instead tombstones ACCRETE
+    (``<path>/deletes`` parquet, append-only) and take effect
+    immediately: every probe path anti-joins them (AQE broadcasts the
+    typically-tiny delete side), so a deleted id never appears in
+    results even though its rows still sit in the partitions.  The next
+    :func:`compact_index` — already the periodic maintenance pass —
+    PURGES tombstoned rows physically from ``/vectors`` (and
+    ``/doubles``) and clears the tombstones, so delete cost rides the
+    existing compaction cadence instead of triggering rewrites.
+
+    Semantics: a tombstone suppresses the id until it is purged or
+    explicitly lifted (:func:`undelete_from_ivf_index`) — including
+    rows APPENDED AFTER the delete (the appender warns when a batch
+    carries tombstoned ids).  After a purging compaction, note the
+    batch-token replay contract: re-ingesting the exact original batch
+    is still a no-op (its token is committed history); real pipelines
+    re-ingest the next crawl's version of the document, whose changed
+    content digests to a fresh token.
+
+    Concurrency: takes the same exclusive ``_compacting`` marker as the
+    structural ops for the duration of the tombstone write — a delete
+    landing between a compaction's snapshot and its swap would
+    otherwise be silently dropped with the rows it suppressed
+    resurrected.  A crashed delete leaves the marker and possibly a
+    partial (harmlessly idempotent) tombstone file: clear the marker
+    (``compact_index(repair=True)`` does, and then purges whatever
+    landed) and re-run the delete.
+
+    Returns the number of distinct ids tombstoned in this call."""
+    dels, id_col = _normalize_delete_ids(spark, path, ids, id_col)
+    from cloudbrush_spark.sources.corpus import _hfs
+    jvm, _, fs, root = _hfs(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    _exclusive_create(
+        fs, hpath(root, "_compacting"),
+        f"delete_from_ivf_index: a structural rewrite (compaction, "
+        f"split or merge) or another delete is in progress (or died) "
+        f"under {path} — retry after it finishes; if it crashed, run "
+        "its repair first.")
+    try:
+        n = dels.count()
+        (dels.coalesce(1).write.mode("append")
+         .parquet(path + "/deletes"))
+    finally:
+        fs.delete(hpath(root, "_compacting"), False)
+    return int(n)
+
+
+def undelete_from_ivf_index(spark, path: str, ids,
+                            id_col: str | None = None) -> int:
+    """Lift pending tombstones (see :func:`delete_from_ivf_index`):
+    ids whose rows have not yet been purged by a compaction become
+    visible to probes again — including rows that were appended while
+    the tombstone stood.  Ids already purged (or never tombstoned) are
+    a no-op; returns the number of tombstones actually lifted.
+
+    The rewrite of the (bounded, tombstone-sized) ``/deletes`` table
+    swaps in with the compactor's two-rename protocol; a crash mid-swap
+    is finished or rolled back by ``compact_index(repair=True)``."""
+    lift, id_col = _normalize_delete_ids(spark, path, ids, id_col)
+    from cloudbrush_spark.sources.corpus import _hfs
+    jvm, _, fs, root = _hfs(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    _exclusive_create(
+        fs, hpath(root, "_compacting"),
+        f"undelete_from_ivf_index: a structural rewrite or delete is "
+        f"in progress (or died) under {path} — retry after it "
+        "finishes; if it crashed, run its repair first.")
+    try:
+        if not fs.exists(hpath(root, "deletes")):
+            return 0
+        cur = spark.read.parquet(path + "/deletes") \
+            .select(F.col(id_col)).distinct()
+        kept = cur.join(F.broadcast(lift), id_col, "left_anti")
+        n_before = cur.count()
+        n_kept = kept.count()
+        if n_kept == n_before:
+            return 0
+        if n_kept == 0:
+            fs.delete(hpath(root, "deletes"), True)
+        else:
+            (kept.coalesce(1).write.mode("overwrite")
+             .parquet(path + "/deletes_compact_tmp"))
+            _swap_compacted(fs, hpath, root, "deletes")
+        return int(n_before - n_kept)
+    finally:
+        fs.delete(hpath(root, "_compacting"), False)
 
 
 def _exclusive_create(fs, marker, already_exists_msg: str) -> None:
@@ -1881,6 +2045,12 @@ def compact_index(spark, path: str, files: int = 16,
         if any(fs.exists(_hp("doubles" + sfx)) for sfx in
                ("", "_compact_tmp", "_compact_old")):
             _repair_compaction(fs, hpath, root, "doubles")
+        # a crashed undelete_from_ivf_index mid-swap leaves the
+        # tombstone table's tmp/old pair; tmp-or-old-only guard — a
+        # bare live /deletes needs no repair
+        if any(fs.exists(_hp("deletes" + sfx)) for sfx in
+               ("_compact_tmp", "_compact_old")):
+            _repair_compaction(fs, hpath, root, "deletes")
         fs.delete(marker, False)
     _exclusive_create(
         fs, marker,
@@ -1900,7 +2070,18 @@ def compact_index(spark, path: str, files: int = 16,
         id_col = _infer_index_id_col(schema.fields)
         n_buckets = spark.read.parquet(path + "/centroids").count()
         before = _count_data_files(fs, _hp("vectors"))
+        # pending tombstones purge physically here (r14): the compaction
+        # rewrite is the one pass that already touches every row, so
+        # deletes ride the existing maintenance cadence for free.  The
+        # _compacting marker serializes deletes against this snapshot —
+        # no tombstone can land between the read and the clear below.
+        dels = None
+        if fs.exists(_hp("deletes")):
+            dels = spark.read.parquet(path + "/deletes") \
+                .select(F.col(id_col)).distinct()
         vec = spark.read.parquet(path + "/vectors")
+        if dels is not None:
+            vec = vec.join(dels, id_col, "left_anti")
         (vec.repartition(max(4, int(n_buckets)), F.col("bucket"))
          .sortWithinPartitions("bucket", id_col)
          .write.mode("overwrite").partitionBy("bucket")
@@ -1909,6 +2090,8 @@ def compact_index(spark, path: str, files: int = 16,
         if has_doubles:
             before += _count_data_files(fs, _hp("doubles"))
             dbl = spark.read.parquet(path + "/doubles")
+            if dels is not None:
+                dbl = dbl.join(dels, id_col, "left_anti")
             (dbl.repartitionByRange(max(1, files), F.col(id_col))
              .sortWithinPartitions(id_col)
              .write.mode("overwrite")
@@ -1916,6 +2099,11 @@ def compact_index(spark, path: str, files: int = 16,
         _swap_compacted(fs, hpath, root, "vectors")
         if has_doubles:
             _swap_compacted(fs, hpath, root, "doubles")
+        if dels is not None:
+            # purge complete: clear the tombstones (a crash between the
+            # swaps and this delete is harmless — the next compaction
+            # anti-joins already-absent ids and clears again)
+            fs.delete(_hp("deletes"), True)
     except Exception:
         # leave the marker only if a swap actually started (live state
         # possibly inconsistent → repair=True required); a failure

@@ -659,3 +659,29 @@ def test_cli_merge_and_rebalance_index(tmp_path, spark, capsys):
     mx = spark.read.parquet(idx2 + "/vectors") \
         .agg(F.max("bucket")).collect()[0][0]
     assert mx < k
+
+
+def test_cli_delete_undelete_index(tmp_path, spark, capsys):
+    """-delete_index tombstones ids from the CLI (comma list), probes
+    exclude them, -undelete_index lifts them."""
+    import json as _json
+    import random as _rnd
+
+    from cloudbrush_spark.operators import similarity
+    rng = _rnd.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    vecs = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "idx")
+    similarity.write_ivf_index(vecs, idx, n_centroids=4, seed=42,
+                               quantized=True)
+    rc = main(["-delete_index", idx, "-ids", "3,4"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"tombstoned": 2}
+    assert similarity.index_stats(spark, idx)["pending_deletes"] == 2
+    rc = main(["-undelete_index", idx, "-ids", "4,99"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"lifted": 1}
+    assert similarity.index_stats(spark, idx)["pending_deletes"] == 1

@@ -1694,3 +1694,106 @@ def test_rebalance_index_drift_lifecycle(spark, tmp_path):
     rec = _recall_vs_bruteforce(spark, path, allv, q, k=5, nprobe=None)
     assert rec >= 0.85, rec
     assert similarity.append_to_ivf_index(drift, path) == 0  # replay
+
+
+def test_delete_tombstones_suppress_probes_and_compact_purges(
+        spark, tmp_path):
+    """The takedown lever (r14): delete_from_ivf_index suppresses ids
+    at probe time immediately (anti-join; rows still in the
+    partitions), index_stats counts them, and the next compact_index
+    physically purges rows from /vectors AND /doubles and clears the
+    tombstones — with probe results IDENTICAL before and after the
+    purge (suppression == purge)."""
+    import os as _os
+    path, vecs = _thin_bucket_index(spark, tmp_path)
+    q = vecs.filter(F.col("vec_id") == 0)
+    base = similarity.cosine_topk_ivf_quantized(spark, path, q, k=3,
+                                                nprobe=None).collect()
+    victim = sorted(base, key=lambda r: r.rank)[0].neighbor_id
+    n = similarity.delete_from_ivf_index(spark, path, [victim])
+    assert n == 1
+    assert not _os.path.exists(f"{path}/_compacting")
+    st = similarity.index_stats(spark, path)
+    assert st["pending_deletes"] == 1
+    after_del = similarity.cosine_topk_ivf_quantized(
+        spark, path, q, k=3, nprobe=None).collect()
+    got = {r.neighbor_id for r in after_del}
+    assert victim not in got and len(got) == 3
+    # the suppressed probe behaves like a probe over the corpus WITHOUT
+    # the victim: high overlap with that brute force (IVF stays
+    # approximate — an unprobed bucket can hide a tail neighbor), and
+    # never the victim
+    truth = {r.neighbor_id for r in similarity.cosine_topk_bruteforce(
+        vecs.filter(F.col("vec_id") != victim), q, k=3).collect()}
+    assert len(got & truth) >= 2, (got, truth)
+    rows_before = spark.read.parquet(path + "/vectors").count()
+    dbl_before = spark.read.parquet(path + "/doubles").count()
+    similarity.compact_index(spark, path)
+    assert not _os.path.exists(f"{path}/deletes")
+    assert spark.read.parquet(path + "/vectors").count() \
+        == rows_before - 1
+    assert spark.read.parquet(path + "/doubles").count() \
+        == dbl_before - 1
+    assert similarity.index_stats(spark, path)["pending_deletes"] == 0
+    purged = similarity.cosine_topk_ivf_quantized(
+        spark, path, q, k=3, nprobe=None).collect()
+    assert sorted((r.neighbor_id, r.rank) for r in purged) \
+        == sorted((r.neighbor_id, r.rank) for r in after_del)
+
+
+def test_delete_undelete_and_append_interplay(spark, tmp_path):
+    """Tombstones suppress rows APPENDED AFTER the delete too (the
+    appender warns); undelete lifts pending tombstones and the
+    suppressed rows — original and appended — become visible again;
+    lifting ids never tombstoned is a 0 no-op."""
+    import os as _os
+    path, vecs = _thin_bucket_index(spark, tmp_path, quantized=False)
+    assert similarity.delete_from_ivf_index(spark, path, [0, 1, 2]) == 3
+    assert similarity.undelete_from_ivf_index(spark, path, [1]) == 1
+    assert similarity.undelete_from_ivf_index(spark, path, [777]) == 0
+    st = similarity.index_stats(spark, path)
+    assert st["pending_deletes"] == 2
+    # append a batch that carries a tombstoned id -> warns, appends
+    batch = spark.createDataFrame(
+        [(0, [9.5] * 8), (4000, [9.4] * 8)],
+        "vec_id long, embedding array<double>")
+    with pytest.warns(RuntimeWarning, match="PENDING DELETE"):
+        assert similarity.append_to_ivf_index(batch, path) == 2
+    q = spark.createDataFrame([(9999, [9.5] * 8)],
+                              "vec_id long, embedding array<double>")
+    got = {r.neighbor_id for r in similarity.cosine_topk_ivf_indexed(
+        spark, path, q, k=4, nprobe=None).collect()}
+    assert 4000 in got and 0 not in got  # the appended copy is hidden
+    assert similarity.undelete_from_ivf_index(spark, path, [0, 2]) == 2
+    assert not _os.path.exists(f"{path}/deletes")  # all lifted
+    got2 = {r.neighbor_id for r in similarity.cosine_topk_ivf_indexed(
+        spark, path, q, k=4, nprobe=None).collect()}
+    assert 0 in got2  # visible again, including the appended row
+
+
+def test_delete_interlocks_and_marker_cleanliness(spark, tmp_path):
+    """Deletes serialize against structural rewrites via the same
+    _compacting marker (a tombstone landing inside a compaction's
+    snapshot window would be dropped with its rows resurrected), and a
+    crashed undelete's half-swapped tombstone table is repaired by
+    compact_index(repair=True)."""
+    import os as _os
+    path, vecs = _thin_bucket_index(spark, tmp_path)
+    open(f"{path}/_compacting", "w").close()
+    with pytest.raises(RuntimeError, match="delete_from_ivf_index"):
+        similarity.delete_from_ivf_index(spark, path, [1])
+    with pytest.raises(RuntimeError, match="undelete_from_ivf_index"):
+        similarity.undelete_from_ivf_index(spark, path, [1])
+    _os.remove(f"{path}/_compacting")
+    assert similarity.delete_from_ivf_index(spark, path, [1, 2]) == 2
+    # simulate an undelete crash mid-swap: live renamed aside, tmp
+    # complete but not renamed in
+    import shutil
+    shutil.move(f"{path}/deletes", f"{path}/deletes_compact_old")
+    shutil.copytree(f"{path}/deletes_compact_old",
+                    f"{path}/deletes_compact_tmp")
+    similarity.compact_index(spark, path, repair=True)
+    assert _os.path.exists(f"{path}/deletes") \
+        or similarity.index_stats(spark, path)["pending_deletes"] == 0
+    assert not _os.path.exists(f"{path}/deletes_compact_old")
+    assert not _os.path.exists(f"{path}/deletes_compact_tmp")
