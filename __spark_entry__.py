@@ -2294,6 +2294,38 @@ def q_ann_contracts(spark, sf_dir):
     ivfa = similarity.cosine_topk_ivf_quantized(spark, _iapath, emb, k=5,
                                                 nprobe=None)
     r_auto = tag(_ann_contract(emb, ivfa, recall_pct=20), "ann_auto")
+    # r14 'ann_del': the takedown lever driver-hash-verified — a
+    # dedicated composed index tombstones the deterministic id set
+    # vec_id % 97 == 3 (delete_from_ivf_index at index-build time; the
+    # /deletes dir persists with the cached index, so the leg is
+    # idempotent across harness runs).  The LEAK COUNTER is what makes
+    # deletion load-bearing on the hash: any tombstoned id appearing in
+    # the probe output bumps invalid_rows above the oracle's 0.  The
+    # contract (queries, soundness joins, brute-force recall twin) runs
+    # over the LIVE corpus — n_base is the live count, which DuckDB
+    # recomputes independently as count(vec_id % 97 <> 3).
+    _dpath = _idx + "/ivfdel"
+    dele = emb.filter(F.col("vec_id") % 97 == 3) \
+        .select(F.col("vec_id").alias("neighbor_id"))
+    live = emb.filter(F.col("vec_id") % 97 != 3)
+    if not _ivf_complete(_dpath):
+        similarity.write_ivf_index(emb, _dpath, n_centroids=16, seed=42,
+                                   quantized=True)
+    if not _os.path.exists(_dpath + "/deletes"):
+        similarity.delete_from_ivf_index(
+            spark, _dpath, emb.filter(F.col("vec_id") % 97 == 3)
+            .select("vec_id"))
+    ivfd = similarity.cosine_topk_ivf_quantized(spark, _dpath, live, k=5,
+                                                nprobe=2)
+    leak = ivfd.join(dele, "neighbor_id", "left_semi") \
+        .agg(F.count(F.lit(1)).alias("leaked"))
+    r_del = (_ann_contract(live, ivfd, recall_pct=20).crossJoin(leak)
+             .select(F.lit("ann_del").alias("variant"),
+                     F.col("n_queries").alias("n_base"),
+                     (F.col("invalid_rows")
+                      + F.coalesce("leaked", F.lit(0)))
+                     .alias("invalid_rows"),
+                     "bad_cosine", "recall_ok"))
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
     exact = (
@@ -2406,7 +2438,8 @@ def q_ann_contracts(spark, sf_dir):
                 .alias("recall_ok")))
     return (r_lsh.unionByName(r_ivf).unionByName(r_q8).unionByName(r_q8p)
             .unionByName(r_ivfp).unionByName(r_ivfq).unionByName(r_auto)
-            .unionByName(r_emb).unionByName(r_embc).unionByName(r_cross))
+            .unionByName(r_del).unionByName(r_emb).unionByName(r_embc)
+            .unionByName(r_cross))
 
 
 def q_probe_funnel(spark, sf_dir):
@@ -4682,6 +4715,8 @@ _ORACLES["ann_contracts"] = """
         FROM emb a JOIN emb b ON a.vec_id < b.vec_id
     ),
     nq AS (SELECT count(DISTINCT vec_id) AS n FROM embeddings),
+    nqd AS (SELECT count(DISTINCT vec_id) AS n FROM embeddings
+            WHERE vec_id % 97 <> 3),
     ne AS (SELECT count(*) AS n FROM scored WHERE c >= 0.42),
     edges AS (
         SELECT a, b FROM scored WHERE c >= 0.42
@@ -4715,6 +4750,10 @@ _ORACLES["ann_contracts"] = """
     SELECT 'ann_auto', CAST(nq.n AS BIGINT), CAST(0 AS BIGINT),
            CAST(0 AS BIGINT), TRUE
     FROM nq
+    UNION ALL
+    SELECT 'ann_del', CAST(nqd.n AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), TRUE
+    FROM nqd
     UNION ALL
     SELECT 'ann_q8', CAST(nq.n AS BIGINT), CAST(0 AS BIGINT),
            CAST(0 AS BIGINT), TRUE
