@@ -185,6 +185,13 @@ def _build_parser() -> argparse.ArgumentParser:
                          "then merge thin ones back toward the sqrt(n) "
                          "centroid floor (uses -skew_threshold and "
                          "-small_threshold; similarity.rebalance_index)")
+    ap.add_argument("-maintain_index", default=None, metavar="DIR",
+                    help="one cron-able maintenance pass: read "
+                         "index_stats and run exactly what the index "
+                         "needs — rebalance past -skew_threshold, "
+                         "compact past ~8 files/bucket or with "
+                         "tombstones pending; no-op when healthy "
+                         "(similarity.maintain_index)")
     ap.add_argument("-delete_index", default=None, metavar="DIR",
                     help="tombstone ids in an IVF index (takedown "
                          "lever): effective immediately at probe time, "
@@ -475,6 +482,14 @@ def main(argv: list[str] | None = None) -> int:
         s = rebalance_index(spark, args.rebalance_index,
                             skew_threshold=args.skew_threshold,
                             small_threshold=args.small_threshold)
+        print(json.dumps(s))
+        return 0
+
+    if args.maintain_index:
+        from cloudbrush_spark.operators.similarity import maintain_index
+        s = maintain_index(spark, args.maintain_index,
+                           skew_threshold=args.skew_threshold,
+                           small_threshold=args.small_threshold)
         print(json.dumps(s))
         return 0
 

@@ -2724,3 +2724,47 @@ def rebalance_index(spark, path: str, skew_threshold: float = 4.0,
                                        max_split=max_split, seed=seed),
             "merge": merge_small_buckets(spark, path,
                                          small_threshold=small_threshold)}
+
+
+def maintain_index(spark, path: str, skew_threshold: float = 4.0,
+                   small_threshold: float = 4.0,
+                   files_per_bucket_max: float = 8.0,
+                   compact_files: int = 16, seed: int = 42) -> dict:
+    """The cadence guidance made executable: read :func:`index_stats`
+    once and run exactly the maintenance the index needs — a cron-able
+    single entry point for a crawl-per-day deployment.
+
+    Decision table (each trigger measured and recorded in BASELINE.md):
+
+    - ``bucket_skew > skew_threshold`` → :func:`rebalance_index`
+      (split the drift-fattened buckets, fold thin remnants back to
+      the sqrt-n floor; k-means-fresh indexes sit near ~1-4).
+    - ``files_per_bucket > files_per_bucket_max`` OR tombstones pending
+      → :func:`compact_index` (bound append-accreted per-file
+      overhead — the measured ~8 files/bucket knee — and purge pending
+      deletes while the rewrite is paid for anyway).  Runs AFTER a
+      rebalance: splits/merges relocate files, so the accretion check
+      re-reads stats.
+    - neither → no-op: a healthy index is touched exactly zero times
+      (``actions == []``).
+
+    Returns ``{"stats_before", "actions", "stats_after"}`` where each
+    action records its operator summary.  Refusal/interlock semantics
+    are the underlying operators' own (one structural rewrite at a
+    time; crashed runs repair through their named repair paths)."""
+    before = index_stats(spark, path)
+    actions = []
+    if before["bucket_skew"] > skew_threshold:
+        actions.append({"op": "rebalance",
+                        "summary": rebalance_index(
+                            spark, path, skew_threshold=skew_threshold,
+                            small_threshold=small_threshold, seed=seed)})
+    mid = index_stats(spark, path) if actions else before
+    if (mid["files_per_bucket"] > files_per_bucket_max
+            or mid["pending_deletes"] > 0):
+        actions.append({"op": "compact",
+                        "summary": {"files_before": compact_index(
+                            spark, path, files=compact_files)}})
+    after = index_stats(spark, path) if actions else before
+    return {"stats_before": before, "actions": actions,
+            "stats_after": after}

@@ -1797,3 +1797,32 @@ def test_delete_interlocks_and_marker_cleanliness(spark, tmp_path):
         or similarity.index_stats(spark, path)["pending_deletes"] == 0
     assert not _os.path.exists(f"{path}/deletes_compact_old")
     assert not _os.path.exists(f"{path}/deletes_compact_tmp")
+
+
+def test_maintain_index_runs_exactly_what_is_needed(spark, tmp_path):
+    """The executable cadence: a healthy index is a strict no-op
+    (actions == []); a drifted index triggers rebalance; pending
+    tombstones trigger a (purging) compaction even when file counts are
+    fine; stats_after reflects the work done."""
+    path, allv, drift = _drifted_index(spark, tmp_path)
+    s = similarity.maintain_index(spark, path, skew_threshold=3.0,
+                                  small_threshold=3.0)
+    ops = [a["op"] for a in s["actions"]]
+    assert "rebalance" in ops, s
+    assert s["stats_after"]["bucket_skew"] \
+        < s["stats_before"]["bucket_skew"]
+    # now healthy at this threshold: second pass may compact (appends +
+    # split accrete files) but must converge to a full no-op
+    for _ in range(3):
+        s2 = similarity.maintain_index(spark, path, skew_threshold=3.0,
+                                       small_threshold=3.0)
+        if s2["actions"] == []:
+            break
+    assert s2["actions"] == [], s2
+    # tombstones alone trigger the purge path
+    assert similarity.delete_from_ivf_index(spark, path, [1000]) == 1
+    s3 = similarity.maintain_index(spark, path, skew_threshold=3.0,
+                                   small_threshold=3.0)
+    assert [a["op"] for a in s3["actions"]] == ["compact"]
+    assert s3["stats_after"]["pending_deletes"] == 0
+    assert s3["stats_after"]["rows"] == s2["stats_after"]["rows"] - 1
