@@ -167,10 +167,12 @@ def _build_parser() -> argparse.ArgumentParser:
                          "into their nearest neighbors in place "
                          "(renumbered contiguously; markers/replay "
                          "preserved; similarity.merge_small_buckets)")
-    ap.add_argument("-small_threshold", type=float, default=4.0,
-                    help="with -merge_index/-rebalance_index: merge "
-                         "buckets holding fewer than median/this rows "
-                         "(default 4.0); never merges below the "
+    ap.add_argument("-small_threshold", type=float, default=None,
+                    help="with -merge_index/-rebalance_index/"
+                         "-maintain_index: merge buckets holding fewer "
+                         "than sqrt(corpus)/this rows (default 4.0 for "
+                         "-merge_index, conservative 8.0 inside "
+                         "rebalance/maintain); never merges below the "
                          "sqrt(corpus) centroid floor")
     ap.add_argument("-merge_repair", action="store_true",
                     help="with -merge_index: roll a crashed merge "
@@ -470,8 +472,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.merge_index:
         from cloudbrush_spark.operators.similarity import \
             merge_small_buckets
+        st = 4.0 if args.small_threshold is None else args.small_threshold
         s = merge_small_buckets(spark, args.merge_index,
-                                small_threshold=args.small_threshold,
+                                small_threshold=st,
                                 k_floor=args.k_floor,
                                 repair=args.merge_repair)
         print(json.dumps(s))
@@ -479,17 +482,19 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.rebalance_index:
         from cloudbrush_spark.operators.similarity import rebalance_index
+        st = 8.0 if args.small_threshold is None else args.small_threshold
         s = rebalance_index(spark, args.rebalance_index,
                             skew_threshold=args.skew_threshold,
-                            small_threshold=args.small_threshold)
+                            small_threshold=st)
         print(json.dumps(s))
         return 0
 
     if args.maintain_index:
         from cloudbrush_spark.operators.similarity import maintain_index
+        st = 8.0 if args.small_threshold is None else args.small_threshold
         s = maintain_index(spark, args.maintain_index,
                            skew_threshold=args.skew_threshold,
-                           small_threshold=args.small_threshold)
+                           small_threshold=st)
         print(json.dumps(s))
         return 0
 

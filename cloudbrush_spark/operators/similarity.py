@@ -2546,19 +2546,31 @@ def merge_small_buckets(spark, path: str, small_threshold: float = 4.0,
     left too THIN (over-provisioned initial K, post-split remnants, a
     corpus that grew past its original clustering).
 
-    Why it matters at the auto-nprobe default: recall tracks the probed
-    FRACTION nprobe/K ~ 1/sqrt(K), so a K inflated by thin lists costs
-    recall for no selectivity win (measured at the x100 drift fixture:
-    the split repairs skew but lands K=640 vs sqrt-n 447 and recall dips
-    0.887 -> 0.833; merging back toward the sqrt-n floor recovers it —
-    ``probes/split_skew_x100.json``).  Thin lists also each cost a probe
-    a directory listing + file open for a handful of rows.
+    What it is FOR — and, measured, what it is NOT for.  Under
+    ``auto_nprobe`` the probed fraction is sqrt(K)/K, so a HIGHER K
+    means FEWER rows scanned per query at ~equal recall (both probes:
+    a 10x-over-provisioned x10 index held recall 0.956 while folding it
+    to the sqrt floor tripled rows-per-probe and the wall with them,
+    ``probes/overprovision_x10.json``; folding the x100 drift
+    fixture's post-split remnants cost recall 0.833 → 0.799 AND +24%
+    probe wall, ``probes/rebalance_x100.json`` — absorbed rows hide
+    behind the weighted-mean centroid).  Merge is therefore NEVER a
+    probe-wall optimization.  Its honest niche is operational: bound
+    the DIRECTORY count and per-query centroid-ranking cost of a K
+    history has inflated (every bucket is a filesystem dir + a row in
+    the ranking matmul), and clean up ghost dirs after mass takedowns
+    (``delete_from_ivf_index`` + compaction can empty whole lists).
+    Recall-safe exactly when the folded lists are near-empty — hence
+    the ABSOLUTE threshold (lists below
+    ``sqrt(corpus)/small_threshold`` rows; a median-relative rule
+    matches nothing on a uniformly over-provisioned index) and the
+    conservative default inside :func:`rebalance_index`.
 
     Mechanics — zero data rewrite: ``bucket`` is a partition column, so
     a row's bucket id IS its directory name.  Merging moves the thin
     bucket's parquet files into the absorber's directory and renumbering
     renames directories; only the centroid table (K rows) is rewritten.
-    Selection: buckets with ``rows < max(median, 1)/small_threshold``
+    Selection: buckets with ``rows < sqrt(corpus)/small_threshold``
     merge, smallest first, never below ``k_floor`` (default
     ``ceil(sqrt(corpus))`` — the IVF sizing rule — capped at the current
     K).  Each merged bucket is absorbed by its nearest surviving
@@ -2626,8 +2638,17 @@ def merge_small_buckets(spark, path: str, small_threshold: float = 4.0,
         skew_before = (max(counts.values()) / p50) if p50 else 0.0
         floor = k_floor if k_floor is not None else min(
             k_before, max(2, math.ceil(math.sqrt(total))))
+        # thinness is ABSOLUTE — relative to the sqrt(corpus) rows the
+        # IVF sizing rule wants per list — NOT relative to the median:
+        # on a uniformly over-provisioned index (the op's payoff case)
+        # every list is equally tiny, the median is tiny with them, and
+        # a median-relative rule matches nothing (caught by
+        # probes/overprovision_x10.json: 1,410 three-row lists, zero
+        # merges).  A list above the sqrt-n target is pulling its
+        # weight no matter what the median does.
+        target = max(1.0, math.sqrt(total))
         thin = sorted((b for b, n in counts.items()
-                       if n < max(p50, 1.0) / small_threshold),
+                       if n < target / small_threshold),
                       key=lambda b: (counts[b], b))
         thin = thin[:max(0, k_before - max(2, floor))]
         summary = {
@@ -2708,17 +2729,25 @@ def merge_small_buckets(spark, path: str, small_threshold: float = 4.0,
 
 
 def rebalance_index(spark, path: str, skew_threshold: float = 4.0,
-                    small_threshold: float = 4.0, max_split: int = 64,
+                    small_threshold: float = 8.0, max_split: int = 64,
                     seed: int = 42) -> dict:
     """Full drift maintenance in one call: :func:`split_fat_buckets`
     (repair the buckets drift made too fat) then
-    :func:`merge_small_buckets` (fold the thin remnants back toward the
-    ``sqrt(n)`` centroid floor).  The pair keeps K near the IVF sizing
-    rule from both sides, so ``auto_nprobe``'s probed fraction — hence
-    recall AND probe cost — stays where a fresh :func:`write_ivf_index`
-    would put it, without rewriting anything but the drifted mass.
-    Cadence: run when ``index_stats.bucket_skew`` drifts past
-    ``skew_threshold`` (the same signal either half acts on)."""
+    :func:`merge_small_buckets` (fold near-empty remnants, never below
+    the ``sqrt(n)`` centroid floor).  Cadence: run when
+    ``index_stats.bucket_skew`` drifts past ``skew_threshold``.
+
+    The merge half defaults CONSERVATIVE (``small_threshold=8``: only
+    lists under sqrt(corpus)/8 rows fold — near-empty dirs, the only
+    recall-safe case) because both scale probes measured aggressive
+    folding as a net LOSS on the probe path: under ``auto_nprobe`` a
+    smaller K probes a larger fraction, so shrinking K raises
+    rows-per-probe (x10 over-provision: 3x) and can cost recall when
+    the folded lists carried structure (x100 drift: 0.833 → 0.799)
+    — ``probes/rebalance_x100.json``, ``probes/overprovision_x10.json``.
+    Call :func:`merge_small_buckets` directly with a looser threshold
+    only when directory-count or centroid-ranking pressure is worth
+    that measured trade."""
     return {"split": split_fat_buckets(spark, path,
                                        skew_threshold=skew_threshold,
                                        max_split=max_split, seed=seed),
@@ -2727,7 +2756,7 @@ def rebalance_index(spark, path: str, skew_threshold: float = 4.0,
 
 
 def maintain_index(spark, path: str, skew_threshold: float = 4.0,
-                   small_threshold: float = 4.0,
+                   small_threshold: float = 8.0,
                    files_per_bucket_max: float = 8.0,
                    compact_files: int = 16, seed: int = 42) -> dict:
     """The cadence guidance made executable: read :func:`index_stats`
