@@ -1775,7 +1775,19 @@ def delete_from_ivf_index(spark, path: str, ids,
     batch-token replay contract: re-ingesting the exact original batch
     is still a no-op (its token is committed history); real pipelines
     re-ingest the next crawl's version of the document, whose changed
-    content digests to a fresh token.
+    content digests to a fresh token.  Tombstones relocate with their
+    rows through :func:`split_fat_buckets` / :func:`merge_small_buckets`
+    (id-based, layout-independent — pinned).
+
+    Takedown scope — what a tombstone does NOT do: it removes the id
+    from PROBE RESULTS, which also removes it from the cross-release
+    dedup gate's reach — a future crawl carrying the same content will
+    no longer be deduplicated against it and can re-enter the corpus.
+    For right-to-be-forgotten takedowns where the CONTENT must stay
+    out, additionally register the removed documents with the corpus
+    guard (``operators/guard.py`` decontamination / the release gate's
+    blocklist stage), which blocks re-ingestion by content rather than
+    by id.
 
     Concurrency: takes the same exclusive ``_compacting`` marker as the
     structural ops for the duration of the tombstone write — a delete

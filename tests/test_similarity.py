@@ -1826,3 +1826,26 @@ def test_maintain_index_runs_exactly_what_is_needed(spark, tmp_path):
     assert [a["op"] for a in s3["actions"]] == ["compact"]
     assert s3["stats_after"]["pending_deletes"] == 0
     assert s3["stats_after"]["rows"] == s2["stats_after"]["rows"] - 1
+
+
+def test_tombstones_survive_split_and_merge(spark, tmp_path):
+    """Tombstones are id-based, so structural rewrites that relocate
+    rows (split, merge) must not resurrect a deleted id — and the
+    relocated tombstoned rows still purge on the next compaction."""
+    import os as _os
+    path, allv, drift = _drifted_index(spark, tmp_path)
+    victim = 1000  # a drift-cluster id the split will relocate
+    assert similarity.delete_from_ivf_index(spark, path, [victim]) == 1
+    s = similarity.split_fat_buckets(spark, path, skew_threshold=3.0,
+                                     seed=7)
+    assert s["split_buckets"]
+    sm = similarity.merge_small_buckets(spark, path, small_threshold=3.0,
+                                        k_floor=2)
+    q = allv.filter(F.col("vec_id") == 1001)
+    got = {r.neighbor_id for r in similarity.cosine_topk_ivf_quantized(
+        spark, path, q, k=10, nprobe=None).collect()}
+    assert victim not in got and got, got
+    rows = spark.read.parquet(path + "/vectors").count()
+    similarity.compact_index(spark, path)
+    assert spark.read.parquet(path + "/vectors").count() == rows - 1
+    assert not _os.path.exists(f"{path}/deletes")
