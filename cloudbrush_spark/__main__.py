@@ -505,14 +505,18 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(
                 "-delete_index/-undelete_index require -ids "
                 "(comma-separated list or a parquet path)")
-        if "," in args.ids or not args.ids.endswith(".parquet"):
+        # a path that exists (or names parquet) is an ids table;
+        # anything else parses as a comma-separated literal list —
+        # checking existence first keeps `-ids /gone/path` from being
+        # silently tombstoned as the literal string id "/gone/path"
+        if os.path.exists(args.ids) or args.ids.endswith(".parquet"):
+            ids = spark.read.parquet(args.ids)
+        else:
             raw = [s.strip() for s in args.ids.split(",") if s.strip()]
             try:
                 ids = [int(s) for s in raw]
             except ValueError:
                 ids = raw
-        else:
-            ids = spark.read.parquet(args.ids)
         if args.delete_index:
             n = delete_from_ivf_index(spark, args.delete_index, ids)
             print(json.dumps({"tombstoned": n}))
