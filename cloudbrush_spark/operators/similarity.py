@@ -1784,10 +1784,12 @@ def delete_from_ivf_index(spark, path: str, ids,
     dedup gate's reach — a future crawl carrying the same content will
     no longer be deduplicated against it and can re-enter the corpus.
     For right-to-be-forgotten takedowns where the CONTENT must stay
-    out, additionally register the removed documents with the corpus
-    guard (``operators/guard.py`` decontamination / the release gate's
-    blocklist stage), which blocks re-ingestion by content rather than
-    by id.
+    out, additionally feed the removed documents to the curation
+    pipeline as a block set — ``pipeline/curation.curate(benchmark=
+    removed_docs)`` (13-gram overlap decontamination) or
+    ``curate(reference_docs=removed_docs)`` (exact + near-dup
+    cross-corpus gate) — which blocks re-ingestion by content rather
+    than by id.
 
     Concurrency: takes the same exclusive ``_compacting`` marker as the
     structural ops for the duration of the tombstone write — a delete
