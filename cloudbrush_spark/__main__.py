@@ -505,11 +505,14 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(
                 "-delete_index/-undelete_index require -ids "
                 "(comma-separated list or a parquet path)")
-        # a path that exists (or names parquet) is an ids table;
-        # anything else parses as a comma-separated literal list —
-        # checking existence first keeps `-ids /gone/path` from being
-        # silently tombstoned as the literal string id "/gone/path"
-        if os.path.exists(args.ids) or args.ids.endswith(".parquet"):
+        # a path that exists (or names parquet, or carries a filesystem
+        # scheme — hdfs://, s3a://: driver-local os.path.exists sees
+        # none of those) is an ids table; anything else parses as a
+        # comma-separated literal list — path detection first keeps
+        # `-ids /gone/path` from being silently tombstoned as the
+        # literal string id "/gone/path"
+        if ("://" in args.ids or os.path.exists(args.ids)
+                or args.ids.endswith(".parquet")):
             ids = spark.read.parquet(args.ids)
         else:
             raw = [s.strip() for s in args.ids.split(",") if s.strip()]

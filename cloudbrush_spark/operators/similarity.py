@@ -895,6 +895,27 @@ def write_ivf_index(vectors: DataFrame, path: str,
     fs.mkdirs(root)
     rebuilding = jvm.org.apache.hadoop.fs.Path(root, "_rebuilding")
     fs.create(rebuilding, True).close()
+    # structural interlock, Dekker-ordered like the appender's (r14
+    # review): the sentinel is created FIRST, then the other side's
+    # markers are checked — whichever of {rebuild, compact/split/merge,
+    # append} claims second sees the other and backs off.  Without
+    # this, a rebuild's overwrites interleave with a compaction's
+    # swap (stale vectors_compact_tmp renamed over the fresh /vectors
+    # -> new centroids paired with pre-rebuild buckets, silently wrong
+    # probes) or destroy an in-flight append's files mid-commit.
+    blockers = []
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(root, "_compacting")):
+        blockers.append("_compacting (compact/split/merge in progress)")
+    for st in fs.listStatus(root):
+        if st.getPath().getName().startswith("_appending_"):
+            blockers.append(st.getPath().getName() + " (append in flight)")
+    if blockers:
+        fs.delete(rebuilding, False)  # back off: release our claim
+        raise RuntimeError(
+            f"write_ivf_index: cannot rebuild {path} while other "
+            f"writers hold it: {', '.join(sorted(blockers))} — wait "
+            "for them to finish (or run the matching repair if one "
+            "crashed), then retry.")
     if doubles_plan is not None:
         doubles_plan.write.mode("overwrite").parquet(path + "/doubles")
     (assigned.repartition(max(4, len(centroids)), F.col("bucket"))
@@ -916,6 +937,13 @@ def write_ivf_index(vectors: DataFrame, path: str,
     # re-append into the half-written index the _rebuilding sentinel
     # blocks; either crash ordering is detectable via the sentinel.
     _clear_append_markers(spark, path)
+    # stale tombstones die with the markers (r14 review): the rebuild's
+    # input corpus is authoritative — leaving the old /deletes would
+    # silently suppress fresh rows sharing a tombstoned id, and the
+    # next (maintain-triggered) compaction would physically purge them.
+    # A takedown that must survive rebuilds is applied to the rebuild's
+    # INPUT (see delete_from_ivf_index's takedown-scope note).
+    fs.delete(jvm.org.apache.hadoop.fs.Path(root, "deletes"), True)
     # stamp the format LAST, then drop the sentinel: a post-r14 index is
     # born format-2 (content-bearing markers only — the appender skips
     # the legacy id-only token check outright)
@@ -1432,14 +1460,30 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
                 "(silently lost on its swap).  Wait for the compaction, "
                 "or if it crashed, re-run compact_index(repair=True) "
                 "or delete _compacting by hand, then retry.")
+        if fs.exists(hpath(root, "_rebuilding")):
+            # re-checked AFTER our intent exists (r14 review — same
+            # Dekker ordering as the compaction interlock): the
+            # top-of-function check races a rebuild that claims its
+            # sentinel between our check and our intent create;
+            # write_ivf_index checks intents after its sentinel, so
+            # whichever claim lands second backs off here or there.
+            fs.delete(intent, False)
+            raise RuntimeError(
+                f"append_to_ivf_index: a rebuild of {path} claimed the "
+                "index while this append was starting (_rebuilding "
+                "marker) — retry after the rebuild completes.")
         if fs.exists(hpath(root, "deletes")):
             # takedown interplay (r14): appended rows whose ids carry a
             # pending tombstone land in the partitions but stay
             # invisible to probes — make that observable, not silent
             dels = spark.read.parquet(path + "/deletes") \
                 .select(F.col(id_col)).distinct()
+            # no forced broadcast (r14 review): after a mass takedown
+            # the tombstone set can exceed the broadcast limit, and a
+            # diagnostic warning must never fail the append — AQE
+            # broadcasts the small case by itself
             bad = [r[0] for r in new_vectors
-                   .join(F.broadcast(dels), id_col, "left_semi")
+                   .join(dels, id_col, "left_semi")
                    .select(id_col).limit(5).collect()]
             if bad:
                 import warnings
@@ -1845,7 +1889,9 @@ def undelete_from_ivf_index(spark, path: str, ids,
             return 0
         cur = spark.read.parquet(path + "/deletes") \
             .select(F.col(id_col)).distinct()
-        kept = cur.join(F.broadcast(lift), id_col, "left_anti")
+        # no forced broadcast: the lift set is caller-sized (a mass
+        # undelete can be arbitrarily large); AQE picks the strategy
+        kept = cur.join(lift, id_col, "left_anti")
         n_before = cur.count()
         n_kept = kept.count()
         if n_kept == n_before:
@@ -2073,6 +2119,15 @@ def compact_index(spark, path: str, files: int = 16,
         "re-run with repair=True to finish/roll back its swap "
         "and retry.")
     try:
+        if fs.exists(_hp("_rebuilding")):
+            # r14 review: the one structural op that skipped this check
+            # — compacting a half-rebuilt index would bless partial
+            # /vectors against a stale centroid table AND destroy the
+            # purge-pending tombstones
+            raise RuntimeError(
+                f"compact_index: a rebuild of {path} is in flight or "
+                "died before completing (_rebuilding marker) — re-run "
+                "write_ivf_index to completion first.")
         for st in fs.listStatus(root):
             if st.getPath().getName().startswith("_appending_"):
                 raise RuntimeError(

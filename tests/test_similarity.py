@@ -1849,3 +1849,43 @@ def test_tombstones_survive_split_and_merge(spark, tmp_path):
     similarity.compact_index(spark, path)
     assert spark.read.parquet(path + "/vectors").count() == rows - 1
     assert not _os.path.exists(f"{path}/deletes")
+
+
+def test_rebuild_structural_interlocks_and_tombstone_reset(
+        spark, clustered, tmp_path):
+    """r14 review findings: write_ivf_index refuses while a structural
+    rewrite or an append holds the index (its overwrites would
+    interleave with their renames); compact_index refuses on a
+    half-rebuilt index (_rebuilding); and a completed rebuild clears
+    stale tombstones — the rebuild's input corpus is authoritative."""
+    import os as _os
+    vecs = clustered.select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    similarity.write_ivf_index(vecs, path, n_centroids=4, seed=42,
+                               quantized=True)
+    # rebuild refuses while _compacting stands, and backs off cleanly
+    open(f"{path}/_compacting", "w").close()
+    with pytest.raises(RuntimeError, match="cannot rebuild"):
+        similarity.write_ivf_index(vecs, path, n_centroids=4, seed=42,
+                                   quantized=True)
+    assert not _os.path.exists(f"{path}/_rebuilding")  # claim released
+    _os.remove(f"{path}/_compacting")
+    # rebuild refuses on an in-flight append intent
+    open(f"{path}/_appending_deadbeef_5", "w").close()
+    with pytest.raises(RuntimeError, match="append in flight"):
+        similarity.write_ivf_index(vecs, path, n_centroids=4, seed=42,
+                                   quantized=True)
+    _os.remove(f"{path}/_appending_deadbeef_5")
+    # compact refuses on a half-rebuilt index
+    open(f"{path}/_rebuilding", "w").close()
+    with pytest.raises(RuntimeError, match="rebuild of"):
+        similarity.compact_index(spark, path)
+    assert not _os.path.exists(f"{path}/_compacting")
+    _os.remove(f"{path}/_rebuilding")
+    # a rebuild clears stale tombstones: the fresh corpus is live
+    first = sorted(r.vec_id for r in vecs.limit(1).collect())
+    assert similarity.delete_from_ivf_index(spark, path, first) == 1
+    similarity.write_ivf_index(vecs, path, n_centroids=4, seed=42,
+                               quantized=True)
+    assert not _os.path.exists(f"{path}/deletes")
+    assert similarity.index_stats(spark, path)["pending_deletes"] == 0
