@@ -16,32 +16,92 @@ prefix-postings x suffix-window-postings joined on the k-mer, then
 verified with a substring-equality filter — the same candidates/verify
 split as src/Brush/MatchPrefix.java:120-174 + src/Brush/VerifyOverlap.java:287-309.
 
+r14 physical rework (measured at sf0.1, 150k reads, local[32]: old
+two-pass shape 295 executor-CPU-s / 912 MB shuffled / ~17 s wall ->
+new single-exchange JVM shape 130 CPU-s / 96 MB / ~10 s wall,
+identical output — see OPTIMIZATION_r14.md):
+
+- ONE posting-generation pass emits prefix AND suffix-window postings
+  together (``ov = 0`` tags the prefix posting), instead of two
+  independent explode pipelines whose exchanges column-pruning then
+  specialized apart — the old plan generated + shuffled the ~200x
+  window explosion twice and re-read it a third time for the hot-key
+  count (guide §2.4: remove shuffles outright).
+- The DEFAULT generation pass is a pure-JVM expression pipeline
+  (posexplode over substring windows + xxhash64).  An Arrow
+  ``mapInArrow`` kernel (numpy rolling polynomial hash over the flat
+  Arrow string buffer, guide §4.2) is available via ``use_arrow=True``:
+  it nearly halves JVM executor CPU (130 -> 75 CPU-s at sf0.1) but
+  pays a fixed per-task Python-worker latency (fork + numpy/pyarrow
+  import + first-batch warmup, measured ~7 s/task cold on a loaded
+  host) that the short local tasks cannot amortize — wall 20-37 s vs
+  10 s, so the JVM path is the default.  The kernel is the right
+  choice only where tasks are long enough to amortize worker startup
+  (many batches per task) AND executor CPU is the binding resource.
+  The JVM path also handles non-ASCII sequence alphabets.
+- Optional broadcast SEMI prefilter (``prefilter=True``): suffix
+  windows whose seed k-mer matches NO read prefix can never produce a
+  candidate, so the big side is pre-filtered against the distinct
+  prefix-key set before the exchange (guide §3.2 Bloom/semi-join
+  pre-filtering; 585 MB -> 74 MB shuffled at sf0.1).  The prefix-key
+  set is 2 keys/read — broadcastable up to ~10^8 reads; pass
+  ``prefilter=False`` beyond that (the single-exchange shape above
+  still holds; only the exchange carries all windows again).
+- The per-key cap guard is a streaming window count OVER THE JOIN'S OWN
+  EXCHANGE (sorted once, counted in one pass), replacing the separate
+  full-posting count aggregate + union-of-counts regroup + broadcast
+  hot-list anti-join.  Same drop-whole-key semantics, zero extra
+  shuffles, no 10^7-entry aggregate hash table.
+- The candidate join is a SELF-join of the capped frame on the seed key
+  with the prefix/suffix split expressed in the JOIN CONDITION
+  (``p.ov = 0 AND s.ov > 0``), so both children are canonically
+  identical and exchange reuse is structural, not an optimizer
+  accident.  ``shuffle_hash`` pin as before: posting tables must never
+  be broadcast (Generate-estimate regression, test_plans.py).
+
 100 TB scale levers, all load-bearing (SURVEY §7 risk 4):
-- high-frequency k-mer blacklist applied BEFORE the join (broadcast
-  anti-join; mirrors src/Brush/MatchPrefix.java:155-158) — removes the
-  repeat-induced hot keys that would otherwise dominate the shuffle;
+- high-frequency k-mer blacklist applied BEFORE the join (mirrors
+  src/Brush/MatchPrefix.java:155-158) — removes the repeat-induced hot
+  keys that would otherwise dominate the shuffle;
 - homopolymer seed windows dropped (src/Brush/MatchPrefix.java:163,170);
-- NON-OPTIONAL per-key cap: over-cap seed keys found by groupBy-count and
-  dropped whole via broadcast anti-join (src/Brush/MatchPrefix.java:366-380)
-  — bounds worst-case join fan-out without ever windowing on the hot key;
+- NON-OPTIONAL per-key cap (src/Brush/MatchPrefix.java:366-380): keys
+  whose total posting count exceeds ``per_key_cap`` are dropped whole by
+  the streaming window count — never a whole hot posting list in one
+  hash-table build;
 - AQE skew-join handles residual imbalance.
+
+Key-hashing note: seed keys are hashed to 64-bit integers before the
+exchange (a 24-char UTF8 k-mer is ~3x the bytes of a long and far
+slower to hash/compare).  The JVM path uses xxhash64, the Arrow kernel
+a polynomial rolling hash mod 2^64 — each path is self-consistent, and
+the two accepted 2^-64-scale collision modes are unchanged from r13: a
+JOIN-side collision only creates a false candidate that the exact J2
+verify rejects; a CAP-side collision merges two keys' counts and can
+drop an innocent key whole (documented, bounded).  With the Arrow path
+the blacklist is matched by hash as well (same collision class); the
+JVM path keeps the string-level blacklist anti-join.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cloudbrush_spark.functions import dna
+
+# Polynomial rolling-hash multiplier for the Arrow kernel (odd, so x*B is
+# a bijection mod 2^64); FNV-1a's 64-bit prime.
+_POLY_B = 1099511628211
 
 
 def _oriented(seq_col, d_col):
     return F.when(d_col == "f", seq_col).otherwise(dna.rc(seq_col))
 
 
-def _postings(nodes: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
-    """(prefix_postings, suffix_postings) over both orientations."""
-    both = nodes.select(
+def _oriented_both(nodes: DataFrame) -> DataFrame:
+    """(node_id, d, oseq) for both orientations; null sequences dropped
+    (they generate no postings in any path)."""
+    return nodes.filter(F.col("seq").isNotNull()).select(
         "node_id",
         F.explode(F.array(
             F.struct(F.lit("f").alias("d"), F.col("seq").alias("oseq")),
@@ -49,6 +109,12 @@ def _postings(nodes: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
         )).alias("o"),
     ).select("node_id", F.col("o.d").alias("d"), F.col("o.oseq").alias("oseq"))
 
+
+def _postings(nodes: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """(prefix_postings, suffix_postings) over both orientations — the
+    string-kmer two-pass form; the JVM fallback path and the string-level
+    noise-filter tests build on it."""
+    both = _oriented_both(nodes)
     prefixes = both.select(
         F.substring("oseq", 1, k).alias("kmer"), "node_id", "d"
     )
@@ -65,7 +131,8 @@ def _postings(nodes: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
 
 
 def _drop_noise_keys(postings: DataFrame, k: int, high_kmers: DataFrame | None) -> DataFrame:
-    """Homopolymer + high-frequency seed removal (skew control)."""
+    """Homopolymer + high-frequency seed removal (skew control) at the
+    string level — the JVM fallback's filter."""
     homopolymers = [c * k for c in "ACGT"]
     out = postings.filter(~F.col("kmer").isin(homopolymers))
     if high_kmers is not None:
@@ -73,87 +140,239 @@ def _drop_noise_keys(postings: DataFrame, k: int, high_kmers: DataFrame | None) 
     return out
 
 
+def _poly_hash_bytes(data: bytes) -> int:
+    """Driver-side twin of the kernel's rolling hash (whole-byte-string
+    form, used for the homopolymer / blacklist exclusion constants).
+    Returns the SIGNED 64-bit value (Spark LongType convention)."""
+    acc = 0
+    for b in data:
+        acc = (acc * _POLY_B + b) & 0xFFFFFFFFFFFFFFFF
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+
+def _roll_hash_batch(batch, k: int, np, prefix_only: bool = False):
+    """All-window polynomial hashes for the batch's ``oseq`` column,
+    vectorized over the FLAT Arrow string buffer (one contiguous byte
+    run + offsets — guide §4.2's re-slicing property).
+
+    Returns ``(hash[int64 view], ov[int32], row_idx)`` where ``ov = 0``
+    tags the prefix window (start 1) and interior windows carry
+    ``ov = len - start + 1`` (>= k by construction); rows shorter than k
+    contribute their single short prefix window, hashed over the bytes
+    they have (matching ``substring(oseq, 1, k)`` on a short string).
+    """
+    import pyarrow as pa
+    arr = batch.column("oseq")
+    if isinstance(arr, pa.ChunkedArray):  # pragma: no cover - RecordBatch cols are flat
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    if bufs[0] is not None and arr.null_count:
+        raise ValueError("null oseq reached the posting kernel "
+                         "(_oriented_both filters them)")
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        off = np.frombuffer(bufs[1], dtype=np.int64,
+                            count=len(arr) + 1, offset=arr.offset * 8)
+    else:
+        off = np.frombuffer(bufs[1], dtype=np.int32,
+                            count=len(arr) + 1,
+                            offset=arr.offset * 4).astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    if data.size and int(data.max()) > 127:
+        raise ValueError(
+            "non-ASCII sequence bytes: byte windows != char windows; "
+            "call match_prefix(use_arrow=False) for this input")
+    n = int(off[-1])
+    H = np.zeros(max(n - k + 1, 0), dtype=np.uint64)
+    if H.shape[0]:
+        dd = data[:n].astype(np.uint64)
+        for j in range(k):
+            # byte at window offset j carries B^(k-1-j); powers are
+            # reduced mod 2^64 in exact Python ints so the vectorized
+            # multiply wraps silently (unsigned array ops don't warn)
+            p = np.uint64(pow(_POLY_B, k - 1 - j, 1 << 64))
+            H += dd[j:j + H.shape[0]] * p
+
+    def _short(row: int, start_local: int) -> np.uint64:
+        seg = data[off[row] + start_local:off[row + 1]]
+        acc = 0
+        for b in seg[:k]:
+            acc = (acc * _POLY_B + int(b)) & 0xFFFFFFFFFFFFFFFF
+        return np.uint64(acc)
+
+    L = np.diff(off)
+    if prefix_only:
+        starts = off[:-1]
+        h = np.empty(len(L), dtype=np.uint64)
+        okm = (L >= k) & (starts <= (n - k))
+        h[okm] = H[starts[okm]]
+        for r in np.nonzero(~okm)[0]:
+            h[r] = _short(int(r), 0)
+        return h.view(np.int64), None, np.arange(len(L))
+    nw = np.maximum(L - k + 1, 1).astype(np.int64)
+    tot = int(nw.sum())
+    row_idx = np.repeat(np.arange(len(L)), nw)
+    ends = np.cumsum(nw)
+    local_i = np.arange(tot, dtype=np.int64) - np.repeat(ends - nw, nw)
+    gpos = off[row_idx] + local_i
+    okm = (local_i + k <= L[row_idx]) & (gpos <= (n - k))
+    h = np.empty(tot, dtype=np.uint64)
+    h[okm] = H[gpos[okm]]
+    for t in np.nonzero(~okm)[0]:
+        h[t] = _short(int(row_idx[t]), int(local_i[t]))
+    ov = np.where(local_i == 0, 0, L[row_idx] - local_i).astype(np.int32)
+    return h.view(np.int64), ov, row_idx
+
+
+def _arrow_postings(both: DataFrame, k: int, excl_hashes) -> DataFrame:
+    """Single-pass posting generation (node_id, d, khash, ov) via the
+    numpy rolling-hash kernel; ``excl_hashes`` (sorted int64 ndarray
+    broadcast) drops homopolymer / blacklisted seed keys in-kernel."""
+    id_type = dict(both.dtypes)["node_id"]
+    schema = f"node_id {id_type}, d string, khash long, ov int"
+    excl_bc = both.sparkSession.sparkContext.broadcast(excl_hashes)
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        excl = excl_bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            h, ov, row_idx = _roll_hash_batch(batch, k, np)
+            keep = ~np.isin(h, excl)
+            h, ov, row_idx = h[keep], ov[keep], row_idx[keep]
+            idx = pa.array(row_idx)
+            yield pa.record_batch(
+                [batch.column("node_id").take(idx),
+                 batch.column("d").take(idx),
+                 pa.array(h), pa.array(ov)],
+                names=["node_id", "d", "khash", "ov"])
+
+    return both.select("node_id", "d", "oseq").mapInArrow(gen, schema)
+
+
+def _arrow_prefix_keys(both: DataFrame, k: int, excl_hashes) -> DataFrame:
+    """Distinct prefix-window hashes (the semi-prefilter's build side),
+    via the same kernel in prefix-only mode — 2 keys/read, cheap."""
+    excl_bc = both.sparkSession.sparkContext.broadcast(excl_hashes)
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        excl = excl_bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            h, _, _ = _roll_hash_batch(batch, k, np, prefix_only=True)
+            h = h[~np.isin(h, excl)]
+            yield pa.record_batch([pa.array(h)], names=["khash"])
+
+    return both.select("oseq").mapInArrow(gen, "khash long").distinct()
+
+
+def _arrow_available() -> bool:
+    try:  # pragma: no cover - trivially environment-dependent
+        import numpy  # noqa: F401
+        import pyarrow  # noqa: F401
+        return True
+    except ImportError:  # pragma: no cover
+        return False
+
+
 def match_prefix(nodes: DataFrame, k: int, high_kmers: DataFrame | None = None,
-                 per_key_cap: int = 2000) -> DataFrame:
+                 per_key_cap: int = 2000, prefilter: bool = True,
+                 use_arrow: bool = False) -> DataFrame:
     """J1: candidate overlap edges (src, d1, dst, d2, ov), maximal ov per
     oriented pair.
 
-    The skew guard is NON-OPTIONAL: whether or not a precomputed
-    ``high_kmers`` blacklist is supplied, seed keys whose posting count
-    exceeds ``per_key_cap`` are detected with a groupBy-count (map-side
-    partials, skew-proof) and removed via broadcast anti-join — dropped
-    whole.  Documented deviations from the reference reducer
-    (src/Brush/MatchPrefix.java:366-380), both deliberate:
+    The skew guard is NON-OPTIONAL when no precomputed ``high_kmers``
+    blacklist is supplied: seed keys whose total posting count exceeds
+    ``per_key_cap`` are dropped whole by a streaming window count over
+    the join's own exchange.  Documented deviations from the reference
+    reducer (src/Brush/MatchPrefix.java:366-380), both deliberate:
 
     - the reference keeps the TOP ``UP_KMER`` candidates per key by
       descending overlap instead of dropping the key; that per-key
-      sorted top-K is exactly the window-over-the-hot-key this operator
-      refuses (the hot key's whole posting list in one task).  With the
-      P3 blacklist active the reference's own count cutoff removes such
-      keys before this point anyway.
+      sorted top-K is exactly the hot-key pile-up this operator refuses.
+      With the P3 blacklist active the reference's own count cutoff
+      removes such keys before this point anyway.
     - the reference's ``LOW_KMER`` minimum (skip keys with <= LowKmer
       candidate edges, default 1 — a pre-verify noise heuristic) is not
       applied: the exact J2 substring verification already rejects
       every spurious candidate, so the minimum only changes which TRUE
       single-candidate edges survive, and dropping true edges is the
       wrong default for a verified pipeline.
+
+    ``prefilter=True`` (default) semi-joins the posting stream against
+    the broadcast distinct prefix-key set before the exchange: suffix
+    windows matching no read prefix cannot produce candidates, so
+    dropping them is invisible in the output — including to the cap
+    guard, whose drops are only observable on keys that join.  The
+    prefix-key set is 2/read; beyond ~10^8 reads pass
+    ``prefilter=False`` (16 GB broadcasts don't fly) and the identical
+    single-exchange plan simply carries all windows.
+
+    ``use_arrow=False`` (default) runs the pure-JVM expression path —
+    fastest measured end-to-end at bench scale and the path for
+    non-ASCII sequence alphabets.  ``use_arrow=True`` opts in to the
+    numpy ``mapInArrow`` kernel: ~1.7x less executor CPU but a fixed
+    per-task Python-worker latency; see the module docstring for the
+    measured tradeoff.
     """
-    prefixes, suffixes = _postings(nodes, k)
-    prefixes = _drop_noise_keys(prefixes, k, high_kmers)
-    suffixes = _drop_noise_keys(suffixes, k, high_kmers)
-    # Hash the seed key BEFORE anything shuffles: a 24-char UTF8 k-mer is
-    # ~3x the bytes of a long and far slower to hash/compare in the
-    # exchange, the aggregate and the join probe (measured: the hot-key
-    # aggregate alone dropped ~10x CPU at sf0.1).  xxhash64 is
-    # deterministic; on the JOIN side a collision can only create a FALSE
-    # candidate, which the exact J2 substring verify then rejects — the
-    # same candidates-then-verify contract the reference relies on.  On
-    # the self-derived HOT-KEY side (high_kmers is None below) a collision
-    # additionally merges two distinct k-mers' posting counts, which can
-    # push an innocent key over per_key_cap and drop its TRUE edges whole
-    # — a loss verification cannot repair.  That mode needs two k-mers
-    # colliding in a 64-bit space AND their combined count crossing the
-    # cap, ~2^-64-scale per key pair: an accepted, bounded risk (the P3
-    # blacklist path hashes after thresholding and is unaffected).  The
-    # string-level filters (homopolymer, P3 blacklist) above run at
-    # posting-generation time, before the hash.
-    prefixes = prefixes.select(
-        F.xxhash64("kmer").alias("khash"), "node_id", "d")
-    suffixes = suffixes.select(
-        "node_id", "d", F.xxhash64("kmer").alias("khash"), "ov")
-    if high_kmers is None:
-        # No precomputed blacklist (P3) supplied: derive it from the posting
-        # tables themselves.  Both tables are repartitioned on the hashed
-        # seed key FIRST so the hot-key aggregate and the candidate join
-        # consume the SAME exchange (ReuseExchange): the ~200x-exploded
-        # posting generation and its shuffle run once, not once per
-        # consumer — the guard's cost collapses to one extra read of an
-        # exchange the join needs anyway.  The aggregate needs no second
-        # shuffle (already hash-distributed on its grouping key), and the
-        # broadcast anti-join between exchange and join preserves the
-        # distribution.  Callers with a P3 blacklist (the assembler) skip
-        # this: their threshold already bounds every surviving key.
-        suffixes = suffixes.repartition(F.col("khash"))
-        prefixes = prefixes.repartition(F.col("khash"))
-        hot = (
-            suffixes.groupBy("khash").count()
-            .unionByName(prefixes.groupBy("khash").count())
-            .groupBy("khash").agg(F.sum("count").alias("count"))
-            .filter(F.col("count") > per_key_cap)
-            .select("khash")
+    if not use_arrow or not _arrow_available():
+        use_arrow = False
+    both = _oriented_both(nodes)
+    if use_arrow:
+        excl = [_poly_hash_bytes((c * k).encode()) for c in "ACGT"]
+        if high_kmers is not None:
+            # blacklist is broadcast-small by contract (P3 threshold);
+            # hash it driver-side so the kernel excludes it in-stream
+            excl += [_poly_hash_bytes(r[0].encode())
+                     for r in high_kmers.select("kmer").collect()]
+        import numpy as np
+        excl_arr = np.sort(np.array(sorted(set(excl)), dtype=np.int64))
+        un = _arrow_postings(both, k, excl_arr)
+        pref_keys = (_arrow_prefix_keys(both, k, excl_arr)
+                     if prefilter else None)
+    else:
+        prefixes, suffixes = _postings(nodes, k)
+        prefixes = _drop_noise_keys(prefixes, k, high_kmers)
+        suffixes = _drop_noise_keys(suffixes, k, high_kmers)
+        un = (
+            prefixes.select("node_id", "d", F.xxhash64("kmer").alias("khash"),
+                            F.lit(0).alias("ov"))
+            .unionByName(suffixes.select(
+                "node_id", "d", F.xxhash64("kmer").alias("khash"),
+                F.col("ov").cast("int").alias("ov")))
         )
-        suffixes = suffixes.join(F.broadcast(hot), "khash", "left_anti")
-        prefixes = prefixes.join(F.broadcast(hot), "khash", "left_anti")
-    # Explicit shuffle-hash join: both posting tables are explode-multiplied,
-    # and Catalyst's Generate estimate is the CHILD's size, so the planner
-    # will happily broadcast a multi-GiB posting side if the stats look
-    # small (observed: 5 GiB broadcast at sf0.1).  Postings are never
-    # broadcastable at scale — pin the strategy; build on the sparser
-    # prefix side (2 postings/read vs ~len-k/read).
+        pref_keys = (prefixes.select(F.xxhash64("kmer").alias("khash"))
+                     .distinct() if prefilter else None)
+    if pref_keys is not None:
+        un = un.join(F.broadcast(pref_keys), "khash", "semi")
+    # ONE exchange on the hashed seed key feeds the cap guard AND both
+    # sides of the candidate self-join (exchange reuse is structural:
+    # the branches are the same frame).
+    un_sh = un.repartition(F.col("khash"))
+    if high_kmers is None:
+        w = Window.partitionBy("khash")
+        flt = un_sh.withColumn("tot", F.count(F.lit(1)).over(w)) \
+            .filter(F.col("tot") <= per_key_cap).drop("tot")
+    else:
+        flt = un_sh
+    # Self-join on the seed key with the prefix/suffix split in the JOIN
+    # CONDITION (not pre-filtered branches): both children stay
+    # canonically identical, so the exchange above is planned once.
+    # Explicit shuffle-hash: posting tables are explode-multiplied and
+    # Catalyst's Generate estimate is the CHILD's size, so the planner
+    # would happily broadcast a multi-GiB posting side (observed: 5 GiB
+    # at sf0.1).  Postings are never broadcastable at scale — pin the
+    # strategy; build on the sparser prefix side (2 postings/read).
+    s = flt.alias("s")
+    p = flt.alias("p").hint("shuffle_hash")
     cand = (
-        suffixes.alias("s")
-        .join(prefixes.alias("p").hint("shuffle_hash"), "khash")
-        .filter(F.col("s.node_id") != F.col("p.node_id"))
+        s.join(p, (F.col("s.khash") == F.col("p.khash"))
+               & (F.col("p.ov") == 0) & (F.col("s.ov") > 0)
+               & (F.col("s.node_id") != F.col("p.node_id")))
         .select(
             F.col("s.node_id").alias("src"),
             F.col("s.d").alias("d1"),

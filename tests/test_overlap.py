@@ -110,3 +110,23 @@ def test_homopolymer_seeds_dropped(spark):
     filtered = overlap._drop_noise_keys(suffixes, 6, None)
     kept = {r.kmer for r in filtered.collect()}
     assert "AAAAAA" not in kept and "TTTTTT" not in kept
+
+
+@pytest.mark.skipif(not overlap._arrow_available(), reason="numpy/pyarrow absent")
+def test_arrow_kernel_matches_jvm_path(spark):
+    """r14: the default flipped to the pure-JVM expression path; the
+    opt-in Arrow kernel must stay byte-equivalent — same candidates
+    (incl. cap semantics), same edges, including blacklist handling
+    (string anti-join vs in-kernel hash exclusion) and short reads."""
+    genome = "ACGGTCATTACGGAGCTTAGCAATCGGATCCA"
+    rows = [(f"r{i}", genome[i:i + 14]) for i in range(0, 18, 3)]
+    rows.append(("tiny", "ACG"))  # shorter than k: prefix-window edge case
+    nodes = make_nodes(spark, [(n, s, 1.0) for n, s in rows])
+    hk = spark.createDataFrame([("GGTCA",), ("TGACC",)], "kmer string")
+    for kwargs in ({}, {"prefilter": False}, {"high_kmers": hk},
+                   {"per_key_cap": 3}):
+        jvm = overlap.match_prefix(nodes, K, use_arrow=False, **kwargs)
+        arr = overlap.match_prefix(nodes, K, use_arrow=True, **kwargs)
+        a = {tuple(r) for r in jvm.collect()}
+        b = {tuple(r) for r in arr.collect()}
+        assert a == b, f"arrow != jvm for {kwargs}"
