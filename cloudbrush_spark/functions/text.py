@@ -116,14 +116,24 @@ def upper_ratio(col: Column | str) -> Column:
 
 def stopword_ratio(col: Column | str) -> Column:
     """Fraction of tokens that are English stopwords."""
-    tok = tokens(col)
+    return stopword_ratio_from_tokens(tokens(col))
+
+
+def stopword_ratio_from_tokens(tok: Column) -> Column:
+    """``stopword_ratio`` over an already-tokenized array (the threading
+    variant — see ``fingerprint_from_tokens``)."""
     per_tok = F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS_EN)))
     n = F.size(tok)
     return F.when(n == 0, F.lit(0.0)).otherwise(per_tok / n)
 
 
 def mean_word_len(col: Column | str) -> Column:
-    tok = tokens(col)
+    return mean_word_len_from_tokens(tokens(col))
+
+
+def mean_word_len_from_tokens(tok: Column) -> Column:
+    """``mean_word_len`` over an already-tokenized array (threading
+    variant)."""
     n = F.size(tok)
     total = F.aggregate(tok, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.when(n == 0, F.lit(0.0)).otherwise(total / n)

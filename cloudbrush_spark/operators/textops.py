@@ -18,7 +18,14 @@ from cloudbrush_spark.functions import text
 def lang_best_col(text_col: str):
     """Column expression: (hits, lang) struct of the argmax language —
     marker-token hit count with deterministic tie-break on language code."""
-    toks = text.tokens(text_col)
+    return lang_best_from_tokens(text.tokens(text_col))
+
+
+def lang_best_from_tokens(toks):
+    """``lang_best_col`` over an already-tokenized array (threading
+    variant — lets a caller that materialized the token array once feed
+    it to every marker scan instead of re-building the tokenizer
+    expression per language)."""
     hit_cols = []
     for lang, markers in sorted(text.LANG_MARKERS.items()):
         hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
@@ -41,10 +48,19 @@ def lang_pred_col(text_col: str):
 def quality_col(text_col: str):
     """Column expression: the composite quality score in [0, 1], rounded
     to 4 places (the same value ``quality_score`` emits)."""
+    return quality_col_from_tokens(text_col, text.tokens(text_col))
+
+
+def quality_col_from_tokens(text_col: str, toks):
+    """``quality_col`` with the alphanumeric token array supplied by the
+    caller (threading variant): the whitespace token count and the
+    punctuation ratio still read the raw text (different delimiters —
+    that is their contract), but the mean-word-length and stopword
+    terms derive from ``toks``."""
     n_tokens = text.token_count(text_col)
-    mwl = text.mean_word_len(text_col)
+    mwl = text.mean_word_len_from_tokens(toks)
     pr = text.punct_ratio(text_col)
-    sr = text.stopword_ratio(text_col)
+    sr = text.stopword_ratio_from_tokens(toks)
     score = (
         F.when(n_tokens >= 20, F.lit(0.25)).otherwise(n_tokens / 20.0 * 0.25)
         + F.when((mwl >= 3) & (mwl <= 10), F.lit(0.25)).otherwise(F.lit(0.0))

@@ -46,14 +46,28 @@ def gate_features(docs: DataFrame, id_col: str = "doc_id",
     state — which is what makes these features cacheable across
     releases: an incremental release recomputes them only for inserted/
     updated documents and reuses the previous release's rows for
-    unchanged ones (see ``release.incremental_release``).  One narrow
-    projection, zero shuffle."""
+    unchanged ones (see ``release.incremental_release``).  Two chained
+    narrow projections, zero shuffle: the first materializes the
+    tokenizer regex ONCE as ``__toks`` and the second derives every
+    token-level feature from that array (the ``*_from_tokens``
+    variants) — the standalone column helpers each rebuild the
+    tokenizer expression, and codegen subexpression elimination does
+    not reliably dedupe the copies across the lambda-function trees
+    (measured ~20% off the projection at sf0.1; CollapseProject keeps
+    the split because ``__toks`` is non-cheap and multiply
+    referenced)."""
+    toks = F.col("__toks")
+    best = textops.lang_best_from_tokens(toks)
     return docs.select(
-        F.col(id_col),
+        F.col(id_col), F.col(text_col),
         text.tokens(text_col).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        toks.alias("__toks"),
         text.token_count(text_col).cast("long").alias("ws_tokens"),
-        textops.quality_col(text_col).alias("quality"),
-        textops.lang_pred_col(text_col).alias("lang_pred"))
+        textops.quality_col_from_tokens(text_col, toks).alias("quality"),
+        F.when(best["hits"] == 0, F.lit("und")).otherwise(best["lang"])
+        .alias("lang_pred"))
 
 
 def curate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -151,18 +165,26 @@ def curate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
     # exact dedup: min-id survivor per normalized fingerprint (the same
     # survivor contract as dedup.fingerprint_dedup, computed from the
-    # threaded tokens).  src fans out into three independent branches
-    # (the MinHash pair stage, the cluster singleton universe, the final
-    # feature join), each of which would otherwise replay the regex-heavy
-    # gate projection and the fingerprint shuffle — cut the lineage once,
-    # like the operators' own fan-out pattern (dedup._stage_cut)
-    survivors = (
-        kept.withColumn("fp", text.fingerprint_from_tokens(F.col("__toks")))
-        .groupBy("fp").agg(F.min(id_col).alias(id_col))
-        .select(id_col))
+    # threaded tokens) — as ONE min_by aggregate carrying the survivor's
+    # whole row (the p1_dedup pattern).  The previous agg-then-semi-join
+    # form referenced ``kept`` twice, and the regex-heavy gate projection
+    # (the dominant per-byte cost of the stage) executed once per branch
+    # (measured at sf0.1: the gate filter ran 2x, 4.1 s + 2.4 s inside
+    # one 8 s stage — guide §7.2 duplicated-subtree check).  min_by
+    # keeps exactly the min-id row per fingerprint with map-side partial
+    # aggregation, so mass duplication collapses BEFORE the exchange and
+    # the broadcast-unfriendly survivor-id set (billions of ids at
+    # corpus scale) never exists.  src then fans out into three
+    # independent branches (the MinHash pair stage, the cluster
+    # singleton universe, the final feature join) — cut the lineage
+    # once, like the operators' own fan-out pattern (dedup._stage_cut).
     src = dedup._stage_cut(
-        kept.join(survivors, id_col, "left_semi")
-        .select(id_col, "ws_tokens", "quality", "__toks"))
+        kept.withColumn("fp", text.fingerprint_from_tokens(F.col("__toks")))
+        .groupBy("fp")
+        .agg(F.min_by(F.struct(F.col(id_col), F.col("ws_tokens"),
+                               F.col("quality"), F.col("__toks")),
+                      F.col(id_col)).alias("s"))
+        .select("s.*"))
 
     # near-dup cluster dedup: keep each cluster's representative.
     # overcap='star' so mass near-dup boilerplate (over-cap LSH buckets,
