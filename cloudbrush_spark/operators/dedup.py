@@ -288,22 +288,39 @@ def minhash_dedup_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
 
     Output: (a, b, jaccard) pairs above threshold, a < b.
     """
+    # the RAW shingle stream, not the distinct set: the signature
+    # aggregate is multiset-invariant (min over duplicates == min over
+    # the set) and the Jaccard verify re-distincts AFTER the candidate
+    # filter, so the corpus-width distinct exchange here bought nothing
+    # (r14, guide §2.4 — one full-width shuffle removed)
+    stream = docs.select(
+        F.col(id_col),
+        F.explode(text.word_shingles(text.tokens(text_col), shingle_n))
+        .alias("sh"))
     return minhash_dedup_pairs_from_shingles(
-        _shingle_sets(docs, id_col, text_col, shingle_n), id_col=id_col,
+        stream, id_col=id_col,
         num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
-        jaccard_threshold=jaccard_threshold, overcap=overcap)
+        jaccard_threshold=jaccard_threshold, overcap=overcap,
+        shingles_distinct=False)
 
 
 def minhash_dedup_pairs_from_shingles(shingles: DataFrame, id_col: str = "doc_id",
                                       num_hashes: int = 16,
                                       bands: int = 4, rows_per_band: int = 4,
                                       jaccard_threshold: float = 0.5,
-                                      overcap: str = "drop") -> DataFrame:
-    """``minhash_dedup_pairs`` over a PREPARED distinct (id, sh) shingle
-    frame — the threading entry for pipelines (curation) that already
+                                      overcap: str = "drop",
+                                      shingles_distinct: bool = True) -> DataFrame:
+    """``minhash_dedup_pairs`` over a PREPARED (id, sh) shingle frame —
+    the threading entry for pipelines (curation) that already
     materialized the token stream in an earlier stage and shingle from it
     directly, so the tokenizer regex runs once per document across the
     whole composite instead of once per stage.
+
+    ``shingles_distinct=False`` declares the frame a raw shingle STREAM
+    (duplicates possible).  The signature aggregate is multiset-invariant
+    either way; the exact-Jaccard verify then re-distincts AFTER the
+    candidate filter (candidate-width), so callers should NOT pay a
+    corpus-width distinct up front (r14).
 
     The shingle frame feeds both the signature aggregate and the exact-
     Jaccard verification — persisted here so it evaluates once.
@@ -332,10 +349,39 @@ def minhash_dedup_pairs_from_shingles(shingles: DataFrame, id_col: str = "doc_id
         # banding pipeline re-executes once per branch (measured 2-3x)
         cands = _stage_cut(lsh_candidate_pairs(sigs, id_col, bands,
                                                rows_per_band, overcap=overcap))
-        jac = _jaccard_for_pairs(shingles, cands, id_col)
+        sh_v = _candidate_shingles(shingles, cands, id_col)
+        if not shingles_distinct:
+            # the verify math needs SET semantics (sizes, intersections);
+            # after the candidate filter this distinct is candidate-width
+            sh_v = sh_v.distinct()
+        jac = _jaccard_for_pairs(sh_v, cands, id_col)
         return _stage_cut(jac.filter(F.col("jaccard") >= jaccard_threshold))
     finally:
         shingles.unpersist()
+
+
+def _candidate_shingles(sh: DataFrame, cands: DataFrame,
+                        id_col: str) -> DataFrame:
+    """Restrict a shingle table to the documents named by a MATERIALIZED
+    candidate-pair frame before the exact-Jaccard verify joins.
+
+    ``_jaccard_for_pairs`` only ever consumes shingle rows of docs that
+    appear in the pair set (every reference is an inner join keyed on
+    a/b), so the filter is output-invisible — but without it the verify's
+    size aggregate and both intersection joins each EXCHANGE the full
+    corpus-width shingle table (guide §2.3: shuffle candidate-width
+    bytes, not corpus-width).  The broadcast semi-join is hinted only
+    when the pair count (one cheap job over the checkpointed frame) is
+    provably bounded; past the bound the table passes through unfiltered
+    — the candidate set is then corpus-scale itself and the filter would
+    buy little.
+    """
+    if cands.limit(2_000_001).count() > 2_000_000:
+        return sh
+    ids = (cands.select(F.col("a").alias(id_col))
+           .unionByName(cands.select(F.col("b").alias(id_col)))
+           .distinct())
+    return sh.join(F.broadcast(ids), id_col, "left_semi")
 
 
 def cross_corpus_near_dups(new_docs: DataFrame, ref_docs: DataFrame,
@@ -381,13 +427,14 @@ def cross_corpus_near_dups(new_docs: DataFrame, ref_docs: DataFrame,
 
     def _tagged(docs: DataFrame, tag: str,
                 tokens_col: str | None = None) -> DataFrame:
-        if tokens_col is None:
-            sh = _shingle_sets(docs, id_col, text_col, shingle_n)
-        else:
-            sh = docs.select(
-                F.col(id_col),
-                F.explode(text.word_shingles(F.col(tokens_col), shingle_n))
-                .alias("sh")).distinct()
+        # raw shingle STREAMS (no distinct): signatures are multiset-
+        # invariant and the verify re-distincts after the candidate
+        # filter — see minhash_dedup_pairs_from_shingles (r14)
+        toks = text.tokens(F.col(text_col)) if tokens_col is None \
+            else F.col(tokens_col)
+        sh = docs.select(
+            F.col(id_col),
+            F.explode(text.word_shingles(toks, shingle_n)).alias("sh"))
         return sh.select(
             F.concat(F.lit(tag), F.col(id_col).cast("string")).alias(id_col),
             "sh")
@@ -418,7 +465,8 @@ def cross_corpus_near_dups(new_docs: DataFrame, ref_docs: DataFrame,
                     .select(F.col(id_col).alias("a"), "b"))
             pairs = pairs.unionByName(star)
         cands = _stage_cut(pairs.distinct())
-        jac = _jaccard_for_pairs(sh, cands, id_col)
+        jac = _jaccard_for_pairs(
+            _candidate_shingles(sh, cands, id_col).distinct(), cands, id_col)
         out = jac.filter(F.col("jaccard") >= jaccard_threshold).select(
             F.expr("substring(a, 3)").cast(new_t).alias("new_id"),
             F.expr("substring(b, 3)").cast(ref_t).alias("ref_id"),
@@ -645,10 +693,11 @@ def hamming_near_pairs(sig: DataFrame, id_col: str,
     # chunk-explode branches (bucket-cap broadcast + both join sides) and
     # the member-recovery joins launch in parallel and would each
     # recompute the expensive signature aggregate against a cold cache
-    sig.count()
+    n_sig = sig.count()
     try:
         return _stage_cut(_hamming_pairs_from_cached(
-            sig, id_col, nchunks, width, mask, max_hamming, bucket_cap))
+            sig, id_col, nchunks, width, mask, max_hamming, bucket_cap,
+            n_sig=n_sig))
     finally:
         # the pair result is tiny next to the signature frame; eager
         # checkpoint above materializes it, so the cache can be released
@@ -659,7 +708,18 @@ def hamming_near_pairs(sig: DataFrame, id_col: str,
 
 def _hamming_pairs_from_cached(sig: DataFrame, id_col: str, nchunks: int,
                                width: int, mask: int, max_hamming: int,
-                               bucket_cap: int) -> DataFrame:
+                               bucket_cap: int,
+                               distinct_sigs: bool = False,
+                               n_sig: int | None = None) -> DataFrame:
+    """``distinct_sigs=True`` asserts the input carries exactly ONE row per
+    (sim_hi, sim_lo) — the signature-NODE form ``simhash_clusters`` builds.
+    The id column then rides the banding directly, which drops four whole
+    plan legs with identical output: the pre-banding ``distinct`` (already
+    distinct), the identical-signature self-join (provably empty), and
+    both member-recovery joins (the pair rows already carry their ids).
+    ``n_sig`` threads a row count the caller already paid for (cache
+    populate / checkpoint count) so the parallelism sizing below does not
+    re-run the job."""
     half = nchunks // 2
     sc = sig.sparkSession.sparkContext
     # parallelism for the pair-expansion stages.  The banded join is an
@@ -679,17 +739,33 @@ def _hamming_pairs_from_cached(sig: DataFrame, id_col: str, nchunks: int,
     # test-scale inputs; the cap keeps task counts bounded at 1B rows.
     npart_max = max(sc.defaultParallelism,
                     int(sig.sparkSession.conf.get("spark.sql.shuffle.partitions")))
-    npart = max(1, min(npart_max, -(-sig.count() // 1500)))
+    if n_sig is None:
+        n_sig = sig.count()
+    npart = max(1, min(npart_max, -(-n_sig // 1500)))
     # one materialized distinct: every downstream branch (cap aggregate,
     # both pair-join sides, the hot-member explode) re-derives from
     # ``chunks`` — without the cut each re-derivation replays the
     # distinct's shuffle.  Round-robin repartition BEFORE the cut so the
     # checkpointed blocks (the fan-out root of every downstream stage)
     # carry full parallelism instead of AQE's byte-sized 1-2 partitions.
-    dsig = _stage_cut(sig.select("sim_hi", "sim_lo").distinct()
-                      .repartition(npart))
+    # In distinct_sigs mode the input is already one row per signature,
+    # so the distinct is skipped and the id column rides along.  Both
+    # modes HASH-repartition on the signature (uniform — it is a hash)
+    # rather than distinct().repartition(n): the explicit repartition
+    # satisfies the dedup aggregate's required distribution, so the
+    # whole thing is ONE exchange with no round-robin
+    # sort-before-repartition, and AQE never coalesces it (r14).
+    if distinct_sigs:
+        dsig = _stage_cut(sig.select(id_col, "sim_hi", "sim_lo")
+                          .repartition(npart, "sim_hi", "sim_lo"))
+        id_cols = [id_col]
+    else:
+        dsig = _stage_cut(sig.select("sim_hi", "sim_lo")
+                          .repartition(npart, "sim_hi", "sim_lo")
+                          .dropDuplicates())
+        id_cols = []
     chunks = dsig.select(
-        "sim_hi", "sim_lo",
+        *id_cols, "sim_hi", "sim_lo",
         F.explode(F.array(*[
             F.struct(
                 F.lit(c).alias("c"),
@@ -698,7 +774,8 @@ def _hamming_pairs_from_cached(sig: DataFrame, id_col: str, nchunks: int,
             )
             for c in range(nchunks)
         ])).alias("ch"),
-    ).select("sim_hi", "sim_lo", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    ).select(*id_cols, "sim_hi", "sim_lo",
+             F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
     # the over-cap bucket list is bounded by n_distinct_sigs * nchunks /
     # bucket_cap rows; _cap_list_frame collects it once below the driver
     # threshold and keeps it distributed past it
@@ -710,16 +787,19 @@ def _hamming_pairs_from_cached(sig: DataFrame, id_col: str, nchunks: int,
         chunks.join(F.broadcast(big), ["c", "v"], "left_anti")
 
     def pair_join(banded: DataFrame, keys: list[str]) -> DataFrame:
-        a = banded.select(F.col("sim_hi").alias("ha"),
+        ia = [F.col(id_col).alias("ia")] if distinct_sigs else []
+        ib = [F.col(id_col).alias("ib")] if distinct_sigs else []
+        carry = (["ia", "ib"] if distinct_sigs else []) + ["ha", "la", "hb", "lb"]
+        a = banded.select(*ia, F.col("sim_hi").alias("ha"),
                           F.col("sim_lo").alias("la"), *keys)
-        b = banded.select(F.col("sim_hi").alias("hb"),
+        b = banded.select(*ib, F.col("sim_hi").alias("hb"),
                           F.col("sim_lo").alias("lb"), *keys)
         return (
             a.join(b, keys)
             .filter((F.col("ha") < F.col("hb"))
                     | ((F.col("ha") == F.col("hb")) & (F.col("la") < F.col("lb"))))
             .select(
-                "ha", "la", "hb", "lb",
+                *carry,
                 (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
                  + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))).alias("hamming"),
             )
@@ -762,13 +842,14 @@ def _hamming_pairs_from_cached(sig: DataFrame, id_col: str, nchunks: int,
     if big is not None:
         hot = chunks.join(F.broadcast(big), ["c", "v"], "left_semi")
         sub_cols = [F.expr(_sub_sql(j)).alias(f"__sv{j}") for j in range(ns)]
-        sub = hot.select("sim_hi", "sim_lo", "c", "v", *sub_cols).select(
-            "sim_hi", "sim_lo", "c", "v",
+        sub = hot.select(*id_cols, "sim_hi", "sim_lo", "c", "v",
+                         *sub_cols).select(
+            *id_cols, "sim_hi", "sim_lo", "c", "v",
             F.explode(F.array(*[
                 F.struct(F.lit(j).alias("sc"), F.col(f"__sv{j}").alias("sv"))
                 for j in range(ns)
             ])).alias("s"),
-        ).select("sim_hi", "sim_lo", "c", "v",
+        ).select(*id_cols, "sim_hi", "sim_lo", "c", "v",
                  F.col("s.sc").alias("sc"), F.col("s.sv").alias("sv"))
         sub = _stage_cut(sub)  # ns rows per hot member — small;
         # cuts the chunk/CASE pipeline from re-running for the sub-bucket
@@ -780,6 +861,11 @@ def _hamming_pairs_from_cached(sig: DataFrame, id_col: str, nchunks: int,
         sig_pairs = sig_pairs.unionByName(
             pair_join(capped2, ["c", "v", "sc", "sv"]))
     sig_pairs = sig_pairs.distinct()
+    if distinct_sigs:
+        # ids rode the banding (1:1 with signatures): no member-recovery
+        # joins, and the identical-signature self-join is provably empty
+        return sig_pairs.select(F.least("ia", "ib").alias("a"),
+                                F.greatest("ia", "ib").alias("b"), "hamming")
     mem_a = sig.select(F.col(id_col).alias("ia"),
                        F.col("sim_hi").alias("ha"), F.col("sim_lo").alias("la"))
     mem_b = sig.select(F.col(id_col).alias("ib"),
@@ -856,6 +942,15 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
         edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     nodes = sym.select(F.col("a").alias("member")).distinct()
     labels = _stage_cut(nodes.withColumn("label", F.col("member")))
+    # one cheap count over the checkpointed label table: the node count
+    # bounds every per-round frame (labels, jump build side, round-0
+    # frontier), so each loop join below can carry an EXACT broadcast
+    # hint instead of waiting for AQE to materialize both shuffle sides
+    # before noticing one is tiny — each avoided AQE round-trip is a
+    # sequential driver re-plan + job schedule (r14: the per-round stage
+    # jobs, not the data, dominated this loop's wall at bench scale)
+    n_nodes = labels.count()
+    bcast_max = 2_000_000  # (member, label) rows well under executor memory
     # DELTA ITERATION: only a node whose label CHANGED last round can
     # deliver new information — an unchanged node's message is the same
     # one its neighbors min-folded when it last changed (labels are
@@ -863,52 +958,62 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
     # state, so dropping duplicate messages is exactly lossless).  The
     # edge join therefore runs against the CHANGED frontier, not the
     # full label table: near-dup graphs converge from the quasi-clique
-    # core outward, so within 2-3 rounds the frontier is tiny, AQE picks
-    # a broadcast join, and the per-round cost falls from a full
-    # edge-list shuffle (profiled at x100: ~1 GB × ~8 rounds) to a scan.
-    # The frontier is the SAME join the convergence check already paid
-    # for — materialized once per round and reused.
+    # core outward, so within 2-3 rounds the frontier is tiny and the
+    # per-round cost falls from a full edge-list shuffle (profiled at
+    # x100: ~1 GB × ~8 rounds) to a scan.
     delta = labels  # round 0: every node is fresh
-    n_delta = None  # unknown; known exactly from round 1 on
+    n_delta = n_nodes
     converged = False
     for it in range(max_iter):
         send = delta.select(F.col("member").alias("a"), "label")
-        if n_delta is not None and n_delta <= 2_000_000:
-            # the frontier is checkpointed and counted, so the broadcast
+        if n_delta <= bcast_max:
+            # the frontier is materialized and counted, so the broadcast
             # decision is exact rather than left to AQE's runtime
             # SMJ->BHJ conversion (which can materialize the edge-list
-            # exchange before the small side's size is known); ≤2M
-            # (member, label) rows is well under executor memory
+            # exchange before the small side's size is known)
             send = F.broadcast(send)
-        msgs = sym.join(send, "a").select(F.col("b").alias("member"), "label")
-        cand = labels.unionByName(msgs)
+        # the label rows ride the candidate union TAGGED (__own=true) so
+        # ONE aggregate yields both the new label (min over all
+        # candidates) and the old one (the unique tagged row) — the
+        # previous shape checkpointed a second per-round frame (new JOIN
+        # old, filtered to changes) whose plan execution was pure
+        # sequential overhead (r14; ~3 stage jobs/round at bench scale)
+        own = labels.select("member", "label", F.lit(True).alias("__own"))
+        msgs = sym.join(send, "a").select(
+            F.col("b").alias("member"), "label", F.lit(False).alias("__own"))
+        cand = own.unionByName(msgs)
         if it > 0:
             # pointer jump: adopt the label of one's label (labels only
             # ever decrease toward the component min, so the extra
             # candidates are always valid and the min-aggregate keeps
             # correctness).  Skipped in round 1, where labels are the
             # identity map and the jump join is a pure no-op.
+            lab2 = labels.select(F.col("member").alias("label"),
+                                 F.col("label").alias("label2"))
+            if n_nodes <= bcast_max:
+                lab2 = F.broadcast(lab2)
             jump = (
-                labels.alias("l1")
-                .join(labels.select(F.col("member").alias("label"),
-                                    F.col("label").alias("label2")), "label")
-                .select("member", F.col("label2").alias("label"))
+                labels.alias("l1").join(lab2, "label")
+                .select("member", F.col("label2").alias("label"),
+                        F.lit(False).alias("__own"))
             )
             cand = cand.unionByName(jump)
-        new = cand.groupBy("member").agg(F.min("label").alias("label"))
         # sever=True: per-round cuts of an unbounded loop must not chain
         # origin plans (geometric driver-time growth — see _stage_cut)
-        new = _stage_cut(new, sever=True)
-        delta = _stage_cut(
-            new.alias("n")
-            .join(labels.alias("o"), "member")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .select("member", F.col("n.label").alias("label")),
+        merged = _stage_cut(
+            cand.groupBy("member").agg(
+                F.min("label").alias("label"),
+                # exactly one tagged row per member (labels is keyed by
+                # member and every cand member is a labels member), so
+                # this min() IS the previous label
+                F.min(F.when(F.col("__own"), F.col("label"))).alias("__old")),
             sever=True,
         )
+        delta = merged.filter(F.col("label") != F.col("__old")) \
+                      .select("member", "label")
         n_delta = delta.count()
         converged = n_delta == 0
-        labels = new
+        labels = merged.select("member", "label")
         if converged:
             break
     if not converged:
@@ -917,18 +1022,28 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
             "iterations — refusing to return labels that may name no real "
             "representative (raise max_iter; with pointer jumping "
             "max_iter=50 covers component diameter ~2^50)")
-    if items is not None:
-        singletons = (
-            items.select(F.col(id_col).alias("member")).distinct()
-            .join(nodes, "member", "left_anti")
-            .withColumn("label", F.col("member"))
-        )
-        labels = labels.unionByName(singletons)
+    # paired clusters: sizes aggregated over the PAIRED label table only
+    # (bounded by 2x|pairs| — node-level, never corpus-level).  Singletons
+    # are (member, member, 1) by definition, so unioning them AFTER the
+    # size join removes the two corpus-width exchanges the old shape paid
+    # (groupBy + size join over paired ∪ singletons): a paired cluster's
+    # label is a paired member id and a singleton's is its own unpaired
+    # id, so the two size domains can never merge — output identical.
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    return (
+    out = (
         labels.join(sizes, "label")
         .select(F.col("label").alias("cluster_rep"), "member", "n")
     )
+    if items is not None:
+        singletons = (
+            items.select(F.col(id_col).alias("member")).distinct()
+            .join(F.broadcast(nodes) if n_nodes <= bcast_max else nodes,
+                  "member", "left_anti")
+            .select(F.col("member").alias("cluster_rep"), "member",
+                    F.lit(1).cast("long").alias("n"))
+        )
+        out = out.unionByName(singletons)
+    return out
 
 
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -978,8 +1093,13 @@ def simhash_clusters(docs: DataFrame, id_col: str = "doc_id",
             nchunks, width, mask = 4, 16, 0xFFFF
         else:
             nchunks, width, mask = 8, 8, 0xFF
+        # m = member count per signature node: carried on the node table
+        # so cluster sizes can be summed at the NODE level below — the
+        # corpus-width groupBy("label") + size join the old shape paid
+        # are then node-level aggregates instead (r14, guide §2.3)
         nodes = _stage_cut(sig.groupBy("sim_hi", "sim_lo")
-                           .agg(F.min(id_col).alias("node_id")))
+                           .agg(F.min(id_col).alias("node_id"),
+                                F.count(F.lit(1)).alias("m")))
         # cut the pair set before the CC: dedup_clusters' symmetrize union
         # references the pair plan twice, and the banded-Hamming pipeline
         # is by far the dominant cost on a duplicate-saturated corpus
@@ -987,21 +1107,27 @@ def simhash_clusters(docs: DataFrame, id_col: str = "doc_id",
         # depend on Catalyst finding the exchange reuse
         sig_pairs = _stage_cut(_hamming_pairs_from_cached(
             nodes.select(F.col("node_id").alias(id_col), "sim_hi", "sim_lo"),
-            id_col, nchunks, width, mask, max_hamming, bucket_cap))
+            id_col, nchunks, width, mask, max_hamming, bucket_cap,
+            distinct_sigs=True))
         labels = dedup_clusters(
             sig_pairs.select(F.col("a"), F.col("b")),
             items=nodes.select(F.col("node_id").alias(id_col)),
             id_col=id_col, max_iter=max_iter,
         ).select(F.col("member").alias("node_id"),
                  F.col("cluster_rep").alias("label"))
-        members = (
-            sig.join(nodes, ["sim_hi", "sim_lo"])
-            .join(labels, "node_id")
-            .select(F.col("label"), F.col(id_col).alias("member"))
-        )
-        sizes = members.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+        # node-level: attach each node's label, sum member counts per
+        # label, re-attach — all bounded by the distinct-signature count
+        nodemap = _stage_cut(nodes.join(labels, "node_id")
+                             .select("sim_hi", "sim_lo", "label", "m"))
+        sizes = nodemap.groupBy("label").agg(F.sum("m").alias("n"))
+        node2 = nodemap.join(sizes, "label") \
+            .select("sim_hi", "sim_lo", "label", "n")
+        # ONE corpus-width join recovers the members (the old shape paid
+        # two sequential corpus-width joins plus a corpus-width size
+        # aggregate and size join — 4 full-width exchanges -> 1)
         return _stage_cut(
-            members.join(sizes, "label")
-            .select(F.col("label").alias("cluster_rep"), "member", "n"))
+            sig.join(node2, ["sim_hi", "sim_lo"])
+            .select(F.col("label").alias("cluster_rep"),
+                    F.col(id_col).alias("member"), "n"))
     finally:
         sig.unpersist()

@@ -1571,6 +1571,19 @@ def ivf_quantized_select(spark, path: str, queries: DataFrame,
         _centroid_topn(F.col(vec_col), centroids, nprobe)
         .alias("probes")) \
         .filter(F.col("qcn") > 0)
+    if broadcast_queries:
+        # point-lookup shape: the query frame is bounded by assumption
+        # (that is what the broadcast flag asserts), and it is consumed
+        # by THREE separate executions otherwise — the probed-bucket
+        # collect, the scored join's broadcast, and the re-rank join in
+        # the caller — each replaying the parquet read + quantize +
+        # centroid-rank pipeline (r14; guide §7.2 duplicated subtree).
+        # One eager cut makes all three read materialized blocks.  The
+        # corpus-batch path (broadcast_queries=False) keeps the lazy
+        # frame: materializing a corpus-scale query batch is the bigger
+        # cost there and the joins are AQE-planned shuffles anyway.
+        from cloudbrush_spark.operators.dedup import _stage_cut
+        q = _stage_cut(q)
     qx = q.select("query_id", "qc", "qcn",
                   F.explode("probes").alias("bucket"))
     # nprobe >= n_centroids probes every bucket by construction: skip

@@ -196,12 +196,11 @@ def curate(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingles = (
         src.select(F.col(id_col),
                    F.explode(text.word_shingles(F.col("__toks"), shingle_n))
-                   .alias("sh"))
-        .distinct())
+                   .alias("sh")))
     pairs = dedup.minhash_dedup_pairs_from_shingles(
         shingles, id_col=id_col, num_hashes=num_hashes, bands=bands,
         rows_per_band=rows_per_band, jaccard_threshold=jaccard_threshold,
-        overcap="star")
+        overcap="star", shingles_distinct=False)
     clusters = dedup.dedup_clusters(pairs, items=src.select(id_col),
                                     id_col=id_col)
     reps = clusters.filter(F.col("member") == F.col("cluster_rep")) \
