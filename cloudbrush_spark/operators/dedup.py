@@ -66,6 +66,53 @@ def _stage_cut(df: DataFrame, sever: bool = False) -> DataFrame:
 # 1k cap ~ 16M driver rows) and the list stays distributed instead.
 OVERCAP_COLLECT_MAX = 100_000
 
+# Edge-count bound for solving connected components driver-side (one
+# collect + union-find) instead of the distributed hash-min loop: 2M
+# (a, b) rows is tens of MB on the driver — the same order as the
+# broadcast thresholds this module already relies on — while the loop
+# costs ~6 sequential driver round-trips per round for up to
+# ~log2(diameter) rounds.  Past the bound the loop is the 100 TB path.
+DRIVER_CC_MAX = 2_000_000
+
+
+def _driver_union_find(edges: DataFrame, id_col: str):
+    """Exact connected components of a BOUNDED edge list, driver-side.
+
+    Union-find with path compression, attaching the larger root under
+    the smaller, so each final root IS its component's minimum member —
+    the same fixpoint the hash-min loop converges to.  Returns
+    ``(labels, nodes, n_nodes)``: a (member, label) frame over the
+    paired nodes, its member projection, and the node count.
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    labels_local = [(m, find(m)) for m in parent]
+    from pyspark.sql.types import StructField, StructType
+    id_type = edges.schema["a"].dataType
+    schema = StructType([StructField("member", id_type, False),
+                         StructField("label", id_type, False)])
+    labels = edges.sparkSession.createDataFrame(labels_local, schema)
+    return labels, labels.select("member"), len(labels_local)
+
 
 def _cap_list_frame(big_lazy: DataFrame, schema: str,
                     collect_max: int | None = None) -> DataFrame | None:
@@ -938,19 +985,35 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
     # |pairs| rows (profiled at x100: 1,168 core-seconds — 19% of the
     # whole query — spent writing the 103M-row symmetrized copy).
     edges = _stage_cut(pairs.select("a", "b"))
-    sym = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    nodes = sym.select(F.col("a").alias("member")).distinct()
-    labels = _stage_cut(nodes.withColumn("label", F.col("member")))
-    # one cheap count over the checkpointed label table: the node count
-    # bounds every per-round frame (labels, jump build side, round-0
-    # frontier), so each loop join below can carry an EXACT broadcast
-    # hint instead of waiting for AQE to materialize both shuffle sides
-    # before noticing one is tiny — each avoided AQE round-trip is a
-    # sequential driver re-plan + job schedule (r14: the per-round stage
-    # jobs, not the data, dominated this loop's wall at bench scale)
-    n_nodes = labels.count()
+    # the edge list is materialized, so its count is one cheap job — and
+    # it decides the ALGORITHM, not just a hint: a bounded edge list
+    # (near-dup graphs are orders of magnitude smaller than the corpus)
+    # is solved exactly by driver-side union-find in ONE collect, where
+    # the distributed loop pays ~6 sequential driver round-trips PER
+    # ROUND for up to ~log2(diameter) rounds (measured at sf0.1: the
+    # simhash signature graph took 9 rounds ≈ 54 jobs; union-find does
+    # it in 2).  Past the cap the hash-min loop below is the 100 TB
+    # path — the same collect-when-provably-small / distributed-past-
+    # the-cliff split as ``_cap_list_frame``.
+    n_edges = edges.count()
     bcast_max = 2_000_000  # (member, label) rows well under executor memory
+    distributed = n_edges > DRIVER_CC_MAX
+    if not distributed:
+        labels, nodes, n_nodes = _driver_union_find(edges, id_col)
+    else:
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        nodes = sym.select(F.col("a").alias("member")).distinct()
+        labels = _stage_cut(nodes.withColumn("label", F.col("member")))
+        # one cheap count over the checkpointed label table: the node
+        # count bounds every per-round frame (labels, jump build side,
+        # round-0 frontier), so each loop join below can carry an EXACT
+        # broadcast hint instead of waiting for AQE to materialize both
+        # shuffle sides before noticing one is tiny — each avoided AQE
+        # round-trip is a sequential driver re-plan + job schedule (r14:
+        # the per-round stage jobs, not the data, dominated this loop's
+        # wall at bench scale)
+        n_nodes = labels.count()
     # DELTA ITERATION: only a node whose label CHANGED last round can
     # deliver new information — an unchanged node's message is the same
     # one its neighbors min-folded when it last changed (labels are
@@ -963,8 +1026,8 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
     # x100: ~1 GB × ~8 rounds) to a scan.
     delta = labels  # round 0: every node is fresh
     n_delta = n_nodes
-    converged = False
-    for it in range(max_iter):
+    converged = not distributed  # union-find is already at the fixpoint
+    for it in range(max_iter if distributed else 0):
         send = delta.select(F.col("member").alias("a"), "label")
         if n_delta <= bcast_max:
             # the frontier is materialized and counted, so the broadcast

@@ -473,24 +473,35 @@ def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
             .alias("pos0", "g"))
         .select(id_col, (F.col("pos0") + 1).alias("pos"), "g")
     )
+
+    def _df_keys(frame: DataFrame, key: str) -> DataFrame:
+        """Keys occurring in >= min_df DISTINCT documents.  For the
+        shipped default min_df=2 that predicate is exactly
+        ``min(id) != max(id)`` — ONE map-side-combinable aggregate
+        instead of count_distinct's two-exchange (partial-dedup, then
+        count) shape, halving the gram stream's shuffle passes (r14,
+        guide §2.3/§2.4).  Larger thresholds keep the exact
+        count_distinct."""
+        g = frame.groupBy(key)
+        if min_df == 2:
+            agg = g.agg(F.min(id_col).alias("__mn"),
+                        F.max(id_col).alias("__mx"))
+            return agg.filter(F.col("__mn") != F.col("__mx")).select(key)
+        return (g.agg(F.count_distinct(F.col(id_col)).alias("df"))
+                .filter(F.col("df") >= min_df).select(key))
+
     cand = grams
     if hash_prefilter:
         from cloudbrush_spark.operators.dedup import _stage_cut
         hashed = grams.withColumn("gh", F.xxhash64("g"))
-        hot = (hashed.groupBy("gh")
-               .agg(F.count_distinct(F.col(id_col)).alias("df"))
-               .filter(F.col("df") >= min_df)
-               .select("gh"))
+        hot = _df_keys(hashed, "gh")
         # cut the candidate frame: it is SMALL (the repeated-content
         # subset) and consumed twice below — materializing it means the
         # full-corpus explode runs exactly twice (df pass + this pass),
         # same as the exact-only plan, while the full-width shuffle
         # carries 8-byte hashes instead of ~100-byte gram strings
         cand = _stage_cut(hashed.join(hot, "gh", "left_semi").drop("gh"))
-    shared = (cand.groupBy("g")
-              .agg(F.count_distinct(F.col(id_col)).alias("df"))
-              .filter(F.col("df") >= min_df)
-              .select("g"))
+    shared = _df_keys(cand, "g")
     hits = cand.join(shared, "g", "left_semi").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = (

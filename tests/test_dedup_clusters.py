@@ -22,16 +22,35 @@ def test_min_id_representative_and_sizes(spark):
     assert out == exp
 
 
-def test_long_chain_converges_within_budget(spark):
+def test_long_chain_converges_within_budget(spark, monkeypatch):
     # path 0-1-2-...-119: diameter 119 >> the 50-round budget — hash-min
     # alone would exit unconverged (and pre-fix, silently return labels
     # naming no real representative); pointer jumping must close it in
-    # O(log n) rounds
+    # O(log n) rounds.  DRIVER_CC_MAX=0 forces the DISTRIBUTED loop (the
+    # 100 TB path) — the default would solve this size driver-side
     n = 120
+    monkeypatch.setattr(dedup, "DRIVER_CC_MAX", 0)
     pairs = _pairs(spark, [(i, i + 1) for i in range(n - 1)])
     out = dedup.dedup_clusters(pairs).collect()
     assert len(out) == n
     assert all(r.cluster_rep == 0 and r.n == n for r in out)
+
+
+def test_driver_and_distributed_paths_agree(spark, monkeypatch):
+    # the r14 bounded-edge-list fast path (driver-side union-find) must
+    # produce exactly the distributed hash-min loop's output — same
+    # min-id representatives, same sizes, same singleton handling
+    edges = ([(2, 1), (2, 3), (9, 7)]
+             + [(100 + i, 101 + i) for i in range(40)]   # long chain
+             + [(300, 301), (301, 302), (300, 302)])     # triangle
+    items = spark.range(0, 320).select(F.col("id").alias("doc_id"))
+    pairs = _pairs(spark, edges)
+    fast = {(r.cluster_rep, r.member, r.n)
+            for r in dedup.dedup_clusters(pairs, items=items).collect()}
+    monkeypatch.setattr(dedup, "DRIVER_CC_MAX", 0)
+    slow = {(r.cluster_rep, r.member, r.n)
+            for r in dedup.dedup_clusters(pairs, items=items).collect()}
+    assert fast == slow
 
 
 def test_lollipop_mixed_frontier(spark):
