@@ -21,7 +21,34 @@ from cloudbrush_spark.operators import dedup, kmers, sessions, similarity, stats
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return _widen_scan(spark, spark.read.parquet(path), path)
+
+
+def _widen_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin repartition a scan whose file layout yields fewer
+    splits than the session has cores — guide §2.5's "unsplittable
+    input" case.  The local fixtures are single-file, single-row-group
+    parquet, so every scan is ONE task and the map-heavy document
+    pipelines (tokenize / shingle / 16x md5 / simhash votes / gate
+    regexes) serialize onto one core before their first exchange
+    (measured at sf0.1: 4.2 executor-CPU-seconds single-threaded at the
+    head of the minhash pipeline).  The split estimate is driver-side
+    file metadata only; at production scale splits >> cores and this is
+    a structural no-op, so nothing here tunes FOR local mode — it only
+    removes a fixture-layout artifact local mode suffers.  Tiny files
+    (< 256 KB: dimension tables) stay as-is — their one task is already
+    the right plan, and the exchange would only add latency to the
+    broadcast-join queries that consume them."""
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    splits = max(1, -(-size // (128 << 20)))
+    if size >= (256 << 10) and splits < cores:
+        return df.repartition(cores)
+    return df
 
 
 _EVENTS_NANOS_SCHEMA = (
@@ -83,10 +110,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     unit = _events_ts_unit(path)  # internally guarded, defaults to 'us'
     if unit == "ns":
-        return spark.read.schema(_EVENTS_NANOS_SCHEMA).parquet(path) \
+        raw = spark.read.schema(_EVENTS_NANOS_SCHEMA).parquet(path) \
             .withColumn("tus", F.expr("ts div 1000"))
-    return spark.read.schema(_EVENTS_TS_SCHEMA).parquet(path) \
-        .withColumn("tus", F.unix_micros("ts"))
+    else:
+        raw = spark.read.schema(_EVENTS_TS_SCHEMA).parquet(path) \
+            .withColumn("tus", F.unix_micros("ts"))
+    return _widen_scan(spark, raw, path)
 
 
 # ---------------------------------------------------------------------------
