@@ -20,9 +20,22 @@ from cloudbrush_spark.functions import text as textfn
 from cloudbrush_spark.operators import dedup, kmers, sessions, similarity, stats, textops
 
 
+# Tables whose consumers are MAP-HEAVY per input byte — the text corpus
+# feeds tokenize / shingle / 16x md5 / simhash-vote / gate-regex
+# pipelines (~10^3 instructions per byte), so a scan that planned as one
+# task serializes whole CPU-seconds onto one core.  The relational /
+# event / vector tables feed cheap columnar aggregates and joins where a
+# widening exchange is pure overhead (measured: widening EVERY >=256KB
+# table cut the heavy queries 2-4x but inflated the sub-second queries
+# 1.4-1.8x toward the 2x anchor gate — per-task fixed cost dominates
+# them).
+_WIDEN_TABLES = frozenset({"documents"})
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return _widen_scan(spark, spark.read.parquet(path), path)
+    df = spark.read.parquet(path)
+    return _widen_scan(spark, df, path) if name in _WIDEN_TABLES else df
 
 
 def _widen_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
@@ -36,17 +49,14 @@ def _widen_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     head of the minhash pipeline).  The split estimate is driver-side
     file metadata only; at production scale splits >> cores and this is
     a structural no-op, so nothing here tunes FOR local mode — it only
-    removes a fixture-layout artifact local mode suffers.  Tiny files
-    (< 256 KB: dimension tables) stay as-is — their one task is already
-    the right plan, and the exchange would only add latency to the
-    broadcast-join queries that consume them."""
+    removes a fixture-layout artifact local mode suffers."""
     try:
         size = os.path.getsize(path)
     except OSError:
         return df
     cores = spark.sparkContext.defaultParallelism
     splits = max(1, -(-size // (128 << 20)))
-    if size >= (256 << 10) and splits < cores:
+    if splits < cores:
         return df.repartition(cores)
     return df
 
@@ -110,12 +120,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     unit = _events_ts_unit(path)  # internally guarded, defaults to 'us'
     if unit == "ns":
-        raw = spark.read.schema(_EVENTS_NANOS_SCHEMA).parquet(path) \
+        return spark.read.schema(_EVENTS_NANOS_SCHEMA).parquet(path) \
             .withColumn("tus", F.expr("ts div 1000"))
-    else:
-        raw = spark.read.schema(_EVENTS_TS_SCHEMA).parquet(path) \
-            .withColumn("tus", F.unix_micros("ts"))
-    return _widen_scan(spark, raw, path)
+    return spark.read.schema(_EVENTS_TS_SCHEMA).parquet(path) \
+        .withColumn("tus", F.unix_micros("ts"))
 
 
 # ---------------------------------------------------------------------------
