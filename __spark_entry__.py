@@ -55,9 +55,18 @@ def _widen_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     except OSError:
         return df
     cores = spark.sparkContext.defaultParallelism
+    # width capped at 8: per-task fixed cost (scheduling, codegen
+    # instantiation, shuffle reader/writer setup — measured ~20-30 ms
+    # per task on this sandbox) scales with width times stage count,
+    # while the map-stage win scales as 1/width with fast-diminishing
+    # returns (gate projection measured 4.5 s @1 -> 0.56 s @8 -> 0.32 s
+    # @32) — 8 buys ~90% of the win at a quarter of the overhead, and
+    # the corpus table's LIGHT consumers (metadata-only projections)
+    # lose almost nothing
+    width = min(cores, 8)
     splits = max(1, -(-size // (128 << 20)))
-    if splits < cores:
-        return df.repartition(cores)
+    if splits < width:
+        return df.repartition(width)
     return df
 
 
