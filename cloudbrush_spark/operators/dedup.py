@@ -55,9 +55,13 @@ def _stage_cut(df: DataFrame, sever: bool = False) -> DataFrame:
         out = df.checkpoint(eager=True)
     else:
         out = df.localCheckpoint(eager=True)
-    if not sever:
-        return out
-    return sever_origin(out)
+    if sever:
+        out = sever_origin(out)
+    # mark the wrapper so downstream operators (dedup_clusters) can skip
+    # a redundant second cut of an already-materialized frame — one
+    # fewer sequential checkpoint job on every composed pipeline (r15)
+    out._cb_cut = True
+    return out
 
 
 # Over-cap bucket lists are usually tiny (bound: members * bands /
@@ -75,7 +79,40 @@ OVERCAP_COLLECT_MAX = 100_000
 DRIVER_CC_MAX = 2_000_000
 
 
-def _driver_union_find(edges: DataFrame, id_col: str):
+def _driver_cc_max(dtype) -> int:
+    """Edge-count bound for the driver-side union-find fast path, by id
+    dtype (advisor r14: the 2M bound assumed fixed-width ids — 2M edge
+    rows of long URL ids is GBs of driver Python objects, and float ids
+    containing NaN order differently under Python ``<`` than Spark SQL).
+
+    Integral ids keep the designed 2M bound; strings (Python ordering
+    still matches Spark's — UTF-8 byte order is code-point order) get an
+    8x smaller bound to keep unknown-width ids at driver-safe RSS; any
+    other dtype returns 0, forcing the distributed loop."""
+    from pyspark.sql.types import IntegralType, StringType
+    if isinstance(dtype, IntegralType):
+        return DRIVER_CC_MAX
+    if isinstance(dtype, StringType):
+        return DRIVER_CC_MAX // 8
+    return 0
+
+
+def _bcast_rows_bound(dtype) -> int:
+    """Row bound for FORCING a broadcast hint on an id-keyed frame,
+    by id dtype: fixed-width (numeric/date) ids at 2M rows are tens of
+    MB framed — the bound this module's gates were designed around —
+    while variable-width ids (strings: URLs, UUIDs, paths) have no
+    width bound, so the forced hint only applies under a 16x smaller
+    count and the planner's size-based decision governs in between
+    (advisor r14: a forced 4M-row broadcast of long string ids can
+    pressure executor memory past any row-count reasoning)."""
+    from pyspark.sql.types import NumericType, DateType, TimestampType
+    if isinstance(dtype, (NumericType, DateType, TimestampType)):
+        return 2_000_000
+    return 125_000
+
+
+def _driver_union_find(edges: DataFrame):
     """Exact connected components of a BOUNDED edge list, driver-side.
 
     Union-find with path compression, attaching the larger root under
@@ -83,6 +120,11 @@ def _driver_union_find(edges: DataFrame, id_col: str):
     the same fixpoint the hash-min loop converges to.  Returns
     ``(labels, nodes, n_nodes)``: a (member, label) frame over the
     paired nodes, its member projection, and the node count.
+
+    Operates on the edge frame's ``a``/``b`` columns; callers gate this
+    path to integral/string id types (``_driver_cc_ok``) — Python's
+    ``<`` matches Spark SQL ordering for those (UTF-8 byte order is
+    code-point order), but diverges for floats containing NaN.
     """
     parent: dict = {}
 
@@ -110,7 +152,17 @@ def _driver_union_find(edges: DataFrame, id_col: str):
     id_type = edges.schema["a"].dataType
     schema = StructType([StructField("member", id_type, False),
                          StructField("label", id_type, False)])
-    labels = edges.sparkSession.createDataFrame(labels_local, schema)
+    # bound the local frame's slice count: createDataFrame defaults to
+    # defaultParallelism slices, and every downstream branch (sizes
+    # aggregate, size join, singleton anti-join) then schedules that many
+    # near-empty tasks — ~50k rows per slice keeps task counts
+    # proportional to the data (r15; 3 branches x 32 one-row tasks at
+    # bench scale)
+    spark = edges.sparkSession
+    slices = max(1, min(spark.sparkContext.defaultParallelism,
+                        -(-len(labels_local) // 50_000)))
+    labels = spark.createDataFrame(
+        spark.sparkContext.parallelize(labels_local, slices), schema)
     return labels, labels.select("member"), len(labels_local)
 
 
@@ -396,19 +448,37 @@ def minhash_dedup_pairs_from_shingles(shingles: DataFrame, id_col: str = "doc_id
         # banding pipeline re-executes once per branch (measured 2-3x)
         cands = _stage_cut(lsh_candidate_pairs(sigs, id_col, bands,
                                                rows_per_band, overcap=overcap))
-        sh_v = _candidate_shingles(shingles, cands, id_col)
-        if not shingles_distinct:
-            # the verify math needs SET semantics (sizes, intersections);
-            # after the candidate filter this distinct is candidate-width
+        # ONE count over the checkpointed candidate frame serves every
+        # bounded-size decision below (the old shape paid a separate
+        # limit().count() job inside _candidate_shingles — r14 verdict #5)
+        n_cands = cands.count()
+        sh_v = _candidate_shingles(shingles, cands, id_col, n_cands=n_cands)
+        if sh_v is not shingles:
+            if not shingles_distinct:
+                # the verify math needs SET semantics (sizes,
+                # intersections); after the candidate filter this
+                # distinct is candidate-width
+                sh_v = sh_v.distinct()
+            # the verify references the filtered shingle frame FOUR ways
+            # (both intersection join sides + the two size projections);
+            # uncut, each reference re-runs the semi-join + distinct as
+            # its own parallel AQE stage chain (profiled at sf0.1: the
+            # candidate-width distinct executed 4x — 8 of the query's 30
+            # jobs).  One candidate-width cut replaces the four replays.
+            # Past the _candidate_shingles gate the frame IS the
+            # corpus-width stream — there the cut would materialize a
+            # corpus-width distinct and is deliberately skipped.
+            sh_v = _stage_cut(sh_v)
+        elif not shingles_distinct:
             sh_v = sh_v.distinct()
-        jac = _jaccard_for_pairs(sh_v, cands, id_col)
+        jac = _jaccard_for_pairs(sh_v, cands, id_col, n_pairs=n_cands)
         return _stage_cut(jac.filter(F.col("jaccard") >= jaccard_threshold))
     finally:
         shingles.unpersist()
 
 
 def _candidate_shingles(sh: DataFrame, cands: DataFrame,
-                        id_col: str) -> DataFrame:
+                        id_col: str, n_cands: int | None = None) -> DataFrame:
     """Restrict a shingle table to the documents named by a MATERIALIZED
     candidate-pair frame before the exact-Jaccard verify joins.
 
@@ -418,17 +488,28 @@ def _candidate_shingles(sh: DataFrame, cands: DataFrame,
     size aggregate and both intersection joins each EXCHANGE the full
     corpus-width shingle table (guide §2.3: shuffle candidate-width
     bytes, not corpus-width).  The broadcast semi-join is hinted only
-    when the pair count (one cheap job over the checkpointed frame) is
-    provably bounded; past the bound the table passes through unfiltered
-    — the candidate set is then corpus-scale itself and the filter would
-    buy little.
+    when the pair count is provably bounded; past the bound the table
+    passes through unfiltered — the candidate set is then corpus-scale
+    itself and the filter would buy little.  ``n_cands`` threads a count
+    the caller already paid for (the checkpointed frame's count) so this
+    check costs zero jobs; only an explicit ``None`` runs the bounded
+    limit-count probe.
     """
-    if cands.limit(2_000_001).count() > 2_000_000:
+    if n_cands is None:
+        n_cands = cands.limit(2_000_001).count()
+    if n_cands > 2_000_000:
         return sh
     ids = (cands.select(F.col("a").alias(id_col))
            .unionByName(cands.select(F.col("b").alias(id_col)))
            .distinct())
-    return sh.join(F.broadcast(ids), id_col, "left_semi")
+    # dtype-aware broadcast hint (r15, advisor): 2x2M fixed-width ids is
+    # tens of MB framed — safe to force; ids of UNKNOWN width (strings —
+    # long URLs would be GBs at the same row count) get the forced hint
+    # only under a 16x smaller bound and otherwise leave the strategy to
+    # AQE's actual-size decision (the semi-join itself stays).
+    if n_cands <= _bcast_rows_bound(cands.schema["a"].dataType):
+        ids = F.broadcast(ids)
+    return sh.join(ids, id_col, "left_semi")
 
 
 def cross_corpus_near_dups(new_docs: DataFrame, ref_docs: DataFrame,
@@ -512,8 +593,16 @@ def cross_corpus_near_dups(new_docs: DataFrame, ref_docs: DataFrame,
                     .select(F.col(id_col).alias("a"), "b"))
             pairs = pairs.unionByName(star)
         cands = _stage_cut(pairs.distinct())
-        jac = _jaccard_for_pairs(
-            _candidate_shingles(sh, cands, id_col).distinct(), cands, id_col)
+        # one count over the checkpointed frame feeds every bounded-size
+        # decision (candidate filter, verify broadcast hints) — r15, the
+        # same zero-extra-jobs plumbing as the self-join path
+        n_cands = cands.count()
+        sh_v = _candidate_shingles(sh, cands, id_col, n_cands=n_cands)
+        if sh_v is not sh:
+            sh_v = _stage_cut(sh_v.distinct())
+        else:
+            sh_v = sh_v.distinct()
+        jac = _jaccard_for_pairs(sh_v, cands, id_col, n_pairs=n_cands)
         out = jac.filter(F.col("jaccard") >= jaccard_threshold).select(
             F.expr("substring(a, 3)").cast(new_t).alias("new_id"),
             F.expr("substring(b, 3)").cast(ref_t).alias("ref_id"),
@@ -576,16 +665,41 @@ def ngram_jaccard_pairs_for(docs: DataFrame, pairs: DataFrame, id_col: str,
     return _jaccard_for_pairs(sh, pairs, id_col)
 
 
-def _jaccard_for_pairs(sh: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+def _jaccard_for_pairs(sh: DataFrame, pairs: DataFrame, id_col: str,
+                       n_pairs: int | None = None) -> DataFrame:
+    """Exact Jaccard for (a, b) candidate pairs against an (id, sh)
+    shingle table.
+
+    ``n_pairs`` (when the caller already counted its materialized pair
+    frame) enables explicit broadcast hints on every provably-bounded
+    side — the pair frame itself, the per-pair intersection counts
+    (<= n_pairs rows) and the per-doc size table (<= 2 * n_pairs rows
+    after the candidate filter).  Statically-planned broadcast joins
+    skip the probe-side exchange altogether, where leaving them to
+    AQE's runtime SMJ->BHJ conversion still shuffles-writes both sides
+    and pays one sequential stage job per exchange (r15; the verify's
+    join chain was ~8 such jobs at bench scale).  Unhinted (n_pairs
+    None or over the broadcast bound) the shape is unchanged and AQE
+    decides."""
+    hint = n_pairs is not None and \
+        n_pairs <= _bcast_rows_bound(pairs.schema["a"].dataType)
+    p = F.broadcast(pairs) if hint else pairs
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a_sh = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sha"))
     inter = (
-        pairs.join(a_sh, "a")
+        p.join(a_sh, "a")
         .join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sha")), ["b", "sha"])
         .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    if hint:
+        # inter is bounded by the pair count; the size tables are only
+        # broadcastable when the shingle frame was candidate-filtered
+        # (sizes is then <= 2 * n_pairs rows) — a corpus-width pass-
+        # through keeps the shuffle join for them
+        inter = F.broadcast(inter)
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     return (
         pairs.join(inter, ["a", "b"], "left")
         .na.fill({"inter": 0})
@@ -882,11 +996,20 @@ def _hamming_pairs_from_cached(sig: DataFrame, id_col: str, nchunks: int,
             pos = (pos + take) % 64
         return " + ".join(parts)
 
-    sig_pairs = pair_join(capped, ["c", "v"])
     # level-2 plumbing costs a few extra jobs; pay it only when a hot
     # bucket actually exists (known from the collected cap list — no
-    # extra emptiness job)
-    if big is not None:
+    # extra emptiness job).  When it does, the level-2 rows FOLD INTO
+    # THE LEVEL-1 PAIR JOIN as a tagged union keyed on (c, v, sc, sv):
+    # level-1 rows carry the sentinel (sc=-1, sv=0), so they can only
+    # ever meet level-1 rows of the same (c, v) and level-2 rows only
+    # level-2 rows of the same sub-bucket — the pair set is exactly the
+    # union the two separate joins produced, through ONE exchange and
+    # ONE join stage instead of two of each (r14 verdict #1: the
+    # always-hot sf0.1 fixture paid the second join's sequential AQE
+    # stage jobs on every run).
+    if big is None:
+        sig_pairs = pair_join(capped, ["c", "v"])
+    else:
         hot = chunks.join(F.broadcast(big), ["c", "v"], "left_semi")
         sub_cols = [F.expr(_sub_sql(j)).alias(f"__sv{j}") for j in range(ns)]
         sub = hot.select(*id_cols, "sim_hi", "sim_lo", "c", "v",
@@ -905,8 +1028,12 @@ def _hamming_pairs_from_cached(sig: DataFrame, id_col: str, nchunks: int,
                 .filter(F.col("count") > bucket_cap)
                 .select("c", "v", "sc", "sv"))
         capped2 = sub.join(F.broadcast(big2), ["c", "v", "sc", "sv"], "left_anti")
-        sig_pairs = sig_pairs.unionByName(
-            pair_join(capped2, ["c", "v", "sc", "sv"]))
+        lvl1 = capped.select(
+            *id_cols, "sim_hi", "sim_lo", "c", "v",
+            F.lit(-1).alias("sc"), F.lit(0).cast("long").alias("sv"))
+        banded2 = lvl1.unionByName(
+            capped2.select(*id_cols, "sim_hi", "sim_lo", "c", "v", "sc", "sv"))
+        sig_pairs = pair_join(banded2, ["c", "v", "sc", "sv"])
     sig_pairs = sig_pairs.distinct()
     if distinct_sigs:
         # ids rode the banding (1:1 with signatures): no member-recovery
@@ -984,7 +1111,13 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
     # round, while checkpointing ``sym`` itself would materialize 2×
     # |pairs| rows (profiled at x100: 1,168 core-seconds — 19% of the
     # whole query — spent writing the 103M-row symmetrized copy).
-    edges = _stage_cut(pairs.select("a", "b"))
+    # An input that IS already a checkpoint (every pair operator in this
+    # package ends in _stage_cut, marked ``_cb_cut``) skips the second
+    # cut: the narrow (a, b) projection re-reads materialized blocks per
+    # round, which is exactly what the cut would have bought (r15).
+    edges = pairs.select("a", "b")
+    if not getattr(pairs, "_cb_cut", False):
+        edges = _stage_cut(edges)
     # the edge list is materialized, so its count is one cheap job — and
     # it decides the ALGORITHM, not just a hint: a bounded edge list
     # (near-dup graphs are orders of magnitude smaller than the corpus)
@@ -997,9 +1130,9 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
     # the-cliff split as ``_cap_list_frame``.
     n_edges = edges.count()
     bcast_max = 2_000_000  # (member, label) rows well under executor memory
-    distributed = n_edges > DRIVER_CC_MAX
+    distributed = n_edges > _driver_cc_max(edges.schema["a"].dataType)
     if not distributed:
-        labels, nodes, n_nodes = _driver_union_find(edges, id_col)
+        labels, nodes, n_nodes = _driver_union_find(edges)
     else:
         sym = edges.unionByName(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -1172,8 +1305,11 @@ def simhash_clusters(docs: DataFrame, id_col: str = "doc_id",
             nodes.select(F.col("node_id").alias(id_col), "sim_hi", "sim_lo"),
             id_col, nchunks, width, mask, max_hamming, bucket_cap,
             distinct_sigs=True))
+        # pass the CHECKPOINTED pair frame itself (not a select of it):
+        # dedup_clusters projects (a, b) internally and the _cb_cut mark
+        # on the checkpoint lets it skip a redundant second cut (r15)
         labels = dedup_clusters(
-            sig_pairs.select(F.col("a"), F.col("b")),
+            sig_pairs,
             items=nodes.select(F.col("node_id").alias(id_col)),
             id_col=id_col, max_iter=max_iter,
         ).select(F.col("member").alias("node_id"),

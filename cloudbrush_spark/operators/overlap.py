@@ -93,6 +93,15 @@ from cloudbrush_spark.functions import dna
 # a bijection mod 2^64); FNV-1a's 64-bit prime.
 _POLY_B = 1099511628211
 
+# Auto-prefilter gate: the broadcast distinct prefix-key set is 2 keys
+# per read (16 B/key framed — ~160 MB at this bound, the top of the
+# comfortable broadcast range).  ``match_prefix(prefilter=None)`` counts
+# the reads (one cheap job) and disables the prefilter past the bound
+# instead of relying on the caller to remember ``prefilter=False`` at
+# scale (r14 verdict #3: every other bound in this package is
+# count-gated automatically; this one was a manual footgun).
+PREFILTER_KEYS_MAX = 10_000_000
+
 
 def _oriented(seq_col, d_col):
     return F.when(d_col == "f", seq_col).otherwise(dna.rc(seq_col))
@@ -280,7 +289,7 @@ def _arrow_available() -> bool:
 
 
 def match_prefix(nodes: DataFrame, k: int, high_kmers: DataFrame | None = None,
-                 per_key_cap: int = 2000, prefilter: bool = True,
+                 per_key_cap: int = 2000, prefilter: bool | None = None,
                  use_arrow: bool = False) -> DataFrame:
     """J1: candidate overlap edges (src, d1, dst, d2, ov), maximal ov per
     oriented pair.
@@ -303,14 +312,18 @@ def match_prefix(nodes: DataFrame, k: int, high_kmers: DataFrame | None = None,
       single-candidate edges survive, and dropping true edges is the
       wrong default for a verified pipeline.
 
-    ``prefilter=True`` (default) semi-joins the posting stream against
-    the broadcast distinct prefix-key set before the exchange: suffix
-    windows matching no read prefix cannot produce candidates, so
-    dropping them is invisible in the output — including to the cap
-    guard, whose drops are only observable on keys that join.  The
-    prefix-key set is 2/read; beyond ~10^8 reads pass
-    ``prefilter=False`` (16 GB broadcasts don't fly) and the identical
-    single-exchange plan simply carries all windows.
+    ``prefilter`` semi-joins the posting stream against the broadcast
+    distinct prefix-key set before the exchange: suffix windows matching
+    no read prefix cannot produce candidates, so dropping them is
+    invisible in the output — including to the cap guard, whose drops
+    are only observable on keys that join.  The prefix-key set is
+    2/read, so the default ``None`` COUNT-GATES it automatically: one
+    cheap count of ``nodes`` enables the prefilter only while
+    ``2 * reads <= PREFILTER_KEYS_MAX`` (past it, multi-GB broadcasts
+    don't fly and the identical single-exchange plan simply carries all
+    windows — same output either side of the gate, pinned in
+    tests/test_overlap.py).  Explicit ``True``/``False`` skip the count
+    and force the mode.
 
     ``use_arrow=False`` (default) runs the pure-JVM expression path —
     fastest measured end-to-end at bench scale and the path for
@@ -321,6 +334,8 @@ def match_prefix(nodes: DataFrame, k: int, high_kmers: DataFrame | None = None,
     """
     if not use_arrow or not _arrow_available():
         use_arrow = False
+    if prefilter is None:
+        prefilter = nodes.count() * 2 <= PREFILTER_KEYS_MAX
     both = _oriented_both(nodes)
     if use_arrow:
         excl = [_poly_hash_bytes((c * k).encode()) for c in "ACGT"]

@@ -112,6 +112,29 @@ def test_homopolymer_seeds_dropped(spark):
     assert "AAAAAA" not in kept and "TTTTTT" not in kept
 
 
+def test_prefilter_gate_sides_identical(spark, monkeypatch):
+    """r15 (r14 verdict #4): prefilter=None count-gates the broadcast
+    prefix-key set automatically.  Both sides of the gate — and the gate
+    itself, forced to each side via PREFILTER_KEYS_MAX — must produce
+    identical candidate sets."""
+    genome = "ACGGTCATTACGGAGCTTAGCAATCGGATCCA"
+    rows = [(f"r{i}", genome[i:i + 14]) for i in range(0, 18, 3)]
+    nodes = make_nodes(spark, [(n, s, 1.0) for n, s in rows])
+    want = {tuple(r) for r in
+            overlap.match_prefix(nodes, K, prefilter=True).collect()}
+    assert want == {tuple(r) for r in
+                    overlap.match_prefix(nodes, K, prefilter=False).collect()}
+    # auto mode lands on the prefilter side (tiny input)...
+    monkeypatch.setattr(overlap, "PREFILTER_KEYS_MAX", 10_000_000)
+    assert want == {tuple(r) for r in
+                    overlap.match_prefix(nodes, K).collect()}
+    # ...and on the pass-through side when the bound says the key set
+    # would not fly
+    monkeypatch.setattr(overlap, "PREFILTER_KEYS_MAX", 1)
+    assert want == {tuple(r) for r in
+                    overlap.match_prefix(nodes, K).collect()}
+
+
 @pytest.mark.skipif(not overlap._arrow_available(), reason="numpy/pyarrow absent")
 def test_arrow_kernel_matches_jvm_path(spark):
     """r14: the default flipped to the pure-JVM expression path; the
