@@ -51,7 +51,15 @@ def _widen_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     a structural no-op, so nothing here tunes FOR local mode — it only
     removes a fixture-layout artifact local mode suffers."""
     try:
-        size = os.path.getsize(path)
+        # a Spark-written dataset is a DIRECTORY of part files; getsize
+        # on the directory entry returns ~4KB and would mis-estimate
+        # splits as 1 at ANY scale, silently inverting the "structural
+        # no-op at production scale" guard — sum the data files instead
+        if os.path.isdir(path):
+            size = sum(e.stat().st_size for e in os.scandir(path)
+                       if e.is_file() and not e.name.startswith(("_", ".")))
+        else:
+            size = os.path.getsize(path)
     except OSError:
         return df
     cores = spark.sparkContext.defaultParallelism

@@ -112,17 +112,21 @@ def _bcast_rows_bound(dtype) -> int:
     return 125_000
 
 
-def _driver_union_find(edges: DataFrame):
+def _driver_union_find(edges: DataFrame, rows):
     """Exact connected components of a BOUNDED edge list, driver-side.
 
     Union-find with path compression, attaching the larger root under
     the smaller, so each final root IS its component's minimum member —
-    the same fixpoint the hash-min loop converges to.  Returns
-    ``(labels, nodes, n_nodes)``: a (member, label) frame over the
-    paired nodes, its member projection, and the node count.
+    the same fixpoint the hash-min loop converges to.  ``rows`` is the
+    ALREADY-COLLECTED edge rows (the caller's bounded limit-collect
+    doubles as the size gate, so deciding the algorithm and fetching
+    the edges is ONE job, not a count plus a collect — r15); ``edges``
+    supplies the id dtype.  Returns ``(labels, nodes, n_nodes)``: a
+    (member, label) frame over the paired nodes, its member projection,
+    and the node count.
 
     Operates on the edge frame's ``a``/``b`` columns; callers gate this
-    path to integral/string id types (``_driver_cc_ok``) — Python's
+    path to integral/string id types (``_driver_cc_max``) — Python's
     ``<`` matches Spark SQL ordering for those (UTF-8 byte order is
     code-point order), but diverges for floats containing NaN.
     """
@@ -136,7 +140,7 @@ def _driver_union_find(edges: DataFrame):
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.collect():
+    for row in rows:
         a, b = row[0], row[1]
         if a not in parent:
             parent[a] = a
@@ -1128,11 +1132,16 @@ def dedup_clusters(pairs: DataFrame, items: DataFrame | None = None,
     # it in 2).  Past the cap the hash-min loop below is the 100 TB
     # path — the same collect-when-provably-small / distributed-past-
     # the-cliff split as ``_cap_list_frame``.
-    n_edges = edges.count()
     bcast_max = 2_000_000  # (member, label) rows well under executor memory
-    distributed = n_edges > _driver_cc_max(edges.schema["a"].dataType)
+    # ONE bounded limit-collect both decides the algorithm and fetches
+    # the driver path's edges (the old shape paid a count job AND a
+    # collect job); past the cap the collected prefix is discarded —
+    # the same driver-RSS bound the fast path itself would have held
+    cc_cap = _driver_cc_max(edges.schema["a"].dataType)
+    rows = edges.limit(cc_cap + 1).collect() if cc_cap else None
+    distributed = rows is None or len(rows) > cc_cap
     if not distributed:
-        labels, nodes, n_nodes = _driver_union_find(edges)
+        labels, nodes, n_nodes = _driver_union_find(edges, rows)
     else:
         sym = edges.unionByName(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b")))

@@ -38,6 +38,26 @@ from cloudbrush_spark.functions import text
 from cloudbrush_spark.operators import dedup, sampling, textops
 
 
+def _nd_barrier(c):
+    """Identity on any column, marked NON-DETERMINISTIC: ``shuffle`` of a
+    one-element array always returns that element, but Catalyst may not
+    reorder, duplicate or push predicates through a non-deterministic
+    expression — the expression-tree analogue of
+    ``udf.asNondeterministic()`` (optimization guide §4.4).
+
+    Why it is load-bearing here (r15, measured): predicate pushdown
+    SUBSTITUTES a filter on a projected column with the column's
+    defining expression, so the gate filter (quality/lang/ws bounds)
+    was re-deriving the whole tokenizer/regex chain below the
+    projection — every gated document paid the tokenizer twice (once
+    in the pushed filter, once in the surviving projection), and at
+    fixture scale the substituted filter additionally sank below the
+    scan-widening exchange onto the single pre-widen task (4.5
+    executor-CPU-s single-threaded at sf0.1).  Wrapped, the filter
+    references the materialized column and the chain runs once."""
+    return F.shuffle(F.array(c)).getItem(0)
+
+
 def gate_features(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """The curate gate's per-document feature projection as a standalone
@@ -58,13 +78,19 @@ def gate_features(docs: DataFrame, id_col: str = "doc_id",
     referenced)."""
     toks = F.col("__toks")
     best = textops.lang_best_from_tokens(toks)
+    # _nd_barrier on the two expensive roots (the tokenizer array and
+    # the whitespace count): every downstream gate filter then consumes
+    # the MATERIALIZED columns instead of a pushed-down copy of their
+    # defining expression chains — see _nd_barrier for the measured
+    # duplication this removes
     return docs.select(
         F.col(id_col), F.col(text_col),
-        text.tokens(text_col).alias("__toks"),
+        _nd_barrier(text.tokens(text_col)).alias("__toks"),
     ).select(
         F.col(id_col),
         toks.alias("__toks"),
-        text.token_count(text_col).cast("long").alias("ws_tokens"),
+        _nd_barrier(text.token_count(text_col).cast("long"))
+        .alias("ws_tokens"),
         textops.quality_col_from_tokens(text_col, toks).alias("quality"),
         F.when(best["hits"] == 0, F.lit("und")).otherwise(best["lang"])
         .alias("lang_pred"))
